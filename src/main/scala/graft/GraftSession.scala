@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the role of the reference's session helper
+  * (`src/main/utility/spark_session.py`) but configured for Spark's
+  * cost-based + adaptive execution from the start:
+  *
+  *  - AQE on (runtime partition coalescing, skew-join splitting) —
+  *    at 100 TB the static shuffle-partition count is always wrong,
+  *    so we let AQE re-plan to the advisory target size.
+  *  - `spark.sql.shuffle.partitions` defaults to the local core
+  *    count; on a real cluster set it to 2–3× total cores and let
+  *    AQE coalesce down.
+  *  - UTC session timezone so date/timestamp semantics are stable
+  *    across driver and oracle.
+  */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark rejects;
+      // read as epoch-nanos long, Tables.events converts to micros.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply graft defaults to an externally-built session (used by the
+    * driver's Verify/Bench mains which own the builder). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Money
+
+/** Dashboard-analytics + events verified queries (SURVEY §2 #14–#21).
+  * Re-expresses the reference dashboard's pandas aggregations
+  * (`dashboard.py`) and the streaming twins as Catalyst plans.
+  *
+  * Top-N queries order by the ROUNDED measure with an id tiebreak so
+  * Spark and the DuckDB oracle agree at double-precision boundaries
+  * (SURVEY §3).
+  */
+object QueriesAnalytics {
+  import Queries.Q
+
+  /** Exact discounted revenue (order-independent; see [[Money]]). */
+  private def revenue =
+    sum(Money.dec(col("l_extendedprice")) * (lit(1) - Money.dec(col("l_discount")))).cast("double")
+
+  /** #14 KPI card totals (dashboard.py:128-140) in one scan. */
+  def kpiSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      revenue.as("total_revenue"),
+      countDistinct(col("l_orderkey")).as("total_orders"),
+      count(lit(1)).as("total_line_items"),
+      countDistinct(col("l_partkey")).as("distinct_parts"),
+      countDistinct(col("l_suppkey")).as("distinct_suppliers"),
+      Money.scaledSum(col("l_extendedprice"), 2).as("__sp")
+    )
+    .withColumn("avg_line_price", Money.avgFromScaled(col("__sp"), col("total_line_items"), 2))
+    .drop("__sp")
+
+  /** #15 top-10 products by revenue (dashboard.py:190-199). */
+  def topProducts(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(revenue.as("revenue"), Money.sumExact(col("l_quantity")).as("units"))
+    li.join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("revenue"), col("units"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+      .limit(10)
+  }
+
+  /** #16 revenue by category (dashboard.py:201-210; p_type as category). */
+  def revenueByCategory(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type").as("category"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy("category")
+
+  /** #17 revenue by customer region/nation (dashboard.py:266-274).
+    * Fact shuffles once (orders join); all dims broadcast. */
+  def revenueByRegion(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy("region", "nation")
+  }
+
+  /** #18 monthly revenue trend (dashboard.py's monthly sales trend). */
+  def monthlyTrend(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        Money.sumExact(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("active_customers")
+      )
+      .orderBy("month")
+
+  /** #19 top-10 customers by spend (dashboard.py:215-239). */
+  def topCustomers(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(Money.sumExact(col("o_totalprice")).as("total_spent"), count(lit(1)).as("total_orders"))
+    m.join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("total_spent"), col("total_orders"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** #20 tumbling-window event aggregation (batch twin of
+    * `graft.streaming.EventStream`). */
+  def eventsWindowed(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        Money.sumExact(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("distinct_users")
+      )
+      .orderBy("window_start", "event_type")
+
+  /** #21 gap-based sessionization (30-min inactivity), batch twin of
+    * the `flatMapGroupsWithState` streaming sessionizer. Two window
+    * passes over the same (user_id, ts) ordering — one shuffle, reused
+    * partitioning. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_s"), col("value")
+      )
+      .withColumn("prev_ts", lag(col("ts_s"), 1).over(order))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull || col("ts_s").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L)
+      )
+      .withColumn("session_seq", sum(col("new_session")).over(order))
+    ev.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_s")).as("session_start"),
+        max(col("ts_s")).as("session_end"),
+        Money.sumExact(col("value")).as("total_value")
+      )
+      .orderBy("user_id", "session_seq")
+  }
+
+  def all: Map[String, Q] = Map(
+    "q_kpi_summary" -> (kpiSummary _),
+    "q_top_products" -> (topProducts _),
+    "q_revenue_by_category" -> (revenueByCategory _),
+    "q_revenue_by_region" -> (revenueByRegion _),
+    "q_monthly_trend" -> (monthlyTrend _),
+    "q_top_customers" -> (topCustomers _),
+    "q_events_windowed" -> (eventsWindowed _),
+    "q_sessionize" -> (sessionize _)
+  )
+}

@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Bronze, Silver, Scd2, Gold}
+import graft.functions.Money
+
+/** Medallion-ETL verified queries (SURVEY §2 #1–#13).
+  *
+  * Determinism contract (SURVEY §3): fixed literal dates, doubles
+  * rounded and aliased identically to [[Oracles]], event timestamps
+  * emitted at second granularity.
+  */
+object QueriesEtl {
+  import Queries.Q
+
+  /** Bronze gate rules for lineitem (reference main.py:104-137
+    * re-keyed to the testdata fact). Order matters: first failing rule
+    * names the rejection. */
+  private def lineitemRules = Seq(
+    Bronze.Rule("NULL_ORDER_KEY", col("l_orderkey").isNotNull),
+    Bronze.Rule("INVALID_QUANTITY", col("l_quantity") > 0),
+    Bronze.Rule("INVALID_PRICE", col("l_extendedprice") > 0),
+    Bronze.Rule("DISCOUNT_OUT_OF_RANGE", col("l_discount").between(0.0, 0.05)),
+    Bronze.Rule("NULL_SHIP_DATE", col("l_shipdate").isNotNull)
+  )
+
+  /** #1 flagship: grouped pricing summary over the fact (TPC-H Q1
+    * shape; the reference's gold-metrics aggregation pattern). One
+    * scan, partial-agg shuffle on two low-cardinality keys. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import Money.{dec, sumExact, scaledSum, avgFromScaled}
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumExact(col("l_quantity")).as("sum_qty"),
+        sumExact(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        scaledSum(col("l_quantity"), 4).as("__sq"),
+        scaledSum(col("l_extendedprice"), 4).as("__sp"),
+        scaledSum(col("l_discount"), 4).as("__sd"),
+        count(lit(1)).as("count_order")
+      )
+      .withColumn("avg_qty", avgFromScaled(col("__sq"), col("count_order"), 4))
+      .withColumn("avg_price", avgFromScaled(col("__sp"), col("count_order"), 4))
+      .withColumn("avg_disc", avgFromScaled(col("__sd"), col("count_order"), 4))
+      .drop("__sq", "__sp", "__sd")
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** #2 bronze valid split. */
+  def bronzeValid(s: SparkSession, dir: String): DataFrame =
+    Bronze.stampIngestion(
+      Bronze.valid(Tables.lineitem(s, dir), lineitemRules),
+      lit("2026-08-12").cast("date")
+    )
+
+  /** #3 bronze rejected split + first-match-wins reason. */
+  def bronzeRejected(s: SparkSession, dir: String): DataFrame =
+    Bronze.stampIngestion(
+      Bronze.rejected(Tables.lineitem(s, dir), lineitemRules),
+      lit("2026-08-12").cast("date")
+    )
+
+  /** #4 silver standardization (lower/trim). */
+  def silverStandardize(s: SparkSession, dir: String): DataFrame =
+    Silver.standardize(Tables.customer(s, dir), Seq("c_name", "c_mktsegment"))
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+  /** #5 regex cleanup + minimum-length gate (phone-number pattern). */
+  def regexClean(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      col("props"),
+      Silver.digitsOnly(col("props"), 2).as("code")
+    )
+
+  /** #6 conditional date correction: ship date clamped to order date. */
+  def dateFix(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_shipdate")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_shipdate"),
+        col("o_orderdate"),
+        Silver.clampDateToFloor(col("l_shipdate"), col("o_orderdate")).as("fixed_shipdate")
+      )
+  }
+
+  /** #7 latest-record-wins dedup per user (map-side max_by). */
+  def dedupLatest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        col("event_type"),
+        col("value")
+      )
+    Silver.dedupLatest(ev, Seq("user_id"), Seq(col("ts_s"), col("event_id")))
+      .select("user_id", "event_id", "ts_s", "event_type", "value")
+  }
+
+  /** #8 SCD Type 2 merge on the customer dimension. The incoming
+    * snapshot is derived deterministically from the table itself:
+    * keys ≡0 (mod 10) change segment to MOVED, ≡5 are deleted,
+    * ≡3 spawn a new key (+1,000,000). */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    val existing = Scd2.initialize(c, lit("2020-01-01").cast("date"))
+    val changedOrSame = c
+      .where(pmod(col("c_custkey"), lit(10)) =!= 5)
+      .withColumn(
+        "c_mktsegment",
+        when(pmod(col("c_custkey"), lit(10)) === 0, lit("MOVED")).otherwise(col("c_mktsegment"))
+      )
+    val fresh = c
+      .where(pmod(col("c_custkey"), lit(10)) === 3)
+      .select(
+        (col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(col("c_name"), lit("_new")).as("c_name"),
+        col("c_mktsegment"),
+        lit(0.0).as("c_acctbal")
+      )
+    val incoming = changedOrSame.unionByName(fresh)
+    Scd2.merge(existing, incoming,
+      key = Seq("c_custkey"),
+      tracked = Seq("c_name", "c_mktsegment"),
+      asOf = lit("2026-08-01").cast("date"))
+  }
+
+  /** #9 gold denormalized star join (broadcast dims). */
+  def goldEnriched(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    val p = Tables.part(s, dir)
+    val su = Tables.supplier(s, dir)
+    val fact = li.join(o, li("l_orderkey") === o("o_orderkey")) // fact-fact: keyed shuffle
+    Gold.starJoin(fact, Seq(
+      (c, col("o_custkey") === col("c_custkey")),
+      (n, col("c_nationkey") === col("n_nationkey")),
+      (r, col("n_regionkey") === col("r_regionkey")),
+      (p, col("l_partkey") === col("p_partkey")),
+      (su, col("l_suppkey") === col("s_suppkey"))
+    )).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      col("o_orderdate"),
+      col("o_orderpriority"),
+      col("c_name").as("customer_name"),
+      col("n_name").as("nation"),
+      col("r_name").as("region"),
+      col("p_name").as("part_name"),
+      col("p_brand").as("brand"),
+      col("p_type").as("category"),
+      col("s_name").as("supplier_name"),
+      col("l_quantity").as("quantity"),
+      col("l_extendedprice").as("price"),
+      col("l_discount").as("discount"),
+      round(Money.dec(col("l_extendedprice")) * (lit(1) - Money.dec(col("l_discount"))), 2)
+        .cast("double").as("revenue")
+    )
+  }
+
+  /** #10 per-customer behavioral metrics. */
+  def customerMetrics(s: SparkSession, dir: String): DataFrame = {
+    val m = Gold.entityMetrics(Tables.orders(s, dir), "o_custkey", col("o_totalprice"), col("o_orderdate"))
+    m.join(broadcast(Tables.customer(s, dir)), m("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("total_orders"), col("total_spent"), col("avg_order_value"),
+        col("first_purchase_date"), col("last_purchase_date")
+      )
+  }
+
+  /** #11 customer × month revenue mart. */
+  def customerMonthlyMart(s: SparkSession, dir: String): DataFrame = {
+    val m = Gold.monthlyMart(Tables.orders(s, dir), "o_custkey", col("o_orderdate"), col("o_totalprice"))
+    m.join(broadcast(Tables.customer(s, dir)), m("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("sales_month"), col("total_sales"), col("n_orders"))
+  }
+
+  /** #12 watermark-filtered incremental read. */
+  def incrementalRead(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"), col("value")
+      )
+
+  /** #13 declarative data-quality suite as one conditional-agg pass
+    * (the reference runs four Great Expectations suites; here each
+    * expectation folds into a single scan). */
+  def dqSummary(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.orders(s, dir).agg(
+      count(lit(1)).as("row_count"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("not_null_custkey_violations"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("unique_orderkey_violations"),
+      sum(when(!col("o_totalprice").between(0.0, 1000000.0), 1L).otherwise(0L)).as("range_totalprice_violations"),
+      sum(when(!col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L)).as("regex_priority_violations")
+    )
+    agg.selectExpr(
+      "stack(5, " +
+        "'row_count', row_count, " +
+        "'not_null_custkey_violations', not_null_custkey_violations, " +
+        "'unique_orderkey_violations', unique_orderkey_violations, " +
+        "'range_totalprice_violations', range_totalprice_violations, " +
+        "'regex_priority_violations', regex_priority_violations" +
+        ") as (check_name, check_value)"
+    ).orderBy("check_name")
+  }
+
+  def all: Map[String, Q] = Map(
+    "q_pricing_summary" -> (pricingSummary _),
+    "q_bronze_valid" -> (bronzeValid _),
+    "q_bronze_rejected" -> (bronzeRejected _),
+    "q_silver_standardize" -> (silverStandardize _),
+    "q_regex_clean" -> (regexClean _),
+    "q_date_fix" -> (dateFix _),
+    "q_dedup_latest" -> (dedupLatest _),
+    "q_scd2" -> (scd2 _),
+    "q_gold_enriched" -> (goldEnriched _),
+    "q_customer_metrics" -> (customerMetrics _),
+    "q_customer_monthly_mart" -> (customerMonthlyMart _),
+    "q_incremental_read" -> (incrementalRead _),
+    "q_dq_summary" -> (dqSummary _)
+  )
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** Slowly Changing Dimension Type 2 merge.
+  *
+  * Semantics follow the reference
+  * (`src/main/transformations/scd_customer_transform.py`):
+  *  - NEW keys       -> inserted as current records
+  *  - CHANGED keys   -> old current record closed (valid_to = asOf,
+  *                      is_current = false) + new current record
+  *  - UNCHANGED keys -> kept as-is
+  *  - DELETED keys   -> history kept untouched
+  *
+  * Unlike the reference — which `collect()`s the changed ids onto the
+  * driver and re-broadcasts them through `isin`
+  * (scd_customer_transform.py:129) — this implementation is fully
+  * distributed: change detection is a hash-join on the key, and the
+  * close/insert sets are produced with joins + unions only. At 100 TB
+  * dimension scale nothing ever leaves the executors; all three
+  * shuffles share the key partitioning and AQE can co-plan them.
+  *
+  * Change detection hashes the tracked columns into one 64-bit value
+  * (`xxhash64` over a `concat_ws`; the reference uses md5 — xxhash64
+  * is codegen'd and 8 bytes instead of 32).
+  */
+object Scd2 {
+  val ValidFrom = "valid_from"
+  val ValidTo = "valid_to"
+  val IsCurrent = "is_current"
+  private val H = "__row_hash"
+
+  /** First-run initialization: stamp SCD columns onto a snapshot
+    * (reference `_add_scd_columns`). */
+  def initialize(df: DataFrame, asOf: Column): DataFrame =
+    df.withColumn(ValidFrom, asOf.cast(DateType))
+      .withColumn(ValidTo, lit(null).cast(DateType))
+      .withColumn(IsCurrent, lit(true))
+
+  private def withHash(df: DataFrame, tracked: Seq[String]): DataFrame =
+    df.withColumn(H, xxhash64(concat_ws("\u0001", tracked.map(col).toIndexedSeq: _*)))
+
+  /** Merge `incoming` (no SCD columns) into `existing` (SCD-stamped;
+    * run [[initialize]] first if needed). Attribute columns of both
+    * frames must match; `key` identifies the entity, `tracked` are the
+    * change-triggering columns. */
+  def merge(
+      existing: DataFrame,
+      incoming: DataFrame,
+      key: Seq[String],
+      tracked: Seq[String],
+      asOf: Column
+  ): DataFrame = {
+    val attrCols = incoming.columns.toSeq
+    val outCols = attrCols ++ Seq(ValidFrom, ValidTo, IsCurrent)
+
+    val cur = withHash(existing.filter(col(IsCurrent)), tracked)
+      .select((key.map(col) :+ col(H).as("__cur_hash")).toIndexedSeq: _*)
+    val inc = withHash(incoming, tracked)
+
+    // keys whose tracked attributes changed vs the current record
+    val changedKeys = inc
+      .join(cur, key)
+      .where(col(H) =!= col("__cur_hash"))
+      .select(key.map(col).toIndexedSeq: _*)
+      .withColumn("__changed", lit(true))
+
+    // existing history: close the current record of changed keys
+    val existingOut = existing
+      .join(changedKeys, key, "left")
+      .withColumn(
+        ValidTo,
+        when(col("__changed") && col(IsCurrent), asOf.cast(DateType))
+          .otherwise(col(ValidTo))
+      )
+      .withColumn(
+        IsCurrent,
+        when(coalesce(col("__changed"), lit(false)) && col(IsCurrent), lit(false))
+          .otherwise(col(IsCurrent))
+      )
+      .select(outCols.map(col).toIndexedSeq: _*)
+
+    // brand-new keys -> current records
+    val newKeysOut = initialize(
+      inc.join(existing.select(key.map(col).toIndexedSeq: _*).distinct(), key, "left_anti")
+        .select(attrCols.map(col).toIndexedSeq: _*),
+      asOf
+    ).select(outCols.map(col).toIndexedSeq: _*)
+
+    // changed keys -> fresh current records
+    val changedOut = initialize(
+      inc.join(changedKeys, key, "left_semi").select(attrCols.map(col).toIndexedSeq: _*),
+      asOf
+    ).select(outCols.map(col).toIndexedSeq: _*)
+
+    existingOut.unionByName(newKeysOut).unionByName(changedOut)
+  }
+
+  /** Current view of an SCD2 table (reference `get_current_customers`). */
+  def current(scd: DataFrame): DataFrame = scd.filter(col(IsCurrent))
+
+  /** Point-in-time view: records valid at `at`. */
+  def asOfView(scd: DataFrame, at: Column): DataFrame =
+    scd.filter(col(ValidFrom) <= at && (col(ValidTo).isNull || col(ValidTo) > at))
+}
