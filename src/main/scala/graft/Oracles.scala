@@ -245,8 +245,128 @@ object Oracles {
         |ORDER BY user_id, session_seq""".stripMargin
   )
 
-  val text: Map[String, String] = Map()
-  val vector: Map[String, String] = Map()
+  /** DuckDB list literal of a stopword list (kept in sync with
+    * [[graft.text.TextOps.LangStopwords]] by construction). */
+  private def wordList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** hits = multiset count of tokens present in the list. */
+  private def hits(ws: Seq[String]): String =
+    s"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> list_contains(${wordList(ws)}, x)))"
+
+  private val langs = graft.text.TextOps.LangStopwords
+
+  val text: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_md5,
+        |  min(doc_id) AS keeper_doc_id,
+        |  count(*) AS n_copies,
+        |  min(length(lower(trim(text)))) AS n_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+        |    ${hits(graft.text.TextOps.StopwordsEn)} AS stop_hits,
+        |    len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS distinct_words
+        |  FROM documents
+        |), scored AS (
+        |  SELECT *,
+        |    least(25, n_chars // 20)
+        |    + least(25, n_words // 4)
+        |    + least(25, (stop_hits * 100) // greatest(n_words, 1))
+        |    + least(25, ((distinct_words * 100) // greatest(n_words, 1)) // 2) AS quality_score
+        |  FROM base)
+        |SELECT doc_id, n_chars, n_words, stop_hits, distinct_words, quality_score,
+        |  CASE WHEN quality_score >= 60 THEN 'high'
+        |       WHEN quality_score >= 40 THEN 'medium'
+        |       ELSE 'low' END AS quality_bucket
+        |FROM scored""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ${hits(langs("en"))} AS hits_en,
+        |    ${hits(langs("de"))} AS hits_de,
+        |    ${hits(langs("fr"))} AS hits_fr,
+        |    ${hits(langs("es"))} AS hits_es,
+        |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk_chars
+        |  FROM documents
+        |), p AS (
+        |  SELECT *,
+        |    CASE WHEN cjk_chars > 0 THEN 'zh'
+        |         WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+        |         WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
+        |         WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+        |         WHEN hits_es > 0 THEN 'es'
+        |         ELSE 'unknown' END AS predicted
+        |  FROM h)
+        |SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es, cjk_chars,
+        |  predicted, (predicted = lang) AS is_match
+        |FROM p""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS gram
+        |  FROM toks
+        |), kept AS (
+        |  SELECT g.doc_id, g.gram FROM grams g
+        |  JOIN (SELECT gram, count(*) AS df FROM grams GROUP BY gram) d USING (gram)
+        |  WHERE d.df <= 100
+        |), counts AS (
+        |  SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY doc_id
+        |), shared AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared_grams
+        |  FROM kept a JOIN kept b USING (gram)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc1, doc2, shared_grams, c1.n_grams AS grams1, c2.n_grams AS grams2,
+        |  (shared_grams*200 + (c1.n_grams + c2.n_grams - shared_grams))
+        |    // ((c1.n_grams + c2.n_grams - shared_grams)*2) AS jaccard_pct
+        |FROM shared
+        |JOIN counts c1 ON doc1 = c1.doc_id
+        |JOIN counts c2 ON doc2 = c2.doc_id
+        |WHERE shared_grams*100 >= (c1.n_grams + c2.n_grams - shared_grams)*1""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  hex(substr(text, 1, 8)) AS header_hex,
+        |  CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 960 AS INTEGER) AS width,
+        |  CAST(64 + (octet_length(CAST(text AS BLOB)) * 13) % 960 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 'empty'
+        |       WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'rgb'
+        |       ELSE 'rgba' END AS format
+        |FROM documents""".stripMargin
+  )
+
+  private val cosExpr =
+    "list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+
+  val vector: Map[String, String] = Map(
+    "q_dedup_embedding" ->
+      s"""SELECT id1, id2, cosine FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2, round($cosExpr, 4) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+        |WHERE cosine >= 0.30""".stripMargin,
+    "q_ann_topk" ->
+      s"""SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round($cosExpr, 4) AS cosine,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY $cosExpr DESC, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10) t
+        |WHERE rank <= 5""".stripMargin
+  )
 
   def all: Map[String, String] = etl ++ analytics ++ text ++ vector
 }

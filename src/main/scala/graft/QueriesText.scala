@@ -1,10 +1,115 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.{TextOps, DedupOps}
+import graft.multimodal.BinaryOps
 
-/** Text-analysis + document-dedup verified queries (SURVEY §2
-  * #22–#25, #29–#33). Filled in build-plan step 5/7. */
+/** Text-analysis + document-dedup + multimodal verified queries
+  * (SURVEY §2 #22–#25, #29–#33), over the `documents` table. */
 object QueriesText {
   import Queries.Q
-  def all: Map[String, Q] = Map()
+
+  /** #22 exact dedup groups by normalized text. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    DedupOps.exactGroups(Tables.documents(s, dir), "doc_id", lower(trim(col("text"))))
+
+  /** #25 exact 3-gram Jaccard pairs over informative grams
+    * (df <= 100), Jaccard >= 1%. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    DedupOps.ngramJaccardPairs(
+      Tables.documents(s, dir), "doc_id", col("text"),
+      n = 3, maxDf = 100, minJaccardPct = 1)
+
+  /** #23 MinHash+LSH near-dup candidates (rows-only oracle: hash
+    * permutation values are engine-specific). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val grams = DedupOps.wordGrams(Tables.documents(s, dir), "doc_id", col("text"), 3)
+    val sigs = DedupOps.minhashSignatures(grams, "doc_id", k = 32)
+    DedupOps.minhashLshPairs(sigs, "doc_id", k = 32, bands = 8, minEst = 0.25)
+      .orderBy("doc1", "doc2")
+  }
+
+  /** #24 SimHash near-dup candidates, hamming <= 12 of 64 bits
+    * (rows-only oracle). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val hashes = DedupOps.simhash(Tables.documents(s, dir), "doc_id", col("text"))
+    DedupOps.simhashPairs(hashes, "doc_id", maxDist = 12).orderBy("doc1", "doc2")
+  }
+
+  /** #29 heuristic language identification vs the labeled lang. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      col("lang"),
+      TextOps.langHits(t, "en").cast("long").as("hits_en"),
+      TextOps.langHits(t, "de").cast("long").as("hits_de"),
+      TextOps.langHits(t, "fr").cast("long").as("hits_fr"),
+      TextOps.langHits(t, "es").cast("long").as("hits_es"),
+      TextOps.cjkCount(t).cast("long").as("cjk_chars"),
+      TextOps.langPredict(t).as("predicted"),
+      (TextOps.langPredict(t) === col("lang")).as("is_match")
+    )
+  }
+
+  /** #30 quality scoring (integer-exact; see TextOps.qualityScore). */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      TextOps.wordCount(t).cast("long").as("n_words"),
+      TextOps.stopwordCount(t, TextOps.StopwordsEn).cast("long").as("stop_hits"),
+      TextOps.distinctWordCount(t).cast("long").as("distinct_words")
+    )
+    base
+      .withColumn("quality_score",
+        TextOps.qualityScore(col("n_chars"), col("n_words"), col("stop_hits"), col("distinct_words")))
+      .withColumn("quality_bucket", TextOps.qualityBucket(col("quality_score")))
+  }
+
+  /** #31 token counting: whitespace + BPE-ish regex pre-tokens. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      TextOps.wordCount(t).cast("long").as("n_ws_tokens"),
+      TextOps.bpeTokenCount(t).cast("long").as("n_bpe_tokens")
+    )
+  }
+
+  /** #32 winnowing fingerprints (rows-only oracle: xxhash64 values
+    * are engine-specific). */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    DedupOps.fingerprints(Tables.documents(s, dir), "doc_id", col("text"), n = 3, window = 4)
+      .orderBy("doc_id", "fp")
+
+  /** #33 multimodal binary plumbing: text bytes as an opaque payload,
+    * decoded partition-wise by the stub decoder (real mapPartitions
+    * batching; deterministic metadata, oracle-checkable). */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    BinaryOps.decode(withPayload, "payload")
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        hex(substring(col("payload"), 1, 8)).as("header_hex"),
+        col("width"), col("height"), col("channels"), col("format")
+      )
+  }
+
+  def all: Map[String, Q] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_lang_id" -> (langId _),
+    "q_text_quality" -> (textQuality _),
+    "q_token_count" -> (tokenCount _),
+    "q_doc_fingerprint" -> (docFingerprint _),
+    "q_multimodal_meta" -> (multimodalMeta _)
+  )
 }

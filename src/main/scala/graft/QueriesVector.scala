@@ -1,10 +1,41 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.vector.VectorOps
 
-/** Embedding similarity / ANN verified queries (SURVEY §2 #26–#28).
-  * Filled in build-plan step 6. */
+/** Embedding similarity / ANN verified queries (SURVEY §2 #26–#28)
+  * over the `embeddings` table (array<float>, dim 64). */
 object QueriesVector {
   import Queries.Q
-  def all: Map[String, Q] = Map()
+
+  /** #26 embedding-cosine near-dup pairs (threshold chosen to be
+    * non-empty on the near-orthogonal testdata). */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    VectorOps.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", minCos = 0.30)
+  }
+
+  /** #27 brute-force cosine top-5 neighbors for query set vec_id<10,
+    * scored by the native CosineSimilarity expression. */
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val emb = Tables.embeddings(s, dir)
+    VectorOps.bruteForceTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+  }
+
+  /** #28 LSH-bucketed ANN (8 hyperplanes), the scale path — rows-only
+    * oracle (bucket membership is hash-specific). */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val emb = Tables.embeddings(s, dir)
+    VectorOps.lshTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", nPlanes = 8, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  def all: Map[String, Q] = Map(
+    "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_ann_topk" -> (annTopK _),
+    "q_ann_lsh" -> (annLsh _)
+  )
 }

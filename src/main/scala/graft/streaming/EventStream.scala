@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming twin of the batch event queries.
+  *
+  * The reference runs its incremental path as watermark-filtered
+  * batch re-reads (`utility/watermark_manager.py`); Spark-first, the
+  * same pipeline is a stream: `readStream` → event-time watermark →
+  * tumbling-window aggregation → sink. `Trigger.AvailableNow` turns
+  * the identical code into an incremental batch job, which is the
+  * scalable replacement for the reference's polling loop.
+  */
+object EventStream {
+  /** Streaming source over an events-shaped directory of parquet.
+    * (`ts` must already be a timestamp column in `schemaSource`, a
+    * static frame used only to derive the schema.) */
+  def readEvents(spark: SparkSession, dir: String, schemaSource: DataFrame): DataFrame =
+    spark.readStream.schema(schemaSource.schema).parquet(dir)
+
+  /** Tumbling-window aggregation per event_type with a watermark —
+    * streaming twin of `QueriesAnalytics.eventsWindowed`. State for
+    * windows older than the watermark is dropped, bounding memory at
+    * any throughput. */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour", window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value")
+      )
+
+  final case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                           n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization with custom state
+    * (`flatMapGroupsWithState`): emits a session when `gapSeconds` of
+    * inactivity pass (processing-time timeout closes idle sessions).
+    * Streaming twin of `QueriesAnalytics.sessionize`. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var out = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapSeconds * 1000 =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  out ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM-training-data pipelines: token
+  * counting, quality scoring, language identification.
+  *
+  * Everything is a codegen'd Catalyst expression over `functions._`
+  * (split / higher-order array functions / regexp) — no UDFs, so the
+  * whole family stays inside WholeStageCodegen and scales linearly
+  * with a narrow, shuffle-free plan.
+  *
+  * Scores are computed with integer arithmetic only (counts, integer
+  * div): exact, engine-independent, oracle-verifiable (SURVEY §3).
+  */
+object TextOps {
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def wordCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish pre-tokenization count: letter runs, digit runs, and
+    * single non-alphanumeric marks each count as one token. */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Multiset count of tokens that appear in `words`. */
+  def stopwordCount(c: Column, words: Seq[String]): Column = {
+    val lits = array(words.map(lit).toIndexedSeq: _*)
+    size(filter(tokens(c), t => array_contains(lits, t)))
+  }
+
+  def distinctWordCount(c: Column): Column = size(array_distinct(tokens(c)))
+
+  /** English stopwords used by quality scoring (fixed, part of the
+    * operator contract). */
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+
+  /** Per-language stopword lists for [[langHits]]. */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> StopwordsEn,
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "den"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "por", "con", "para")
+  )
+
+  def langHits(c: Column, lang: String): Column =
+    stopwordCount(c, LangStopwords(lang))
+
+  /** CJK character count (language id for zh). */
+  def cjkCount(c: Column): Column = regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]"))
+
+  /** Integer-math quality score in [0,100]:
+    * length (≤25) + word count (≤25) + stopword ratio (≤25) +
+    * lexical diversity (≤25). `div` is integer division, so the score
+    * is exact and portable. */
+  def qualityScore(nChars: Column, nWords: Column, stopHits: Column, distinctWords: Column): Column = {
+    val lenScore = least(lit(25L), call_function("div", nChars.cast("long"), lit(20L)))
+    val wordScore = least(lit(25L), call_function("div", nWords.cast("long"), lit(4L)))
+    val stopPct = call_function("div", stopHits.cast("long") * 100L, greatest(nWords.cast("long"), lit(1L)))
+    val stopScore = least(lit(25L), stopPct)
+    val divPct = call_function("div", distinctWords.cast("long") * 100L, greatest(nWords.cast("long"), lit(1L)))
+    val divScore = least(lit(25L), call_function("div", divPct, lit(2L)))
+    lenScore + wordScore + stopScore + divScore
+  }
+
+  def qualityBucket(score: Column): Column =
+    when(score >= 60, lit("high")).when(score >= 40, lit("medium")).otherwise(lit("low"))
+
+  /** Heuristic language id: CJK chars dominate, else the language
+    * with the most stopword hits (fixed priority en>de>fr>es on
+    * ties), else 'unknown'. */
+  def langPredict(c: Column): Column = {
+    val en = langHits(c, "en"); val de = langHits(c, "de")
+    val fr = langHits(c, "fr"); val es = langHits(c, "es")
+    when(cjkCount(c) > 0, lit("zh"))
+      .when(en >= de && en >= fr && en >= es && en > 0, lit("en"))
+      .when(de >= fr && de >= es && de > 0, lit("de"))
+      .when(fr >= es && fr > 0, lit("fr"))
+      .when(es > 0, lit("es"))
+      .otherwise(lit("unknown"))
+  }
+}

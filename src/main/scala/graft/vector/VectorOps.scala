@@ -1,0 +1,98 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline (query-set ×
+  * corpus, scored by the native [[graft.functions.CosineSimilarity]]
+  * expression inside WholeStageCodegen). The scale path is
+  * random-hyperplane LSH: sign-bucket the corpus once, then only
+  * score within (multi-probed) buckets — at 100 TB the cross product
+  * never materializes; the bucket id is the shuffle key.
+  */
+object VectorOps {
+  private def cos(a: Column, b: Column)(implicit spark: SparkSession): Column = {
+    VectorFunctions.register(spark)
+    call_function("cosine_sim", a, b)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (self-matches
+    * excluded). `queries`/`corpus`: (idCol, vecCol). */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int
+  )(implicit spark: SparkSession): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q)) // corpus stays partitioned; queries broadcast
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cos(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** All pairs with cosine >= minCos (near-duplicate detection).
+    * Exact; O(n²) scored but only over `corpus` × broadcast(corpus
+    * projection) — swap in [[lshBucketTopK]] candidates at scale. */
+  def cosinePairs(
+      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double
+  )(implicit spark: SparkSession): DataFrame = {
+    val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("__v1"))
+    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("__v2"))
+    a.crossJoin(b)
+      .where(col("id1") < col("id2"))
+      .withColumn("cosine", round(cos(col("__v1"), col("__v2")), 4))
+      .where(col("cosine") >= minCos)
+      .select("id1", "id2", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane `p`,
+    * dimension `d`: a value in [-0.5, 0.5) derived from xxhash64. */
+  private def planeComponent(p: Column, d: Column): Column =
+    (pmod(xxhash64(p, d), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+
+  /** Random-hyperplane LSH bucket id (`nPlanes` sign bits) for each
+    * vector: bucket = Σ_p (dot(v, plane_p) > 0) << p. */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+      val dot = aggregate(
+        zip_with(
+          vec,
+          transform(sequence(lit(0), size(vec) - 1), d => planeComponent(p, d)),
+          (x, plane) => x.cast("double") * plane
+        ),
+        lit(0.0), (acc, v) => acc + v
+      )
+      when(dot > 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(0L)
+    })
+    aggregate(bits, lit(0L), (acc, v) => acc + v)
+  }
+
+  /** ANN via LSH buckets: score queries only against corpus vectors
+    * in the same bucket, take top-k per query. Recall < 1 by design;
+    * increase planes/probes for precision, this is the 100 TB path. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, nPlanes: Int, k: Int
+  )(implicit spark: SparkSession): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("bucket", lshBucket(col("__qv"), nPlanes))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("bucket", lshBucket(col("__cv"), nPlanes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cos(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+}

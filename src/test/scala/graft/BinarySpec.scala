@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.BinaryOps
+import graft.sources.{CsvSource, ParquetSink}
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class BinarySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary decode appends typed metadata partition-wise") {
+    val df = Seq((1L, "abcd"), (2L, "")).toDF("id", "t")
+      .select($"id", $"t".cast("binary").as("payload"))
+    val out = BinaryOps.decode(df, "payload")
+    assert(out.schema.fieldNames.toSeq == Seq("id", "payload", "width", "height", "channels", "format"))
+    val rows = out.select("id", "width", "height", "format").as[(Long, Int, Int, String)].collect().toMap3
+    assert(rows(1L) == ((64 + 4 * 7, 64 + 4 * 13, "rgba"))) // 'a'=97 odd
+    assert(rows(2L) == ((64, 64, "empty")))
+  }
+
+  test("decode result is stable across partition counts") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val a = BinaryOps.decode(docs.repartition(1), "payload").orderBy("doc_id").collect()
+    val b = BinaryOps.decode(docs.repartition(13), "payload").orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("csv source quarantines malformed rows instead of failing") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.write(java.nio.file.Paths.get(dir, "d.csv"),
+      "id,qty\n1,10\n2,notanumber\n3,30\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType)))
+    val (clean, corrupt) = CsvSource.split(CsvSource.read(spark, dir, schema))
+    assert(clean.count() == 2 && corrupt.count() == 1)
+  }
+
+  test("parquet sink writes hive-style partitions") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/out"
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("v", "p")
+    ParquetSink.write(df, dir, partitionCols = Seq("p"))
+    val sub = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("p="))
+    assert(sub.toSet == Set("p=a", "p=b"))
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  implicit class MapOps3[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap3: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+}

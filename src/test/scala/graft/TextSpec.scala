@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{TextOps, DedupOps}
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counting: whitespace vs BPE-ish") {
+    val df = Seq("hello world, it's 2024!").toDF("text")
+      .select(
+        TextOps.wordCount($"text").as("ws"),
+        TextOps.bpeTokenCount($"text").as("bpe"))
+    val (ws, bpe) = df.as[(Int, Int)].head()
+    assert(ws == 4)
+    // hello | world | , | it | ' | s | 2024 | !
+    assert(bpe == 8)
+  }
+
+  test("quality score is integer-exact and bucketed") {
+    val df = Seq("the cat sat on the mat").toDF("text").select(
+      TextOps.qualityScore(
+        length($"text"), TextOps.wordCount($"text"),
+        TextOps.stopwordCount($"text", TextOps.StopwordsEn),
+        TextOps.distinctWordCount($"text")).as("q"))
+    val q = df.as[Long].head()
+    // n_chars=22 -> 1; n_words=6 -> 1; stop_hits=3 -> 50pct -> 25; distinct=5 -> 83pct -> 25
+    assert(q == 1 + 1 + 25 + 25)
+  }
+
+  test("language id picks the dominant stopword list, zh via CJK") {
+    val df = Seq("der hund und die katze", "le chat et la maison", "你好世界", "zzz qqq").toDF("text")
+      .select(TextOps.langPredict($"text").as("p"))
+    assert(df.as[String].collect().toSeq == Seq("de", "fr", "zh", "unknown"))
+  }
+
+  test("wordGrams emits distinct n-grams and handles short docs") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text")
+    val grams = DedupOps.wordGrams(df, "id", $"text", 3).as[(Long, String)].collect().toSet
+    assert(grams == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("ngram jaccard finds the duplicated document pair") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardPairs(df, "doc_id", $"text", 3, 100, 50)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("minhash LSH surfaces near-identical docs") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val grams = DedupOps.wordGrams(df, "doc_id", $"text", 3)
+    val sigs = DedupOps.minhashSignatures(grams, "doc_id", 32)
+    val pairs = DedupOps.minhashLshPairs(sigs, "doc_id", 32, 8, 0.9)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("simhash of identical token multisets is identical; pairs verify hamming") {
+    val df = Seq(
+      (1L, "spark makes big data small again"),
+      (2L, "spark makes big data small again"),
+      (3L, "entirely unrelated words live here now")
+    ).toDF("doc_id", "text")
+    val h = DedupOps.simhash(df, "doc_id", $"text")
+    val hs = h.as[(Long, Long)].collect().toMap
+    assert(hs(1L) == hs(2L))
+    val pairs = DedupOps.simhashPairs(h, "doc_id", 0)
+      .select("doc1", "doc2", "hamming").as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0)))
+  }
+
+  test("winnowing fingerprints overlap heavily for near-identical docs") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val df = Seq((1L, a), (2L, a + " extra")).toDF("doc_id", "text")
+    val fp = DedupOps.fingerprints(df, "doc_id", $"text", 3, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val overlap = fp(1L).intersect(fp(2L)).size.toDouble / fp(1L).size
+    assert(overlap > 0.7)
+  }
+}

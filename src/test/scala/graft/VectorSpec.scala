@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vector.VectorOps
+import graft.functions.VectorFunctions
+
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sp: org.apache.spark.sql.SparkSession = spark
+
+  private def df(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+
+  test("cosine_sim expression: orthogonal, identical, opposite, zero") {
+    VectorFunctions.register(spark)
+    val d = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 2f), Seq(1f, 2f), 1.0),
+      (Seq(1f, 0f), Seq(-1f, 0f), -1.0),
+      (Seq(0f, 0f), Seq(1f, 1f), 0.0)
+    ).toDF("a", "b", "want")
+      .select(expr("cosine_sim(cast(a as array<float>), cast(b as array<float>))").as("got"), $"want")
+      .as[(Double, Double)].collect()
+    d.foreach { case (got, want) => assert(math.abs(got - want) < 1e-9, s"$got != $want") }
+  }
+
+  test("cosine_sim survives codegen (runs inside a projection over real data)") {
+    VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.select(expr("cosine_sim(embedding, embedding)").as("c"))
+      .where(abs($"c" - 1.0) < 1e-9).count()
+    assert(n == emb.count()) // self-similarity is exactly 1
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak and excludes self") {
+    val data = df(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)), (4L, Seq(1f, 0.01f)))
+    val out = VectorOps.bruteForceTopK(data.where($"vec_id" === 1), data, "vec_id", "embedding", 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq.sorted
+    assert(out == Seq((1, 4L), (2, 2L)))
+  }
+
+  test("cosinePairs finds only pairs above threshold") {
+    val data = df((1L, Seq(1f, 0f)), (2L, Seq(1f, 0.05f)), (3L, Seq(0f, 1f)))
+    val pairs = VectorOps.cosinePairs(data, "vec_id", "embedding", 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("lshTopK returns a subset of brute-force candidates with correct scores") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val q = emb.where($"vec_id" < 3)
+    val lsh = VectorOps.lshTopK(q, emb, "vec_id", "embedding", 8, 5).collect()
+    assert(lsh.nonEmpty)
+    // identical vector always shares its own bucket -> rank1 of a self-set is itself-excluded neighbor
+    lsh.foreach(r => assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+  }
+}
