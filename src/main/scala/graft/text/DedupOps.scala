@@ -46,6 +46,27 @@ object DedupOps {
     docs.select(col(id), explode(array_distinct(grams)).as("gram"))
   }
 
+  /** Word n-grams as 64-bit hashes, distinct per doc: hash each token
+    * once, then hash `n` consecutive token hashes together
+    * (`xxhash64` is variadic and order-sensitive) — no per-gram
+    * string building, no per-gram string rehash, and no long
+    * arithmetic (ANSI mode would throw on wrap-around). Collisions
+    * are ~2⁻⁶⁴ and only perturb candidate counts. */
+  def wordGramHashes(docs: DataFrame, id: String, text: Column, n: Int): DataFrame = {
+    // token hashes materialize in their own projection: referencing
+    // the transform() directly from every element_at would let the
+    // optimizer inline it and re-hash the whole doc per gram
+    val th = col("__th")
+    val grams = when(size(th) < n, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0), size(th) - n),
+        i => xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*)
+      ))
+    docs
+      .select(col(id), transform(TextOps.tokens(text), t => xxhash64(t)).as("__th"))
+      .select(col(id), explode(array_distinct(grams)).as("gram"))
+  }
+
   /** Exact n-gram Jaccard pairs over "informative" grams (document
     * frequency <= maxDf). Emits integer gram counts and a half-up
     * integer Jaccard percentage; pairs kept when
@@ -55,11 +76,20 @@ object DedupOps {
       docs: DataFrame, id: String, text: Column,
       n: Int, maxDf: Int, minJaccardPct: Int
   ): DataFrame = {
-    val grams = wordGrams(docs, id, text, n)
+    // postings carry the 64-bit gram hash, not the string: cheaper to
+    // build, and the self-join shuffles and compares longs
+    val grams = wordGramHashes(docs, id, text, n)
 
-    // document-frequency cutoff: drop grams too common to be informative
+    // document-frequency cutoff: drop grams too common to be
+    // informative. The df side is tiny (distinct grams × count) —
+    // broadcast it so the postings stream never shuffles for the gate.
     val df = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
-    val kept = grams.join(df.where(col("__df") <= maxDf), "gram")
+    // the filtered postings are consumed three times (doc counts +
+    // both sides of the pair join); persist them once instead of
+    // re-deriving the gram explode per consumer — this is the
+    // materialize-the-postings step of a distributed inverted index
+    val kept = grams.join(broadcast(df.where(col("__df") <= maxDf)), "gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val counts = kept.groupBy(col(id)).agg(count(lit(1)).as("n_grams"))
 
@@ -92,22 +122,24 @@ object DedupOps {
     * The per-(doc,seed) min is a partial aggregation — the shuffle
     * carries k rows per doc per map task, independent of doc size. */
   def minhashSignatures(grams: DataFrame, id: String, k: Int): DataFrame = {
-    val seeded = grams
-      .withColumn("seed", explode(sequence(lit(0), lit(k - 1))))
-      .groupBy(col(id), col("seed"))
-      .agg(min(xxhash64(col("seed"), col("gram"))).as("mh"))
-    seeded
+    graft.functions.VectorAggFunctions.register(grams.sparkSession)
+    // all k seeded hashes in one array per gram row, reduced by the
+    // element-wise vec_min aggregate: no k-fold explode, one shuffle
+    // of long[k] buffers
+    grams
+      .withColumn("vec", transform(sequence(lit(0), lit(k - 1)), s => xxhash64(s, col("gram"))))
       .groupBy(col(id))
-      .agg(array_sort(collect_list(struct(col("seed"), col("mh")))).as("__s"))
-      .select(col(id), transform(col("__s"), s => s.getField("mh")).as("sig"))
+      .agg(call_function("vec_min", col("vec")).as("sig"))
   }
 
   /** LSH candidate pairs from MinHash signatures: `bands` bands of
     * `k/bands` rows; docs sharing any band bucket become candidates;
     * estimated similarity = fraction of matching seeds. */
-  def minhashLshPairs(sigs: DataFrame, id: String, k: Int, bands: Int, minEst: Double): DataFrame = {
+  def minhashLshPairs(sigs0: DataFrame, id: String, k: Int, bands: Int, minEst: Double): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
+    // signatures feed both sides of the bucket join: materialize once
+    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col(id),
       col("sig"),
@@ -137,20 +169,31 @@ object DedupOps {
   /** 64-bit SimHash per doc from token multiset. Fully relational:
     * per-(doc,bit) signed sums (partial agg), then bit assembly. */
   def simhash(docs: DataFrame, id: String, text: Column): DataFrame = {
+    graft.functions.VectorAggFunctions.register(docs.sparkSession)
+    // hash tokens before the groupBy: the shuffle key is a long, and
+    // the bit probes reuse the one hash
     val toks = docs.select(col(id), explode(TextOps.tokens(text)).as("token"))
-      .groupBy(col(id), col("token")).agg(count(lit(1)).as("cnt"))
-    val bits = toks
-      .withColumn("j", explode(sequence(lit(0), lit(63))))
+      .select(col(id), xxhash64(col("token")).as("th"))
+      .groupBy(col(id), col("th")).agg(count(lit(1)).as("cnt"))
+    // each token contributes a ±cnt 64-vector (one row, not 64);
+    // vec_sum folds them element-wise with map-side partial agg
+    val sums = toks
       .withColumn(
-        "contrib",
-        when(call_function("shiftright", xxhash64(col("token")), col("j").cast("int")).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-          .otherwise(-col("cnt"))
+        "vec",
+        transform(sequence(lit(0), lit(63)), j =>
+          when(call_function("shiftright", col("th"), j.cast("int"))
+            .bitwiseAND(lit(1L)) === 1L, col("cnt")).otherwise(-col("cnt")))
       )
-      .groupBy(col(id), col("j"))
-      .agg(sum(col("contrib")).as("s"))
-    bits
       .groupBy(col(id))
-      .agg(sum(when(col("s") > 0, call_function("shiftleft", lit(1L), col("j").cast("int"))).otherwise(0L)).as("simhash"))
+      .agg(call_function("vec_sum", col("vec")).as("sums"))
+    sums.select(
+      col(id),
+      aggregate(
+        zip_with(col("sums"), sequence(lit(0L), lit(63L)), (s, j) =>
+          when(s > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v
+      ).as("simhash")
+    )
   }
 
   /** Near-dup pairs by SimHash hamming distance <= maxDist, using
@@ -180,15 +223,15 @@ object DedupOps {
     * n-grams, take the min hash of every `window` consecutive grams,
     * keep distinct mins per doc. */
   def fingerprints(docs: DataFrame, id: String, text: Column, n: Int, window: Int): DataFrame = {
-    val toks = TextOps.tokens(text)
-    val grams = when(size(toks) < n, array().cast("array<string>"))
+    val th = col("__th")
+    val grams = when(size(th) < n, array().cast("array<bigint>"))
       .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+        sequence(lit(0), size(th) - n),
+        i => xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*)
       ))
     val positioned = docs
-      .select(col(id), posexplode(grams).as(Seq("pos", "gram")))
-      .withColumn("h", xxhash64(col("gram")))
+      .select(col(id), transform(TextOps.tokens(text), t => xxhash64(t)).as("__th"))
+      .select(col(id), posexplode(grams).as(Seq("pos", "h")))
     val w = Window.partitionBy(col(id)).orderBy(col("pos")).rowsBetween(0, window - 1)
     positioned
       .withColumn("fp", min(col("h")).over(w))
