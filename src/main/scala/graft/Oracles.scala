@@ -25,6 +25,14 @@ object Oracles {
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
 
   val etl: Map[String, String] = Map(
+    "q_pii_protect" ->
+      """SELECT c_custkey,
+        |  substr(c_name, 1, 1) || repeat('*', greatest(length(c_name) - 1, 0)) AS name_masked,
+        |  repeat('*', greatest(length(regexp_replace(c_name, '[^0-9]', '', 'g')) - 3, 0))
+        |    || substr(regexp_replace(c_name, '[^0-9]', '', 'g'), -3, 3) AS id_digits_masked,
+        |  sha256('graft' || c_name) AS name_token,
+        |  TRUE AS roundtrip_ok
+        |FROM customer""".stripMargin,
     "q_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  ${sumx("l_quantity")} AS sum_qty,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bronze, Silver, Scd2, Gold}
+import graft.operators.{Bronze, Silver, Scd2, Gold, Protect}
 import graft.functions.Money
 
 /** Medallion-ETL verified queries (SURVEY §2 #1–#13).
@@ -220,7 +220,26 @@ object QueriesEtl {
     ).orderBy("check_name")
   }
 
+  /** #34 PII protection: masking, salted tokenization, and an AES
+    * encrypt/decrypt round-trip through Spark's native aes functions
+    * (reference utility/encrypt_decrypt.py). The ciphertext itself is
+    * not emitted (no oracle-side AES); the round-trip proves it. */
+  def piiProtect(s: SparkSession, dir: String): DataFrame = {
+    val key = "0123456789abcdef" // 16-byte demo key; inject via config in production
+    val iv = "000102030405060708090a0b0c0d0e0f"
+    val digits = regexp_replace(col("c_name"), "[^0-9]", "")
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      Protect.mask(col("c_name")).as("name_masked"),
+      Protect.maskTail(digits, 3).as("id_digits_masked"),
+      Protect.tokenize(col("c_name"), "graft").as("name_token"),
+      (Protect.decrypt(Protect.encrypt(col("c_name"), key, "CBC", Some(iv)), key, "CBC")
+        === col("c_name")).as("roundtrip_ok")
+    )
+  }
+
   def all: Map[String, Q] = Map(
+    "q_pii_protect" -> (piiProtect _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_bronze_valid" -> (bronzeValid _),
     "q_bronze_rejected" -> (bronzeRejected _),
