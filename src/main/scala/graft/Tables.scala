@@ -30,6 +30,12 @@ object Tables {
     val raw = table(s, d, "events")
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Events with `ts` still epoch-nanos long. Predicates against the
+    * raw long push into the parquet scan; the converted column in
+    * [[events]] does not (the comparison wraps the column in an
+    * expression). Incremental/watermark reads must filter here. */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

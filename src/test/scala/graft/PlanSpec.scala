@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-quality invariants: these are the properties that decide
+  * whether a query survives a 100× scale-up, asserted against the
+  * executed plan so a refactor can't silently regress them. */
+class PlanSpec extends SparkSpec {
+  private def plan(q: String): String =
+    Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
+
+  private def scanLine(q: String): String =
+    Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Scan parquet")).mkString("\n")
+
+  test("pricing summary: filter pushed to parquet, columns pruned") {
+    val s = scanLine("q_pricing_summary")
+    assert(s.contains("LessThanOrEqual(l_shipdate"), s)
+    assert(!s.contains("l_orderkey"), "projection must prune unused columns")
+  }
+
+  test("incremental read: watermark predicate reaches the scan") {
+    val s = scanLine("q_incremental_read")
+    assert(s.contains("GreaterThan(ts,1705276800000000000)"), s)
+  }
+
+  test("gold star join broadcasts every dimension") {
+    val p = plan("q_gold_enriched")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 5, s"expected >=5 broadcast joins, got $broadcasts")
+  }
+
+  test("top products: dimension joined broadcast after fact pre-aggregation") {
+    val p = plan("q_top_products")
+    assert(p.contains("BroadcastHashJoin"))
+    // partial agg on l_partkey must happen below the join
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"))
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    // AQE only collapses codegen stages at materialization: execute,
+    // then read the final adaptive plan
+    val df = Queries.all("q_pricing_summary")(spark, sf)
+    df.collect() // count() would execute a different (wrapped) plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Operator" in the final AQE plan
+    assert(finalPlan.contains("*(1)") && finalPlan.contains("*(2)"), finalPlan)
+  }
+
+  test("events scan never reads the text/props columns it doesn't need") {
+    val s = scanLine("q_dedup_latest")
+    assert(!s.contains("props"), "dedup_latest must not read props")
+  }
+}
