@@ -158,17 +158,17 @@ object Oracles {
     "q_dq_summary" ->
       """WITH agg AS (
         |  SELECT count(*) AS row_count,
-        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_custkey_violations,
-        |    count(*) - count(DISTINCT o_orderkey) AS unique_orderkey_violations,
-        |    CAST(sum(CASE WHEN NOT (o_totalprice BETWEEN 0.0 AND 1000000.0) THEN 1 ELSE 0 END) AS BIGINT) AS range_totalprice_violations,
-        |    CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS regex_priority_violations
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_o_custkey_violations,
+        |    count(*) - count(DISTINCT o_orderkey) AS unique_o_orderkey_violations,
+        |    CAST(sum(CASE WHEN NOT (o_totalprice BETWEEN 0.0 AND 1000000.0) OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS range_o_totalprice_violations,
+        |    CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS regex_o_orderpriority_violations
         |  FROM orders)
         |SELECT check_name, check_value FROM (
         |  SELECT 'row_count' AS check_name, row_count AS check_value FROM agg
-        |  UNION ALL SELECT 'not_null_custkey_violations', not_null_custkey_violations FROM agg
-        |  UNION ALL SELECT 'unique_orderkey_violations', unique_orderkey_violations FROM agg
-        |  UNION ALL SELECT 'range_totalprice_violations', range_totalprice_violations FROM agg
-        |  UNION ALL SELECT 'regex_priority_violations', regex_priority_violations FROM agg) t
+        |  UNION ALL SELECT 'not_null_o_custkey_violations', not_null_o_custkey_violations FROM agg
+        |  UNION ALL SELECT 'unique_o_orderkey_violations', unique_o_orderkey_violations FROM agg
+        |  UNION ALL SELECT 'range_o_totalprice_violations', range_o_totalprice_violations FROM agg
+        |  UNION ALL SELECT 'regex_o_orderpriority_violations', regex_o_orderpriority_violations FROM agg) t
         |ORDER BY check_name""".stripMargin
   )
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bronze, Silver, Scd2, Gold, Protect}
+import graft.operators.{Bronze, Silver, Scd2, Gold, Protect, DataQuality}
 import graft.functions.Money
 
 /** Medallion-ETL verified queries (SURVEY §2 #1–#13).
@@ -206,24 +206,15 @@ object QueriesEtl {
 
   /** #13 declarative data-quality suite as one conditional-agg pass
     * (the reference runs four Great Expectations suites; here each
-    * expectation folds into a single scan). */
+    * expectation folds into a single scan via [[DataQuality]]). */
   def dqSummary(s: SparkSession, dir: String): DataFrame = {
-    val agg = Tables.orders(s, dir).agg(
-      count(lit(1)).as("row_count"),
-      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("not_null_custkey_violations"),
-      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("unique_orderkey_violations"),
-      sum(when(!col("o_totalprice").between(0.0, 1000000.0), 1L).otherwise(0L)).as("range_totalprice_violations"),
-      sum(when(!col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L)).as("regex_priority_violations")
-    )
-    agg.selectExpr(
-      "stack(5, " +
-        "'row_count', row_count, " +
-        "'not_null_custkey_violations', not_null_custkey_violations, " +
-        "'unique_orderkey_violations', unique_orderkey_violations, " +
-        "'range_totalprice_violations', range_totalprice_violations, " +
-        "'regex_priority_violations', regex_priority_violations" +
-        ") as (check_name, check_value)"
-    ).orderBy("check_name")
+    import DataQuality._
+    run(Tables.orders(s, dir), Seq(
+      NotNull("o_custkey"),
+      Unique("o_orderkey"),
+      Between("o_totalprice", 0.0, 1000000.0),
+      MatchesRegex("o_orderpriority", "^[1-5]-")
+    ))
   }
 
   /** #34 PII protection: masking, salted tokenization, and an AES
