@@ -173,6 +173,29 @@ object Oracles {
   )
 
   val analytics: Map[String, String] = Map(
+    "q_sales_rollup" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
+        |  ${sumx("o_totalprice")} AS revenue, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT), o_orderstatus)""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(row_number() OVER w AS INTEGER) AS order_seq,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_pivot_returnflag" ->
+      """SELECT p_brand,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END) AS DOUBLE) AS "A",
+        |  CAST(sum(CASE WHEN l_returnflag = 'N'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END) AS DOUBLE) AS "N",
+        |  CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END) AS DOUBLE) AS "R"
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_kpi_summary" ->
       s"""SELECT $rev AS total_revenue,
         |  count(DISTINCT l_orderkey) AS total_orders,

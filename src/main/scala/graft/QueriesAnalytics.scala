@@ -131,7 +131,42 @@ object QueriesAnalytics {
       .orderBy("user_id", "session_seq")
   }
 
+  /** #35 hierarchical subtotals: year × status ROLLUP (grand total,
+    * per-year, per-year-status) in one pass. */
+  def salesRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderstatus"))
+      .agg(Money.sumExact(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+
+  /** #36 running totals + sequence per customer: one shuffle on the
+    * partition key serves both window functions; the running sum is
+    * exact decimal, so the cumulative value is reproducible at any
+    * partitioning. */
+  def runningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+      row_number().over(w).as("order_seq"),
+      sum(Money.dec(col("o_totalprice")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_spent")
+    )
+  }
+
+  /** #37 pivot: revenue by brand × return flag (fixed pivot values →
+    * no extra pass to discover columns). */
+  def pivotReturnflag(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(Money.dec(col("l_extendedprice")) * (lit(1) - Money.dec(col("l_discount")))).cast("double"))
+      .orderBy("p_brand")
+
   def all: Map[String, Q] = Map(
+    "q_sales_rollup" -> (salesRollup _),
+    "q_running_total" -> (runningTotal _),
+    "q_pivot_returnflag" -> (pivotReturnflag _),
     "q_kpi_summary" -> (kpiSummary _),
     "q_top_products" -> (topProducts _),
     "q_revenue_by_category" -> (revenueByCategory _),

@@ -199,7 +199,9 @@ object DedupOps {
   /** Near-dup pairs by SimHash hamming distance <= maxDist, using
     * 4×16-bit band buckets (pigeonhole: dist<=3 guarantees one equal
     * band) then exact `bit_count(xor)` verification. */
-  def simhashPairs(hashes: DataFrame, id: String, maxDist: Int): DataFrame = {
+  def simhashPairs(hashes0: DataFrame, id: String, maxDist: Int): DataFrame = {
+    // one row per doc: materialize once, both join sides reuse it
+    val hashes = hashes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashes.select(
       col(id), col("simhash"),
       explode(

@@ -53,26 +53,32 @@ object VectorOps {
       .select("id1", "id2", "cosine")
   }
 
-  /** Deterministic pseudo-random hyperplane component for plane `p`,
-    * dimension `d`: a value in [-0.5, 0.5) derived from xxhash64. */
-  private def planeComponent(p: Column, d: Column): Column =
-    (pmod(xxhash64(p, d), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+  /** Deterministic hyperplanes in [-0.5, 0.5), generated driver-side
+    * (splitmix64) and embedded as literal arrays — generating them
+    * with per-row expressions would recompute nPlanes × dim hashes
+    * for every vector. */
+  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Seq.tabulate(nPlanes)(p => Seq.tabulate(dim)(d =>
+      math.floorMod(mix(p.toLong * 4096 + d), 1000000L).toDouble / 1000000.0 - 0.5))
+  }
 
   /** Random-hyperplane LSH bucket id (`nPlanes` sign bits) for each
-    * vector: bucket = Σ_p (dot(v, plane_p) > 0) << p. */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
-      val dot = aggregate(
-        zip_with(
-          vec,
-          transform(sequence(lit(0), size(vec) - 1), d => planeComponent(p, d)),
-          (x, plane) => x.cast("double") * plane
-        ),
-        lit(0.0), (acc, v) => acc + v
-      )
-      when(dot > 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(0L)
-    })
-    aggregate(bits, lit(0L), (acc, v) => acc + v)
+    * vector: bucket = Σ_p (dot(v, plane_p) > 0) << p. Computed by the
+    * native [[graft.functions.HyperplaneBucket]] expression — one
+    * tight codegen loop, planes as a reference object. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int)(implicit spark: SparkSession): Column = {
+    val ps = planes(nPlanes, dim).map(_.toArray).toArray
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bucket",
+      exprs => graft.functions.HyperplaneBucket(exprs.head, ps),
+      "built-in")
+    call_function("hyperplane_bucket", vec)
   }
 
   /** ANN via LSH buckets: score queries only against corpus vectors
@@ -80,12 +86,12 @@ object VectorOps {
     * increase planes/probes for precision, this is the 100 TB path. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, nPlanes: Int, k: Int
+      idCol: String, vecCol: String, nPlanes: Int, k: Int, dim: Int = 64
   )(implicit spark: SparkSession): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("bucket", lshBucket(col("__qv"), nPlanes))
+      .withColumn("bucket", lshBucket(col("__qv"), nPlanes, dim))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("bucket", lshBucket(col("__cv"), nPlanes))
+      .withColumn("bucket", lshBucket(col("__cv"), nPlanes, dim))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cos(col("__qv"), col("__cv")))
