@@ -101,7 +101,17 @@ object QueriesText {
       )
   }
 
+  /** #38 near-dup group resolution: candidate pairs → connected
+    * components → canonical keeper (min id) per group. Rows-only
+    * oracle (iterative graph algorithm). */
+  def dedupResolve(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.ngramJaccardPairs(
+      Tables.documents(s, dir), "doc_id", col("text"), n = 3, maxDf = 100, minJaccardPct = 20)
+    DedupOps.resolveGroups(pairs).orderBy("doc_id")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_dedup_resolve" -> (dedupResolve _),
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),

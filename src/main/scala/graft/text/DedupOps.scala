@@ -221,6 +221,51 @@ object DedupOps {
       .select("doc1", "doc2", "hamming")
   }
 
+  /** Resolve near-dup candidate pairs into groups and pick a
+    * canonical keeper per group: iterative min-label propagation
+    * (each doc adopts the smallest id reachable through the pair
+    * graph). Near-dup graphs are unions of small cliques-ish
+    * components, so label propagation converges in O(component
+    * diameter) rounds — `maxIter` bounds pathological chains.
+    *
+    * Output: (id, group_id) where group_id = min doc id of the
+    * component; docs not in any pair are absent (they are their own
+    * keeper). Fully distributed: each round is one keyed shuffle.
+    */
+  def resolveGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+      .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // localCheckpoint (not persist) each round: iterative plans nest
+    // their full lineage otherwise and the optimizer blows the heap
+    // after a few dozen rounds
+    var labels = edges.groupBy("a").agg(min(col("b")).as("nb"))
+      .select(col("a").as("id"), least(col("a"), col("nb")).as("label"))
+      .localCheckpoint()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("label")).as("nl"))
+      val next = labels.join(neighborLabels, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+  }
+
   /** Winnowing fingerprints (rolling Karp–Rabin sketch): hash word
     * n-grams, take the min hash of every `window` consecutive grams,
     * keep distinct mins per doc. */

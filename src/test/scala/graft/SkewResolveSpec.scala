@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.text.DedupOps
+
+class SkewResolveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resolveGroups finds connected components with min-id labels") {
+    // components: {1,2,3,4} (chain), {10,11}, singleton pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc1", "doc2")
+    val groups = DedupOps.resolveGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("resolveGroups handles a long chain within maxIter") {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val groups = DedupOps.resolveGroups(chain, maxIter = 50).as[(Long, Long)].collect().toMap
+    assert(groups.values.toSet == Set(0L) && groups.size == 41)
+  }
+
+  test("salted join equals plain join, with the big side spread over salts") {
+    val big = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity", "l_linenumber")
+    val small = Tables.orders(spark, sf).select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+    val plain = big.join(small, "l_orderkey")
+    val salted = Skew.saltedJoin(big, small, "l_orderkey", 8,
+      bigEntropy = Seq(col("l_linenumber"), col("l_quantity")))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the salt actually spreads a hot key
+    val spread = big.select(Skew.salt(8, col("l_linenumber"), col("l_quantity")).as("s"))
+      .distinct().count()
+    assert(spread == 8)
+  }
+}
