@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.vector.VectorOps
+import graft.vector.{VectorOps, Ivf}
 
 /** Embedding similarity / ANN verified queries (SURVEY §2 #26–#28)
   * over the `embeddings` table (array<float>, dim 64). */
@@ -33,7 +33,18 @@ object QueriesVector {
       .orderBy("query_id", "rank")
   }
 
+  /** #39 IVF ANN: 8 centroids (2 Lloyd rounds), probe 2 lists, top-5
+    * per query — rows-only oracle (iterative clustering). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val emb = Tables.embeddings(s, dir)
+    val index = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    Ivf.probe(index, emb.where(col("vec_id") < 10), "vec_id", "embedding", nprobe = 2, topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_ann_ivf" -> (annIvf _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_lsh" -> (annLsh _)

@@ -111,12 +111,86 @@ case class VectorMinAgg(
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(child = c.head)
 }
 
+/** Element-wise double sum over `array<float>`/`array<double>`
+  * columns: vec_sum_d(array<T>) -> array<double>. Powers centroid
+  * computation (IVF) — the mean is sum/count downstream. */
+case class VectorSumDoubleAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Double]] {
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sum_d"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<float|double>, got ${t.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    def elem(i: Int): Double = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+    if (buffer.isEmpty) Array.tabulate(n)(elem)
+    else {
+      var i = 0
+      val m = math.min(n, buffer.length)
+      while (i < m) { buffer(i) += elem(i); i += 1 }
+      buffer
+    }
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] =
+    if (buffer.isEmpty) other
+    else if (other.isEmpty) buffer
+    else {
+      var i = 0
+      val m = math.min(buffer.length, other.length)
+      while (i < m) { buffer(i) += other(i); i += 1 }
+      buffer
+    }
+
+  override def eval(buffer: Array[Double]): Any =
+    if (buffer.isEmpty) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buffer.length)
+    bb.putInt(buffer.length)
+    buffer.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bb.getInt)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorSumDoubleAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorSumDoubleAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
+
 object VectorAggFunctions {
-  /** Register vec_sum / vec_min for SQL/`expr` use on a session. */
+  /** Register vec_sum / vec_min / vec_sum_d for SQL/`expr` use. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_sum", exprs => VectorSumAgg(exprs.head).toAggregateExpression(), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_min", exprs => VectorMinAgg(exprs.head).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_sum_d", exprs => VectorSumDoubleAgg(exprs.head).toAggregateExpression(), "built-in")
   }
 }

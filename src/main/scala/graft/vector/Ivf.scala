@@ -1,0 +1,80 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{VectorFunctions, VectorAggFunctions}
+
+/** IVF (inverted-file) approximate nearest neighbor.
+  *
+  * Build: deterministic seed centroids → `iters` Lloyd rounds
+  * (assign each vector to its nearest centroid by cosine, recompute
+  * centroids as the mean via the `vec_sum_d` aggregate) → inverted
+  * lists keyed by centroid id. Probe: route each query to its
+  * `nprobe` nearest centroids (broadcast — there are only k), scan
+  * just those lists brute-force, take top-k.
+  *
+  * Scale: the corpus is scanned once per Lloyd round and once for
+  * final assignment, all narrow + one groupBy(cid) each; the probe
+  * joins queries×lists on `cid`, so scored pairs ≈ |Q|·(n/k)·nprobe
+  * instead of |Q|·n. Centroid count k is the recall/speed dial.
+  */
+object Ivf {
+  final case class Index(centroids: DataFrame, lists: DataFrame)
+
+  private def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)(implicit s: SparkSession) = {
+    VectorFunctions.register(s)
+    call_function("cosine_sim", a, b)
+  }
+
+  /** Assign each vector to its nearest centroid. centroids: (cid,
+    * centroid: array<float>). */
+  private def assign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String)(
+      implicit s: SparkSession): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("__c").desc, col("cid"))
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("__c", cos(col(vecCol), col("centroid")))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col(idCol), col("cid"), col(vecCol))
+  }
+
+  def build(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 2)(
+      implicit s: SparkSession): Index = {
+    VectorAggFunctions.register(s)
+    // deterministic seeds: the k smallest ids
+    var centroids = corpus.orderBy(col(idCol)).limit(k)
+      .select(row_number().over(Window.orderBy(col(idCol))).as("cid"), col(vecCol).as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(corpus, centroids, idCol, vecCol)
+      centroids = assigned
+        .groupBy("cid")
+        .agg(call_function("vec_sum_d", col(vecCol)).as("__s"), count(lit(1)).as("__n"))
+        .select(col("cid"),
+          transform(col("__s"), x => (x / col("__n")).cast("float")).as("centroid"))
+    }
+    val lists = assign(corpus, centroids, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Index(centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), lists)
+  }
+
+  /** Top-k neighbors per query, scanning only `nprobe` lists. */
+  def probe(index: Index, queries: DataFrame, idCol: String, vecCol: String,
+            nprobe: Int, topK: Int)(implicit s: SparkSession): DataFrame = {
+    val wq = Window.partitionBy("query_id").orderBy(col("__c").desc, col("cid"))
+    val routed = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("__c", cos(col("__qv"), col("centroid")))
+      .withColumn("__r", row_number().over(wq))
+      .where(col("__r") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cid"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_raw").desc, col("neighbor_id"))
+    routed.join(index.lists.withColumnRenamed(idCol, "neighbor_id"), "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_raw", cos(col("__qv"), col(vecCol)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine_raw"), 4).as("cosine"))
+  }
+}

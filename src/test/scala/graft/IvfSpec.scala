@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vector.Ivf
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sp: org.apache.spark.sql.SparkSession = spark
+
+  test("IVF finds planted duplicates through the probed lists") {
+    // corpus with planted near-duplicates of queries 0 and 1
+    val base = Tables.embeddings(spark, sf).limit(100)
+    val dups = base.where($"vec_id" < 2)
+      .select(($"vec_id" + 1000).as("vec_id"), $"embedding", $"label")
+    val corpus = base.unionByName(dups)
+    val index = Ivf.build(corpus, "vec_id", "embedding", k = 4, iters = 2)
+    val out = Ivf.probe(index, corpus.where($"vec_id" < 2), "vec_id", "embedding", nprobe = 2, topK = 3)
+      .where($"rank" === 1)
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect().toMap2
+    // an identical vector always lands in the same centroid list ->
+    // IVF must rank it first with cosine 1.0
+    assert(out(0L) == ((1000L, 1.0)))
+    assert(out(1L) == ((1001L, 1.0)))
+  }
+
+  test("index structure: every vector in exactly one list, k centroids") {
+    val emb = Tables.embeddings(spark, sf)
+    val index = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 1)
+    assert(index.centroids.count() == 8)
+    assert(index.lists.count() == emb.count())
+    assert(index.lists.select("vec_id").distinct().count() == emb.count())
+  }
+
+  implicit class MapOps2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}
