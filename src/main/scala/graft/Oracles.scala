@@ -287,7 +287,68 @@ object Oracles {
 
   private val langs = graft.text.TextOps.LangStopwords
 
+  /** Gram multiset size and distinct size per doc, as SQL snippets. */
+  private val gramsTotal = "greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0)"
+  private val gramsDistinct =
+    """len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |    for i in range(1, len(w)-1)]))""".stripMargin
+
   val text: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        |FROM events""".stripMargin,
+    "q_repetition" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\\s+') AS w,
+        |    CAST($gramsTotal AS BIGINT) AS grams_total
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    grams_total,
+        |    CAST($gramsDistinct AS BIGINT) AS grams_distinct
+        |  FROM base
+        |), rep AS (
+        |  SELECT *,
+        |    CASE WHEN grams_total = 0 THEN 0
+        |         ELSE ((grams_total - grams_distinct) * 200 + grams_total) // (grams_total * 2)
+        |    END AS dup_gram_pct
+        |  FROM g
+        |), tw AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_count FROM (
+        |    SELECT doc_id, word, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(w) AS word FROM base) u
+        |    GROUP BY doc_id, word) t
+        |  GROUP BY doc_id
+        |)
+        |SELECT r.doc_id, r.n_words, r.grams_total, r.grams_distinct, r.dup_gram_pct,
+        |  tw.top_word_count,
+        |  (tw.top_word_count * 200 + r.n_words) // (r.n_words * 2) AS top_word_pct
+        |FROM rep r JOIN tw USING (doc_id)""".stripMargin,
+    "q_corpus_filter" ->
+      s"""WITH e AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+        |    CAST(${hits(graft.text.TextOps.StopwordsEn)} AS BIGINT) AS stop_hits,
+        |    CAST(CASE WHEN $gramsTotal = 0 THEN 0
+        |      ELSE (($gramsTotal - $gramsDistinct) * 200 + $gramsTotal) // ($gramsTotal * 2)
+        |    END AS BIGINT) AS dup_gram_pct
+        |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents) t
+        |)
+        |SELECT doc_id, n_chars, n_words, stop_hits, dup_gram_pct,
+        |  (n_chars >= 100 AND n_words >= 20 AND stop_hits > 0 AND dup_gram_pct <= 50) AS keep,
+        |  CASE
+        |    WHEN n_chars >= 100 AND n_words >= 20 AND stop_hits > 0 AND dup_gram_pct <= 50 THEN 'KEEP'
+        |    WHEN NOT (n_chars >= 100) THEN 'TOO_SHORT'
+        |    WHEN NOT (n_words >= 20) THEN 'TOO_FEW_WORDS'
+        |    WHEN NOT (stop_hits > 0) THEN 'NO_STOPWORDS'
+        |    WHEN NOT (dup_gram_pct <= 50) THEN 'REPETITIVE'
+        |    ELSE 'UNKNOWN_REASON'
+        |  END AS reason
+        |FROM e""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS text_md5,
         |  min(doc_id) AS keeper_doc_id,

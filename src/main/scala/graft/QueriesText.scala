@@ -110,7 +110,62 @@ object QueriesText {
     DedupOps.resolveGroups(pairs).orderBy("doc_id")
   }
 
+  /** #40 JSON field extraction from a string column (events.props). */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_value")
+    )
+
+  /** #41 Gopher-style repetition signals per doc: duplicate-gram
+    * percentage and most-frequent-word share, integer-exact. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextOps.wordCount(t).cast("long").as("n_words"),
+      TextOps.totalGrams(t, 3).as("grams_total"),
+      TextOps.distinctGrams(t, 3).as("grams_distinct"),
+      TextOps.dupGramPct(t, 3).as("dup_gram_pct")
+    )
+    val topWord = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(t)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_word_count"))
+    base.join(topWord, "doc_id")
+      .withColumn("top_word_pct",
+        call_function("div", col("top_word_count") * 200L + col("n_words"), col("n_words") * 2L))
+  }
+
+  /** #42 corpus admission filter: the Bronze rule gate applied to
+    * documents (first-match-wins rejection reason; KEEP otherwise) —
+    * the standard pre-training hygiene pass. */
+  def corpusFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bronze
+    val t = col("text")
+    val enriched = Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      TextOps.wordCount(t).cast("long").as("n_words"),
+      TextOps.stopwordCount(t, TextOps.StopwordsEn).cast("long").as("stop_hits"),
+      TextOps.dupGramPct(t, 3).as("dup_gram_pct")
+    )
+    val rules = Seq(
+      Bronze.Rule("TOO_SHORT", col("n_chars") >= 100),
+      Bronze.Rule("TOO_FEW_WORDS", col("n_words") >= 20),
+      Bronze.Rule("NO_STOPWORDS", col("stop_hits") > 0),
+      Bronze.Rule("REPETITIVE", col("dup_gram_pct") <= 50)
+    )
+    enriched.withColumn("keep", Bronze.validCondition(rules))
+      .withColumn("reason", when(Bronze.validCondition(rules), lit("KEEP"))
+        .otherwise(Bronze.rejectionReason(rules)))
+  }
+
   def all: Map[String, Q] = Map(
+    "q_json_extract" -> (jsonExtract _),
+    "q_repetition" -> (repetition _),
+    "q_corpus_filter" -> (corpusFilter _),
     "q_dedup_resolve" -> (dedupResolve _),
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard" -> (ngramJaccard _),

@@ -66,6 +66,31 @@ object TextOps {
     lenScore + wordScore + stopScore + divScore
   }
 
+  /** Total word n-grams WITH multiplicity (`wordCount - n + 1`,
+    * floored at 0). */
+  def totalGrams(c: Column, n: Int): Column =
+    greatest(wordCount(c) - (n - 1), lit(0)).cast("long")
+
+  /** Distinct word n-grams per doc. */
+  def distinctGrams(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+      ))
+    size(array_distinct(grams)).cast("long")
+  }
+
+  /** Gopher-style repetition signal: percentage of n-gram slots
+    * occupied by repeats of an earlier gram (integer half-up). */
+  def dupGramPct(c: Column, n: Int): Column = {
+    val t = totalGrams(c, n)
+    val d = distinctGrams(c, n)
+    when(t === 0, lit(0L)) // ANSI mode: guard the zero divisor
+      .otherwise(call_function("div", (t - d) * 200L + t, t * 2L))
+  }
+
   def qualityBucket(score: Column): Column =
     when(score >= 60, lit("high")).when(score >= 40, lit("medium")).otherwise(lit("low"))
 
