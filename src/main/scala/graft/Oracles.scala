@@ -25,6 +25,22 @@ object Oracles {
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
 
   val etl: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |      ORDER BY o_orderkey DESC) AS rn FROM orders) t
+        |  WHERE rn = 1
+        |), l AS (
+        |  SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+        |  FROM events
+        |)
+        |SELECT l.event_id, l.user_id, l.ts_s,
+        |  r.o_orderkey AS last_order_key,
+        |  r.o_orderdate AS last_order_date,
+        |  r.o_totalprice AS last_order_price
+        |FROM l ASOF JOIN r
+        |  ON l.user_id = r.o_custkey AND l.ts_s >= r.o_orderdate""".stripMargin,
     "q_pii_protect" ->
       """SELECT c_custkey,
         |  substr(c_name, 1, 1) || repeat('*', greatest(length(c_name) - 1, 0)) AS name_masked,

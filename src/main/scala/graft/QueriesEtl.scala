@@ -235,7 +235,32 @@ object QueriesEtl {
     )
   }
 
+  /** #43 as-of join: each event picks up the customer's most recent
+    * order at-or-before the event time. Right side is deduped to one
+    * row per (key, time) first — as-of semantics are only
+    * deterministic with unique right timestamps per key. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val left = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), date_trunc("second", col("ts")).as("ts_s"))
+    val right = Silver.dedupLatest(
+      Tables.orders(s, dir).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey"))
+    )
+    AsOfJoin(left, right,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts_s", rightTime = "o_orderdate",
+      rightCols = Seq("o_orderkey", "o_orderdate", "o_totalprice"))
+      .select(
+        col("event_id"), col("user_id"), col("ts_s"),
+        col("o_orderkey").as("last_order_key"),
+        col("o_orderdate").as("last_order_date"),
+        col("o_totalprice").as("last_order_price")
+      )
+  }
+
   def all: Map[String, Q] = Map(
+    "q_asof_join" -> (asofJoin _),
     "q_pii_protect" -> (piiProtect _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_bronze_valid" -> (bronzeValid _),

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed as-of join: for every left row, the most recent right
+  * row with the same key and `rightTime <= leftTime`.
+  *
+  * Spark has no native as-of join; the usual workarounds are a range
+  * cross-join (quadratic) or per-key `mapPartitions` merges
+  * (imperative). This implementation is the UNION + WINDOW
+  * formulation: tag both inputs, union them, and let
+  * `last_value(right payload) IGNORE NULLS` over
+  * `(key ORDER BY time, side)` carry the latest right row forward
+  * into each left row. One shuffle on the key, sorted once,
+  * whole-stage codegen throughout — at 100 TB this is a single
+  * sort-based pass per key group, the same shape as a sort-merge
+  * join. Ties (rightTime == leftTime) match, because right rows sort
+  * before left rows at equal timestamps.
+  */
+object AsOfJoin {
+  /** @param left       left (probe) frame
+    * @param right      right (reference) frame
+    * @param leftKey    join key column name in `left`
+    * @param rightKey   join key column name in `right`
+    * @param leftTime   event-time column name in `left`
+    * @param rightTime  event-time column name in `right`
+    * @param rightCols  right columns to carry (must not clash with left)
+    * @param joinType   "inner" (drop unmatched left rows) or "left"
+    */
+  def apply(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String],
+      joinType: String = "inner"
+  ): DataFrame = {
+    require(joinType == "inner" || joinType == "left", s"unsupported joinType $joinType")
+    val leftCols = left.columns.toSeq
+
+    val taggedLeft = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select(Seq(col("__k"), col("__t"), col("__side"), lit(null).cast("int").as("__m")) ++
+        leftCols.map(col) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+
+    val taggedRight = right
+      .withColumn("__k", col(rightKey))
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(Seq(col("__k"), col("__t"), col("__side"), lit(1).as("__m")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ rightCols.map(col): _*)
+
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = (rightCols :+ "__m").foldLeft(taggedLeft.unionByName(taggedRight)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+
+    val leftRows = carried.where(col("__side") === 1)
+    val filtered = if (joinType == "inner") leftRows.where(col("__m") === 1) else leftRows
+    filtered.drop("__k", "__t", "__side", "__m")
+  }
+}

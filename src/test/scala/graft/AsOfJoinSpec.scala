@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val right = Seq(
+    (1L, 100L, "r100"), (1L, 200L, "r200"), (1L, 300L, "r300"),
+    (2L, 150L, "x150")
+  ).toDF("rk", "rt", "rv")
+
+  private val left = Seq(
+    (1L, 50L, "before-any"),   // no right row <= 50
+    (1L, 100L, "tie"),         // equal timestamps match
+    (1L, 250L, "between"),     // picks r200, not r300
+    (1L, 999L, "after-all"),   // picks r300
+    (3L, 500L, "no-key")       // key absent from right
+  ).toDF("lk", "lt", "tag")
+
+  test("as-of join picks the most recent right row at-or-before each left time") {
+    val out = AsOfJoin(left, right, "lk", "rk", "lt", "rt", Seq("rv"), "inner")
+      .select("tag", "rv").as[(String, String)].collect().toMap
+    assert(out == Map("tie" -> "r100", "between" -> "r200", "after-all" -> "r300"))
+  }
+
+  test("left as-of join keeps unmatched rows with nulls") {
+    val out = AsOfJoin(left, right, "lk", "rk", "lt", "rt", Seq("rv"), "left")
+      .select("tag", "rv").as[(String, Option[String])].collect().toMap
+    assert(out("before-any").isEmpty && out("no-key").isEmpty)
+    assert(out("between").contains("r200"))
+    assert(out.size == 5)
+  }
+
+  test("plan shuffles once on the key (window, no join node)") {
+    val plan = AsOfJoin(left, right, "lk", "rk", "lt", "rt", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+  }
+}
