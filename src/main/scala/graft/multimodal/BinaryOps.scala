@@ -1,6 +1,7 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) column plumbing.
@@ -44,6 +45,30 @@ object BinaryOps {
     StructField("channels", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)
   ))
+
+  /** "Resize": emit a bounded-size derivative payload plus target
+    * dimensions. The byte transform is a stub (truncation); the
+    * Spark-side shape — a narrow binary→binary projection that
+    * codegen executes in place — is exactly how a real scaler
+    * deploys. */
+  def resize(df: DataFrame, payloadCol: String, width: Int, height: Int): DataFrame =
+    df.withColumn("resized_payload", substring(col(payloadCol), 1, width * height / 64))
+      .withColumn("resized_width", lit(width))
+      .withColumn("resized_height", lit(height))
+
+  /** Sample `nFrames` evenly spaced byte-range "frames" from each
+    * payload (video frame-sampling plumbing: one row per frame via
+    * posexplode, stub frame extraction = byte slice). */
+  def sampleFrames(df: DataFrame, payloadCol: String, nFrames: Int): DataFrame = {
+    val p = col(payloadCol)
+    val frameLen = greatest(length(p).cast("int").divide(nFrames).cast("int"), lit(1))
+    val frames = transform(
+      sequence(lit(0), lit(nFrames - 1)),
+      i => substring(p, (i * frameLen + 1).cast("int"), frameLen)
+    )
+    df.select(col("*"), posexplode(frames).as(Seq("frame_idx", "frame_bytes")))
+      .where(length(col("frame_bytes")) > 0)
+  }
 
   /** Decode `payloadCol` (binary) partition-wise, appending the
     * decoded metadata columns to every row. */

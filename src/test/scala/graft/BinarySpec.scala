@@ -27,6 +27,23 @@ class BinarySpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("resize emits bounded derivative payloads with target dims") {
+    val df = Tables.documents(spark, sf).limit(20)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val out = BinaryOps.resize(df, "payload", 256, 256)
+    assert(out.filter(length($"resized_payload") > 256 * 256 / 64).count() == 0)
+    assert(out.select("resized_width").distinct().as[Int].collect().toSeq == Seq(256))
+  }
+
+  test("frame sampling explodes one row per frame, slices cover the head of the payload") {
+    val df = Seq((1L, "0123456789abcdef")).toDF("id", "t")
+      .select($"id", $"t".cast("binary").as("payload"))
+    val frames = BinaryOps.sampleFrames(df, "payload", 4)
+      .select($"frame_idx", $"frame_bytes".cast("string"))
+      .as[(Int, String)].collect().toSeq.sortBy(_._1)
+    assert(frames == Seq((0, "0123"), (1, "4567"), (2, "89ab"), (3, "cdef")))
+  }
+
   test("csv source quarantines malformed rows instead of failing") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.write(java.nio.file.Paths.get(dir, "d.csv"),
