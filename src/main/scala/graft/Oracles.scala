@@ -189,6 +189,19 @@ object Oracles {
   )
 
   val analytics: Map[String, String] = Map(
+    "q_median_order_value" ->
+      """SELECT c_mktsegment, o_totalprice AS median_order_value FROM (
+        |  SELECT c_mktsegment, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rn = (n + 1) // 2
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_revenue_histogram" ->
+      """SELECT CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 1000000 AS BIGINT) AS bucket_10k,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY 1 ORDER BY bucket_10k""".stripMargin,
     "q_sales_rollup" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
         |  ${sumx("o_totalprice")} AS revenue, count(*) AS n_orders

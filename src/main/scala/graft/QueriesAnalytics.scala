@@ -163,7 +163,35 @@ object QueriesAnalytics {
       .agg(sum(Money.dec(col("l_extendedprice")) * (lit(1) - Money.dec(col("l_discount")))).cast("double"))
       .orderBy("p_brand")
 
+  /** #44 exact lower-median order value per market segment: explicit
+    * middle-element selection (row_number vs count), no float
+    * interpolation — the value is a real data point, so it's
+    * engine-portable by construction. */
+  def medianOrderValue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+      .where(col("rn") === call_function("div", col("n") + 1, lit(2L)))
+      .select(col("c_mktsegment"), col("o_totalprice").as("median_order_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** #45 revenue histogram: 10k-unit price buckets via exact integer
+    * division on cents. */
+  def revenueHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(call_function("div",
+        (Money.dec(col("l_extendedprice")) * 100).cast("long"), lit(1000000L)).as("bucket_10k"))
+      .groupBy("bucket_10k")
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy("bucket_10k")
+
   def all: Map[String, Q] = Map(
+    "q_median_order_value" -> (medianOrderValue _),
+    "q_revenue_histogram" -> (revenueHistogram _),
     "q_sales_rollup" -> (salesRollup _),
     "q_running_total" -> (runningTotal _),
     "q_pivot_returnflag" -> (pivotReturnflag _),
