@@ -36,6 +36,20 @@ object Tables {
     * [[events]] does not (the comparison wraps the column in an
     * expression). Incremental/watermark reads must filter here. */
   def eventsRaw(s: SparkSession, d: String): DataFrame = table(s, d, "events")
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** documents/embeddings ship as SINGLE-row-group parquet files:
+    * the scan is unsplittable, so every pre-shuffle map (tokenize,
+    * gram-hash, per-bit SimHash vectors, cosine math) would run in ONE
+    * task no matter how many cores exist. A hash repartition on the
+    * primary key — a shuffle of well under a megabyte here — buys full
+    * parallelism for all downstream per-row compute. On a real
+    * multi-split cluster layout the scan parallelizes itself and this
+    * repartition is skippable; for unsplittable inputs (single row
+    * group, gzip text) it is exactly what you'd do at 100 TB too:
+    * spread once, then compute. Filters/pruning still push through
+    * the repartition into the scan. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").repartition(col("doc_id"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings").repartition(col("vec_id"))
 }

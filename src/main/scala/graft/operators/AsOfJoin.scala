@@ -39,29 +39,38 @@ object AsOfJoin {
     require(joinType == "inner" || joinType == "left", s"unsupported joinType $joinType")
     val leftCols = left.columns.toSeq
 
+    // The whole right payload is carried as ONE struct so the window's
+    // `last(_, ignoreNulls)` either takes the full latest right row or
+    // none of it — carrying columns independently would backfill a
+    // legitimately-NULL field from an OLDER right row, mixing
+    // attributes of different right rows into one output row.
+    val payloadType = right.select(struct(rightCols.map(col).toIndexedSeq: _*).as("__r"))
+      .schema("__r").dataType
+
     val taggedLeft = left
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .select(Seq(col("__k"), col("__t"), col("__side"), lit(null).cast("int").as("__m")) ++
-        leftCols.map(col) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .select(Seq(col("__k"), col("__t"), col("__side"),
+        lit(null).cast(payloadType).as("__r")) ++ leftCols.map(col): _*)
 
     val taggedRight = right
       .withColumn("__k", col(rightKey))
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-      .select(Seq(col("__k"), col("__t"), col("__side"), lit(1).as("__m")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ rightCols.map(col): _*)
+      .select(Seq(col("__k"), col("__t"), col("__side"),
+        struct(rightCols.map(col).toIndexedSeq: _*).as("__r")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = (rightCols :+ "__m").foldLeft(taggedLeft.unionByName(taggedRight)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = taggedLeft.unionByName(taggedRight)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
 
     val leftRows = carried.where(col("__side") === 1)
-    val filtered = if (joinType == "inner") leftRows.where(col("__m") === 1) else leftRows
-    filtered.drop("__k", "__t", "__side", "__m")
+    val filtered = if (joinType == "inner") leftRows.where(col("__r").isNotNull) else leftRows
+    filtered
+      .select(leftCols.map(col) ++ rightCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

@@ -39,8 +39,15 @@ object Scd2 {
       .withColumn(ValidTo, lit(null).cast(DateType))
       .withColumn(IsCurrent, lit(true))
 
+  // NULLs must stay distinguishable from empty strings and from
+  // values in adjacent columns: concat_ws silently SKIPS null
+  // arguments, so hashing concat_ws(tracked...) directly would miss a
+  // NULL->value change and confuse (NULL,"A") with ("A",NULL). Each
+  // column is coalesced to a sentinel before joining.
   private def withHash(df: DataFrame, tracked: Seq[String]): DataFrame =
-    df.withColumn(H, xxhash64(concat_ws("\u0001", tracked.map(col).toIndexedSeq: _*)))
+    df.withColumn(H, xxhash64(concat_ws(
+      "\u0001",
+      tracked.map(c => coalesce(col(c).cast("string"), lit("\u0000"))).toIndexedSeq: _*)))
 
   /** Merge `incoming` (no SCD columns) into `existing` (SCD-stamped;
     * run [[initialize]] first if needed). Attribute columns of both

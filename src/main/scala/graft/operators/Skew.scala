@@ -29,6 +29,11 @@ object Skew {
       big: DataFrame, small: DataFrame, key: String, factor: Int,
       bigEntropy: Seq[Column], joinType: String = "inner"
   ): DataFrame = {
+    // Replicating the small side is only sound when unmatched SMALL
+    // rows never reach the output: "right"/"full"/"left_semi" on the
+    // replicated side would emit each unmatched small row `factor`
+    // times.
+    require(joinType == "inner" || joinType == "left", s"unsupported joinType $joinType")
     val saltedBig = big.withColumn("__salt", salt(factor, bigEntropy: _*))
     val replicatedSmall = small.withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt"), joinType).drop("__salt")

@@ -52,34 +52,69 @@ object EventStream {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+        handler(gapSeconds, (state, _) => state.setTimeoutDuration(gapSeconds * 1000)))
+  }
+
+  /** Event-time-correct variant: the watermark (not wall clock) closes
+    * idle sessions, so a stalled source never prematurely expires
+    * state and late data inside the watermark still merges. The
+    * timeout fires when the watermark passes `session_end + gap` —
+    * exactly the batch-twin gap semantics. */
+  def sessionizeEventTime(
+      events: Dataset[Event], gapSeconds: Long = 1800L,
+      watermarkDelay: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        handler(gapSeconds, (state, s) =>
+          state.setTimeoutTimestamp(s.end + gapSeconds * 1000)))
+  }
+
+  private def handler(
+      gapSeconds: Long,
+      setTimeout: (GroupState[SessionState], SessionState) => Unit
+  ): (Long, Iterator[Event], GroupState[SessionState]) => Iterator[Session] =
+    (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
             Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
           } else {
+            val gapMs = gapSeconds * 1000
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var out = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapSeconds * 1000 =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
-                case Some(s) =>
+                // Events are sorted within a micro-batch but NOT across
+                // batches: a late event may land inside, before, or after
+                // the open session. In-gap membership tests the whole
+                // span and the merge takes min/max so session bounds
+                // never regress under disorder.
+                case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) if t > s.end + gapMs =>
                   out ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
+                case Some(_) =>
+                  // Older than the open session by more than the gap: a
+                  // distinct past session; emit it without disturbing
+                  // the open one.
+                  out ::= Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapSeconds * 1000)
+              setTimeout(state, s)
             }
             out.reverseIterator
           }
-      }
-  }
 }

@@ -32,6 +32,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("a NULL in a carried right column is not backfilled from an older right row") {
+    // right row at t=200 has c1 = NULL; the joined output must carry
+    // that NULL, not splice in c1 from the t=100 row (chimera bug).
+    val r = Seq(
+      (1L, 100L, Option("a"), Option("x")),
+      (1L, 200L, Option.empty[String], Option("y"))
+    ).toDF("rk", "rt", "c1", "c2")
+    val l = Seq((1L, 250L)).toDF("lk", "lt")
+    val out = AsOfJoin(l, r, "lk", "rk", "lt", "rt", Seq("c1", "c2"))
+      .select("c1", "c2").as[(Option[String], Option[String])].collect().head
+    assert(out == (None, Some("y")))
+  }
+
   test("plan shuffles once on the key (window, no join node)") {
     val plan = AsOfJoin(left, right, "lk", "rk", "lt", "rt", Seq("rv"))
       .queryExecution.executedPlan.toString

@@ -9,7 +9,7 @@ class IvfSpec extends SparkSpec {
 
   test("IVF finds planted duplicates through the probed lists") {
     // corpus with planted near-duplicates of queries 0 and 1
-    val base = Tables.embeddings(spark, sf).limit(100)
+    val base = Tables.embeddings(spark, sf).where($"vec_id" < 100)
     val dups = base.where($"vec_id" < 2)
       .select(($"vec_id" + 1000).as("vec_id"), $"embedding", $"label")
     val corpus = base.unionByName(dups)

@@ -35,6 +35,25 @@ class Scd2Spec extends SparkSpec {
     assert(out.count() == 2 && out.filter($"is_current").count() == 2)
   }
 
+  test("NULL-involved changes are detected (no concat_ws null-skip blindness)") {
+    // k=1: (NULL,"A") -> ("A",NULL) — same non-null values, shifted column
+    // k=2: ("A",NULL) -> ("A","")  — NULL vs empty string
+    // k=3: (NULL,NULL) -> unchanged
+    val existing = Scd2.initialize(
+      Seq((1L, Option.empty[String], Option("A")),
+          (2L, Option("A"), Option.empty[String]),
+          (3L, Option.empty[String], Option.empty[String])).toDF("k", "a", "b"),
+      lit("2020-01-01").cast("date"))
+    val incoming =
+      Seq((1L, Option("A"), Option.empty[String]),
+          (2L, Option("A"), Option("")),
+          (3L, Option.empty[String], Option.empty[String])).toDF("k", "a", "b")
+    val out = Scd2.merge(existing, incoming, Seq("k"), Seq("a", "b"), asOf)
+    val closed = out.filter(!$"is_current").select("k").as[Long].collect().toSet
+    assert(closed == Set(1L, 2L))
+    assert(out.count() == 5) // 3 history rows (2 closed) + 2 new versions
+  }
+
   test("current and asOfView slice history correctly") {
     val existing = Scd2.initialize(Seq((2L, "b")).toDF("k", "attr"), lit("2020-01-01").cast("date"))
     val merged = Scd2.merge(existing, Seq((2L, "B2")).toDF("k", "attr"), Seq("k"), Seq("attr"), asOf)

@@ -34,4 +34,13 @@ class SkewResolveSpec extends SparkSpec {
       .distinct().count()
     assert(spread == 8)
   }
+
+  test("salted join rejects join types where small-side replication duplicates output") {
+    val big = Seq((1L, "a")).toDF("k", "v")
+    val small = Seq((2L, "unmatched")).toDF("k", "w")
+    for (jt <- Seq("right", "full", "right_outer", "full_outer"))
+      assertThrows[IllegalArgumentException] {
+        Skew.saltedJoin(big, small, "k", 4, bigEntropy = Seq(col("v")), joinType = jt)
+      }
+  }
 }

@@ -44,6 +44,64 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.count() == batchSessions.count() - users)
   }
 
+  test("sessionize: a late cross-batch event cannot regress session bounds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, v: Double = 1.0) =
+      EventStream.Event(1L, id, Timestamp.valueOf(t), v)
+
+    // the event-time variant is used here because ProcessingTimeTimeout
+    // makes the engine re-trigger micro-batches forever (timeouts can
+    // always fire later), so processAllAvailable never settles; the
+    // merge logic under test is shared by both variants. A huge
+    // watermark delay keeps the late event from being dropped.
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeEventTime(in.toDS(), watermarkDelay = "30 days")
+      .writeStream.format("memory").queryName("sess_ooo").outputMode("append").start()
+    try {
+      in.addData(ev(1, "2026-01-01 10:00:00"), ev(2, "2026-01-01 10:10:00"))
+      q.processAllAvailable()
+      // batch 2: late in-gap event BEFORE the current session end
+      in.addData(ev(3, "2026-01-01 10:05:00"))
+      q.processAllAvailable()
+      // batch 3: far-future event closes the open session via the gap path
+      in.addData(ev(4, "2026-01-02 10:00:00"))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_ooo")
+        .select($"session_start".cast("string"), $"session_end".cast("string"), $"n_events")
+        .as[(String, String, Long)].collect().toSet
+      // end stays 10:10 (not regressed to 10:05); the late event still counts
+      assert(sessions == Set(("2026-01-01 10:00:00", "2026-01-01 10:10:00", 3L)))
+    } finally q.stop()
+  }
+
+  test("sessionizeEventTime closes idle sessions via the event-time watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(user: Long, id: Long, t: String) =
+      EventStream.Event(user, id, Timestamp.valueOf(t), 1.0)
+
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeEventTime(in.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_evt").outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, "2026-01-01 10:00:00"), ev(1, 2, "2026-01-01 10:10:00"))
+      q.processAllAvailable()
+      // another USER's far-future event advances the watermark past
+      // user 1's end+gap; the timeout then fires on the next batch.
+      in.addData(ev(2, 3, "2026-01-02 00:00:00"))
+      q.processAllAvailable()
+      in.addData(ev(2, 4, "2026-01-02 00:01:00"))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_evt").filter($"user_id" === 1L)
+        .select($"session_start".cast("string"), $"session_end".cast("string"), $"n_events")
+        .as[(String, String, Long)].collect().toSet
+      assert(u1 == Set(("2026-01-01 10:00:00", "2026-01-01 10:10:00", 2L)))
+    } finally q.stop()
+  }
+
   test("watermark store round-trips and survives re-reads") {
     val dir = Files.createTempDirectory("graft_wm").toString
     val wm = new WatermarkStore(dir)
