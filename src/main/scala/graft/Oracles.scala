@@ -489,5 +489,87 @@ object Oracles {
         |WHERE rank <= 5""".stripMargin
   )
 
-  def all: Map[String, String] = etl ++ analytics ++ text ++ vector
+  /** Round-2 scale operators (SURVEY §2 #46–#53). q_hll_distinct and
+    * q_topk_words are sketch-valued → rows-only, absent here. */
+  val scale: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *,
+        |    CASE WHEN lag(ts_s) OVER w IS NULL
+        |           OR epoch(ts_s) - epoch(lag(ts_s) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+        |), numbered AS (
+        |  SELECT *,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |), sessions AS (
+        |  SELECT user_id, session_seq,
+        |    min(ts_s) AS session_start, max(ts_s) AS session_end
+        |  FROM numbered GROUP BY user_id, session_seq
+        |)
+        |SELECT e.event_id, e.user_id, e.ts_s,
+        |  s.session_seq, s.session_start, s.session_end
+        |FROM ev e JOIN sessions s ON e.user_id = s.user_id
+        |  AND e.ts_s BETWEEN s.session_start AND s.session_end""".stripMargin,
+    "q_skew_salted" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "q_sales_cube" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
+        |  ${sumx("o_totalprice")} AS revenue, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE(CAST(year(o_orderdate) AS BIGINT), o_orderstatus)""".stripMargin,
+    "q_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  lag(o_totalprice) OVER wd AS prev_price,
+        |  lead(o_totalprice) OVER wd AS next_price,
+        |  CAST(rank() OVER wp AS BIGINT) AS price_rank,
+        |  CAST(ntile(4) OVER wp AS BIGINT) AS price_quartile,
+        |  percent_rank() OVER wp AS price_pct_rank
+        |FROM orders
+        |WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "q_quartiles" ->
+      """SELECT c_mktsegment, CAST(pctl AS BIGINT) AS pctl, o_totalprice AS value FROM (
+        |  SELECT c_mktsegment, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |CROSS JOIN (VALUES (25), (50), (75), (90)) p(pctl)
+        |WHERE rn = (pctl * n + 99) // 100
+        |ORDER BY c_mktsegment, pctl""".stripMargin,
+    "q_seq_pack" ->
+      """SELECT doc_id, source, n_tokens,
+        |  CAST(tok_before // 2048 AS BIGINT) AS pack_id,
+        |  CAST(tok_before % 2048 AS BIGINT) AS pack_offset
+        |FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM (SELECT doc_id, source,
+        |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |        FROM documents) d) t""".stripMargin,
+    "q_mix_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(CASE ascii(substr(source, 4, 2)) % 3
+        |      WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 20 END AS BIGINT) AS keep_rate_pct
+        |  FROM documents)
+        |SELECT *, (doc_id % 100) < keep_rate_pct AS sampled FROM r""".stripMargin,
+    "q_unicode_norm" ->
+      """SELECT doc_id,
+        |  md5(nfc_normalize(text)) AS nfc_md5,
+        |  md5(strip_accents(text)) AS ascii_md5,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_len
+        |FROM documents""".stripMargin
+  )
+
+  def all: Map[String, String] = etl ++ analytics ++ text ++ vector ++ scale
 }

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{Money, TextNormalize, TopKSketchAgg}
+import graft.operators.{RangeJoin, Skew}
+import graft.text.TextOps
+
+/** Round-2 scale operators (SURVEY §2 #46–#55): range join, salted
+  * join, CUBE, window-function suite, exact quantiles, deterministic
+  * sequence packing + source-weighted sampling, Unicode
+  * normalization, and the sketch family (HLL distinct, Space-Saving
+  * top-k).
+  */
+object QueriesScale {
+  import Queries.Q
+
+  /** #46 bucketed range join: assign every event to its 30-min-gap
+    * session by point-in-interval join (user key + 1-hour buckets) —
+    * no broadcast-nested-loop, no cartesian (spec-asserted). The
+    * sessions side is derived from the same events (one window pass),
+    * making this a self-contained two-big-sides range join. */
+  def rangeJoinSessions(s: SparkSession, dir: String): DataFrame = {
+    val sessions = QueriesAnalytics.sessionize(s, dir)
+      .select(
+        col("user_id").as("s_user"), col("session_seq"),
+        col("session_start"), col("session_end"),
+        col("session_start").cast("long").as("__s"),
+        col("session_end").cast("long").as("__e"))
+    val points = Tables.events(s, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_s"))
+      .withColumn("__p", col("ts_s").cast("long"))
+    RangeJoin.pointInInterval(
+      points, sessions, "__p", "__s", "__e",
+      keys = Seq(("user_id", "s_user")), bucketWidth = 3600L)
+      .select(
+        col("event_id"), col("user_id"), col("ts_s"),
+        col("session_seq"), col("session_start"), col("session_end"))
+  }
+
+  /** #47 salted skew join: the Skew operator in the verified surface —
+    * result must equal the plain equi-join (the oracle IS the plain
+    * join), while the physical plan spreads each hot l_orderkey over
+    * 8 salted sub-keys. */
+  def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity")
+    val small = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+    Skew.saltedJoin(big, small, "l_orderkey", factor = 8,
+      bigEntropy = Seq(col("l_linenumber"), col("l_quantity")))
+  }
+
+  /** #48 CUBE: all 2^2 grouping combinations of (year, status) in one
+    * pass — the grouping-sets twin of #35's ROLLUP. */
+  def salesCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderstatus"))
+      .agg(Money.sumExact(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+
+  /** #49 window-function suite: lag/lead/rank/ntile/percent_rank per
+    * customer in ONE shuffle — both windows share the partition key,
+    * so Catalyst plans a single exchange + two sorts. */
+  def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+      lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
+      rank().over(byPrice).cast("long").as("price_rank"),
+      ntile(4).over(byPrice).cast("long").as("price_quartile"),
+      percent_rank().over(byPrice).as("price_pct_rank"))
+  }
+
+  /** #50 exact discrete quantiles (p25/50/75/90) per market segment:
+    * rank-selection like #44's median — the emitted value is a real
+    * data point, so it is engine-portable with no interpolation. One
+    * window pass serves all four quantiles (the probe list is
+    * exploded, not re-scanned). */
+  def quartiles(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+      .withColumn("pctl", explode(array(lit(25L), lit(50L), lit(75L), lit(90L))))
+      // index of the discrete lower quantile: ceil(p*n/100), >= 1
+      .where(col("rn") === call_function("div", col("pctl") * col("n") + 99L, lit(100L)))
+      .select(col("c_mktsegment"), col("pctl"), col("o_totalprice").as("value"))
+      .orderBy("c_mktsegment", "pctl")
+  }
+
+  /** #51 deterministic sequence packing: per source, docs in doc_id
+    * order fill 2048-token packs by exclusive-prefix-sum division —
+    * the streaming-fill packing a training-data pipeline runs before
+    * writing example shards. One window pass, partitioned by source. */
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.wordCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("tok_before",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        call_function("div", col("tok_before"), lit(budget)).as("pack_id"),
+        pmod(col("tok_before"), lit(budget)).as("pack_offset"))
+  }
+
+  /** #52 deterministic source-weighted sampling: the data-mixing gate
+    * of a training pipeline. Keep-rate per source tier comes from a
+    * pure function of the stable key (id mod 100), so the sample is
+    * reproducible at any parallelism, any engine — never rand(). */
+  def mixSample(s: SparkSession, dir: String): DataFrame = {
+    val tier = pmod(ascii(substring(col("source"), 4, 2)), lit(3L))
+    val rate = when(tier === 0, lit(100L)).when(tier === 1, lit(50L)).otherwise(lit(20L))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("keep_rate_pct", rate)
+      .withColumn("sampled", pmod(col("doc_id"), lit(100L)) < col("keep_rate_pct"))
+  }
+
+  /** #53 Unicode normalization (native codegen expressions #NfcNormalize
+    * / #StripAccents): canonical NFC fold + accent strip + dedup keys
+    * over the canonical form. */
+  def unicodeNorm(s: SparkSession, dir: String): DataFrame = {
+    TextNormalize.register(s)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      md5(call_function("nfc_norm", col("text"))).as("nfc_md5"),
+      md5(call_function("strip_accents", col("text"))).as("ascii_md5"),
+      length(call_function("nfc_norm", col("text"))).cast("long").as("nfc_len"))
+  }
+
+  /** #54 HLL approximate distinct + exact reference per event_type
+    * (rows-only oracle: the HLL estimate is engine-specific). At
+    * 100 TB the exact countDistinct is the expensive path (full
+    * shuffle of distinct values); approx_count_distinct ships one
+    * HLL sketch per partition. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** #55 Space-Saving top-k frequent words per language (native
+    * TypedImperativeAggregate; rows-only oracle — sketch counts carry
+    * bounded error by design). Bounded memory per group regardless of
+    * vocabulary size. */
+  def topkWords(s: SparkSession, dir: String): DataFrame = {
+    TopKSketchAgg.register(s)
+    val words = Tables.documents(s, dir)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+    words.groupBy("lang")
+      .agg(call_function("topk_sketch", col("word"), lit(256)).as("top"))
+      .select(col("lang"), posexplode(slice(col("top"), 1, 10)))
+      .select(
+        col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("word"), col("col.count").as("est_count"),
+        col("col.err").as("max_err"))
+      .orderBy("lang", "rank")
+  }
+
+  def all: Map[String, Q] = Map(
+    "q_range_join" -> (rangeJoinSessions _),
+    "q_skew_salted" -> (skewSaltedJoin _),
+    "q_sales_cube" -> (salesCube _),
+    "q_window_suite" -> (windowSuite _),
+    "q_quartiles" -> (quartiles _),
+    "q_seq_pack" -> (seqPack _),
+    "q_mix_sample" -> (mixSample _),
+    "q_unicode_norm" -> (unicodeNorm _),
+    "q_hll_distinct" -> (hllDistinct _),
+    "q_topk_words" -> (topkWords _)
+  )
+}

@@ -122,13 +122,11 @@ object QueriesText {
     * percentage and most-frequent-word share, integer-exact. */
   def repetition(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    val base = Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextOps.wordCount(t).cast("long").as("n_words"),
-      TextOps.totalGrams(t, 3).as("grams_total"),
-      TextOps.distinctGrams(t, 3).as("grams_distinct"),
-      TextOps.dupGramPct(t, 3).as("dup_gram_pct")
-    )
+    // single staged gram pass (token + gram arrays materialized once;
+    // see TextOps.withGramStats) instead of one re-evaluation per stat
+    val base = TextOps.withGramStats(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), t, 3)
+      .drop("text")
     val topWord = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextOps.tokens(t)).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
@@ -144,13 +142,15 @@ object QueriesText {
   def corpusFilter(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Bronze
     val t = col("text")
-    val enriched = Tables.documents(s, dir).select(
-      col("doc_id"),
-      length(t).cast("long").as("n_chars"),
-      TextOps.wordCount(t).cast("long").as("n_words"),
-      TextOps.stopwordCount(t, TextOps.StopwordsEn).cast("long").as("stop_hits"),
-      TextOps.dupGramPct(t, 3).as("dup_gram_pct")
-    )
+    val enriched = TextOps.withGramStats(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), t, 3)
+      .select(
+        col("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        col("n_words"),
+        TextOps.stopwordCount(t, TextOps.StopwordsEn).cast("long").as("stop_hits"),
+        col("dup_gram_pct")
+      )
     val rules = Seq(
       Bronze.Rule("TOO_SHORT", col("n_chars") >= 100),
       Bronze.Rule("TOO_FEW_WORDS", col("n_words") >= 20),

@@ -38,6 +38,14 @@ object EventStream {
         col("event_type"), col("n_events"), col("total_value")
       )
 
+  /** Streaming exact dedup with bounded state: duplicates of a key
+    * arriving within the watermark horizon are dropped, and state for
+    * keys older than the watermark is evicted — the streaming twin of
+    * the batch exact-dedup operators, safe at any throughput (plain
+    * `dropDuplicates` on a stream grows state forever). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
   final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,

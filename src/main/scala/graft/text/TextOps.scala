@@ -91,6 +91,40 @@ object TextOps {
       .otherwise(call_function("div", (t - d) * 200L + t, t * 2L))
   }
 
+  /** Stage gram statistics onto `df` as columns `n_words`,
+    * `grams_total`, `grams_distinct`, `dup_gram_pct` (all long),
+    * computing the token array and the gram set ONCE.
+    *
+    * The expression-composition route ([[distinctGrams]] /
+    * [[dupGramPct]]) re-evaluates the whole gram construction per
+    * reference once CollapseProject inlines it, and builds gram
+    * STRINGS (slice + concat_ws per gram). Here the token array and
+    * the hashed-gram array are materialized in their own projections
+    * (the multi-reference-non-cheap guard keeps them), and grams are
+    * 64-bit hashes of `n` consecutive token hashes — no string
+    * building. Token→hash is injective on whitespace-split tokens up
+    * to xxhash64 collisions (~2⁻⁶⁴), so the distinct count matches
+    * the string-gram oracle.
+    */
+  def withGramStats(df: org.apache.spark.sql.DataFrame, text: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    val others = df.columns.map(col).toIndexedSeq
+    val th = col("__th")
+    val gramHashes = when(size(th) < n, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0), size(th) - n),
+        i => xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*)))
+    val t = col("grams_total"); val d = col("grams_distinct")
+    df
+      .select(others :+ transform(tokens(text), tk => xxhash64(tk)).as("__th"): _*)
+      .select(others ++ Seq(
+        size(th).cast("long").as("n_words"),
+        greatest(size(th) - (n - 1), lit(0)).cast("long").as("grams_total"),
+        size(array_distinct(gramHashes)).cast("long").as("grams_distinct")): _*)
+      .withColumn("dup_gram_pct",
+        when(t === 0, lit(0L))
+          .otherwise(call_function("div", (t - d) * 200L + t, t * 2L)))
+  }
+
   def qualityBucket(score: Column): Column =
     when(score >= 60, lit("high")).when(score >= 40, lit("medium")).otherwise(lit("low"))
 

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextNormalize, TopKSketchAgg}
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nfc_norm unifies decomposed and precomposed forms") {
+    TextNormalize.register(spark)
+    // a = decomposed (e + combining acute), b = precomposed \u00e9
+    val out = Seq(("e\u0301tude", "\u00e9tude")).toDF("a", "b")
+      .select(
+        (call_function("nfc_norm", $"a") === call_function("nfc_norm", $"b")).as("same"),
+        ($"a" === $"b").as("raw_same"),
+        call_function("strip_accents", $"a").as("flat_a"),
+        call_function("strip_accents", $"b").as("flat_b"))
+      .as[(Boolean, Boolean, String, String)].collect().head
+    assert(out._1, "NFC must unify the two encodings")
+    assert(!out._2, "raw strings differ")
+    assert(out._3 == "etude" && out._4 == "etude")
+  }
+
+  test("topk_sketch is exact when capacity exceeds distinct items") {
+    TopKSketchAgg.register(spark)
+    val words = Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++ Seq.fill(20)("gamma") ++ Seq.fill(5)("delta")
+    val out = words.toDF("w").repartition(7)
+      .agg(call_function("topk_sketch", $"w", lit(16)).as("top"))
+      .select(explode($"top").as("e"))
+      .select($"e.item", $"e.count", $"e.err")
+      .as[(String, Long, Long)].collect().toList
+    assert(out == List(("alpha", 50L, 0L), ("beta", 30L, 0L), ("gamma", 20L, 0L), ("delta", 5L, 0L)))
+  }
+
+  test("topk_sketch under pressure keeps the heavy hitter with bounded error") {
+    TopKSketchAgg.register(spark)
+    // 1000 occurrences of "hot", 200 distinct cold items × 1 — capacity 64
+    val words = Seq.fill(1000)("hot") ++ (1 to 200).map(i => f"cold$i%03d")
+    val out = words.toDF("w").repartition(5)
+      .agg(call_function("topk_sketch", $"w", lit(64)).as("top"))
+      .select(explode($"top").as("e")).select($"e.item", $"e.count", $"e.err")
+      .as[(String, Long, Long)].collect().toList
+    val hot = out.find(_._1 == "hot").get
+    assert(hot._2 >= 1000L, "count is an over-estimate, never under")
+    assert(hot._2 - hot._3 <= 1000L, "count - err lower-bounds the true frequency")
+    assert(out.size <= 64)
+  }
+
+  test("seq_pack fills packs in doc order without overflowing ids") {
+    val out = QueriesScale.seqPack(spark, sf)
+      .groupBy("source", "pack_id").agg(sum("n_tokens").as("toks"), count(lit(1)).as("docs"))
+    // every pack except possibly the last per source starts below the budget boundary
+    val packs = out.count()
+    assert(packs > 0)
+    val bad = QueriesScale.seqPack(spark, sf)
+      .where(col("pack_offset") >= 2048L || col("pack_offset") < 0L).count()
+    assert(bad == 0)
+  }
+
+  test("mix_sample keeps rates deterministic per source tier") {
+    val out = QueriesScale.mixSample(spark, sf)
+    val rates = out.select("keep_rate_pct").distinct().as[Long].collect().toSet
+    assert(rates.subsetOf(Set(100L, 50L, 20L)))
+    // rerun must produce the identical sample (no rand())
+    val a = out.where($"sampled").select("doc_id").as[Long].collect().toSet
+    val b = QueriesScale.mixSample(spark, sf).where($"sampled").select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("quartiles: each segment yields the 4 requested quantiles, values from real rows") {
+    val out = QueriesScale.quartiles(spark, sf)
+    val bySeg = out.groupBy("c_mktsegment").count().as[(String, Long)].collect().toMap
+    assert(bySeg.values.forall(_ == 4L), bySeg.toString)
+    val pcts = out.select("pctl").distinct().as[Long].collect().toSet
+    assert(pcts == Set(25L, 50L, 75L, 90L))
+  }
+
+  test("hll approx distinct stays within the configured error of exact") {
+    val out = QueriesScale.hllDistinct(spark, sf)
+      .select($"approx_users".cast("double"), $"exact_users".cast("double"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact) / exact <= 0.10, s"approx $approx vs exact $exact")
+    }
+  }
+}

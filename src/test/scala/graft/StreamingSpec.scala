@@ -102,6 +102,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicates across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(user: Long, id: Long, t: String) =
+      EventStream.Event(user, id, Timestamp.valueOf(t), 1.0)
+
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.dedupEvents(in.toDS().toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_evt").outputMode("append").start()
+    try {
+      in.addData(ev(1, 100, "2026-01-01 10:00:00"), ev(1, 100, "2026-01-01 10:00:01"))
+      q.processAllAvailable()
+      // later batch, same key, still inside the watermark: dropped
+      in.addData(ev(1, 100, "2026-01-01 10:02:00"), ev(2, 200, "2026-01-01 10:02:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_evt").select($"event_id").as[Long].collect().toList
+      assert(ids.sorted == List(100L, 200L))
+    } finally q.stop()
+  }
+
   test("watermark store round-trips and survives re-reads") {
     val dir = Files.createTempDirectory("graft_wm").toString
     val wm = new WatermarkStore(dir)
