@@ -28,6 +28,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the loaders round-robin-spread unsplittable single-row-group
+      // inputs; the pre-repartition binary row sort only exists for
+      // retry determinism, and every verified query is
+      // partition-independent by contract (exact decimal/integer
+      // math), so skip the sort
+      .config("spark.sql.execution.sortBeforeRepartition", "false")
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects;
       // read as epoch-nanos long, Tables.events converts to micros.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -44,6 +50,7 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.sortBeforeRepartition", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }

@@ -19,8 +19,17 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** Fact tables get the same single-row-group spread treatment as
+    * [[documents]] (see below): the testdata ships one unsplittable
+    * row group per table, so without an explicit repartition every
+    * scan+filter+partial-agg pipeline runs in ONE task. Spread is
+    * ROUND-ROBIN, not keyed: a keyed repartition would force the key
+    * column into every scan's ReadSchema and break column pruning
+    * (asserted in PlanSpec). */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+  def orders(s: SparkSession, d: String): DataFrame    = spread(s, table(s, d, "orders"))
+  def lineitem(s: SparkSession, d: String): DataFrame  = spread(s, table(s, d, "lineitem"))
   /** `ts` is TIMESTAMP(NANOS) in the parquet; Spark reads it as
     * epoch-nanos long (`nanosAsLong`, set by [[GraftSession]]) and we
     * convert to a microsecond timestamp here with integer division
@@ -28,7 +37,7 @@ object Tables {
     * 1.7e18-scale nanos). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    spread(s, raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
   }
 
   /** Events with `ts` still epoch-nanos long. Predicates against the
