@@ -492,6 +492,45 @@ object Oracles {
   /** Round-2 scale operators (SURVEY §2 #46–#53). q_hll_distinct and
     * q_topk_words are sketch-valued → rows-only, absent here. */
   val scale: Map[String, String] = Map(
+    "q_asof_forward" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |      ORDER BY o_orderkey DESC) AS rn FROM orders) t
+        |  WHERE rn = 1
+        |), l AS (
+        |  SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+        |  FROM events
+        |)
+        |SELECT l.event_id, l.user_id, l.ts_s,
+        |  r.o_orderkey AS next_order_key,
+        |  r.o_orderdate AS next_order_date,
+        |  r.o_totalprice AS next_order_price
+        |FROM l ASOF JOIN r
+        |  ON l.user_id = r.o_custkey AND l.ts_s <= r.o_orderdate""".stripMargin,
+    "q_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        |), upd AS (
+        |  SELECT c_custkey, c_name, 'UPSERTED' AS c_mktsegment,
+        |         c_acctbal + 10.0 AS c_acctbal, 'U' AS op
+        |  FROM base WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name || '_ins', c_mktsegment, 0.0, 'U'
+        |  FROM base WHERE c_custkey % 11 = 3
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal, 'D'
+        |  FROM base WHERE c_custkey % 13 = 6 AND c_custkey % 7 <> 0
+        |)
+        |SELECT b.c_custkey, b.c_name, b.c_mktsegment, b.c_acctbal
+        |FROM base b LEFT JOIN (SELECT DISTINCT c_custkey FROM upd) u
+        |  ON b.c_custkey = u.c_custkey
+        |WHERE u.c_custkey IS NULL
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM upd WHERE op = 'U'""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q_range_join" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s

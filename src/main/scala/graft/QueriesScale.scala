@@ -169,7 +169,64 @@ object QueriesScale {
       .orderBy("lang", "rank")
   }
 
+  /** #56 forward as-of join: for every event, the customer's FIRST
+    * order at-or-after the event (same union+window carry as #43,
+    * scanned in reverse time order) — verified against DuckDB's
+    * native forward ASOF (`<=`). */
+  def asofForward(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{AsOfJoin, Silver}
+    val left = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), date_trunc("second", col("ts")).as("ts_s"))
+    val right = Silver.dedupLatest(
+      Tables.orders(s, dir).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+    AsOfJoin(left, right,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts_s", rightTime = "o_orderdate",
+      rightCols = Seq("o_orderkey", "o_orderdate", "o_totalprice"),
+      joinType = "inner", direction = "forward")
+      .select(
+        col("event_id"), col("user_id"), col("ts_s"),
+        col("o_orderkey").as("next_order_key"),
+        col("o_orderdate").as("next_order_date"),
+        col("o_totalprice").as("next_order_price"))
+  }
+
+  /** #57 MERGE upsert/delete (`operators.Upsert`): apply a
+    * deterministic change batch (updates, inserts, deletes derived
+    * from the key) to the customer snapshot — two keyed joins, no
+    * driver loop. */
+  def upsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Upsert
+    val base = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    val updates = base.where(pmod(col("c_custkey"), lit(7)) === 0)
+      .withColumn("c_mktsegment", lit("UPSERTED"))
+      .withColumn("c_acctbal", col("c_acctbal") + 10.0)
+      .withColumn("__op", lit("U"))
+    val inserts = base.where(pmod(col("c_custkey"), lit(11)) === 3)
+      .select(
+        (col("c_custkey") + 2000000L).as("c_custkey"),
+        concat(col("c_name"), lit("_ins")).as("c_name"),
+        col("c_mktsegment"), lit(0.0).as("c_acctbal"), lit("U").as("__op"))
+    val deletes = base
+      .where(pmod(col("c_custkey"), lit(13)) === 6 && pmod(col("c_custkey"), lit(7)) =!= 0)
+      .withColumn("__op", lit("D"))
+    Upsert(base, updates.unionByName(inserts).unionByName(deletes), Seq("c_custkey"), "__op")
+  }
+
+  /** #58 anti-join: customers that never ordered — the left-anti
+    * physical join (one shuffle, no row expansion), the standard
+    * orphan/retention scan. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+
   def all: Map[String, Q] = Map(
+    "q_asof_forward" -> (asofForward _),
+    "q_upsert" -> (upsert _),
+    "q_anti_join" -> (antiJoin _),
     "q_range_join" -> (rangeJoinSessions _),
     "q_skew_salted" -> (skewSaltedJoin _),
     "q_sales_cube" -> (salesCube _),

@@ -28,15 +28,21 @@ object AsOfJoin {
     * @param rightTime  event-time column name in `right`
     * @param rightCols  right columns to carry (must not clash with left)
     * @param joinType   "inner" (drop unmatched left rows) or "left"
+    * @param direction  "backward" (latest right with rightTime <=
+    *                   leftTime, the default) or "forward" (earliest
+    *                   right with rightTime >= leftTime); ties match
+    *                   in both directions
     */
   def apply(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightCols: Seq[String],
-      joinType: String = "inner"
+      joinType: String = "inner",
+      direction: String = "backward"
   ): DataFrame = {
     require(joinType == "inner" || joinType == "left", s"unsupported joinType $joinType")
+    require(direction == "backward" || direction == "forward", s"unsupported direction $direction")
     val leftCols = left.columns.toSeq
 
     // The whole right payload is carried as ONE struct so the window's
@@ -62,7 +68,11 @@ object AsOfJoin {
         struct(rightCols.map(col).toIndexedSeq: _*).as("__r")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+    // forward as-of is the same carry scanned in reverse time order;
+    // right rows sort before left at equal timestamps either way, so
+    // ties match in both directions
+    val timeOrder = if (direction == "backward") col("__t").asc else col("__t").desc
+    val w = Window.partitionBy("__k").orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = taggedLeft.unionByName(taggedRight)

@@ -45,6 +45,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == (None, Some("y")))
   }
 
+  test("forward as-of picks the earliest right row at-or-after each left time") {
+    val out = AsOfJoin(left, right, "lk", "rk", "lt", "rt", Seq("rv"),
+      joinType = "left", direction = "forward")
+      .select("tag", "rv").as[(String, Option[String])].collect().toMap
+    assert(out("before-any").contains("r100")) // next row after t=50
+    assert(out("tie").contains("r100"))        // equal timestamps match forward too
+    assert(out("between").contains("r300"))    // next after 250
+    assert(out("after-all").isEmpty)           // nothing after t=999
+    assert(out("no-key").isEmpty)
+  }
+
   test("plan shuffles once on the key (window, no join node)") {
     val plan = AsOfJoin(left, right, "lk", "rk", "lt", "rt", Seq("rv"))
       .queryExecution.executedPlan.toString
