@@ -24,8 +24,8 @@ object QueriesText {
   /** #23 MinHash+LSH near-dup candidates (rows-only oracle: hash
     * permutation values are engine-specific). */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val grams = DedupOps.wordGramHashes(Tables.documents(s, dir), "doc_id", col("text"), 3)
-    val sigs = DedupOps.minhashSignatures(grams, "doc_id", k = 32)
+    val sigs = DedupOps.minhashSignaturesNative(
+      Tables.documents(s, dir), "doc_id", col("text"), n = 3, k = 32)
     DedupOps.minhashLshPairs(sigs, "doc_id", k = 32, bands = 8, minEst = 0.25)
       .orderBy("doc1", "doc2")
   }

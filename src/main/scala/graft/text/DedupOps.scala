@@ -132,6 +132,19 @@ object DedupOps {
       .agg(call_function("vec_min", col("vec")).as("sig"))
   }
 
+  /** MinHash signatures straight from the document text via the
+    * native [[graft.functions.MinHashSig]] expression: one narrow
+    * map, no gram explode, no aggregation shuffle. Bit-identical to
+    * [[minhashSignatures]]∘[[wordGramHashes]]; docs with fewer than
+    * `n` tokens are dropped (no grams → no signature), matching the
+    * explode path. */
+  def minhashSignaturesNative(docs: DataFrame, id: String, text: Column, n: Int, k: Int): DataFrame = {
+    graft.functions.MinHashSig.register(docs.sparkSession)
+    docs
+      .select(col(id), call_function("minhash_sig", TextOps.tokens(text), lit(n), lit(k)).as("sig"))
+      .where(col("sig").isNotNull)
+  }
+
   /** LSH candidate pairs from MinHash signatures: `bands` bands of
     * `k/bands` rows; docs sharing any band bucket become candidates;
     * estimated similarity = fraction of matching seeds. */
@@ -166,34 +179,16 @@ object DedupOps {
       .select("doc1", "doc2", "est_sim")
   }
 
-  /** 64-bit SimHash per doc from token multiset. Fully relational:
-    * per-(doc,bit) signed sums (partial agg), then bit assembly. */
+  /** 64-bit SimHash per doc from the token multiset, via the native
+    * [[graft.functions.SimHash64]] expression: one narrow map pass,
+    * no explode and no shuffle (the earlier relational formulation —
+    * explode → groupBy(doc, hash) → ±count vectors → vec_sum —
+    * shuffled the entire token stream; the per-doc function needs
+    * none of it). Values are bit-identical to that formulation: same
+    * seed-42 xxhash64 per token, same sign rule per bit. */
   def simhash(docs: DataFrame, id: String, text: Column): DataFrame = {
-    graft.functions.VectorAggFunctions.register(docs.sparkSession)
-    // hash tokens before the groupBy: the shuffle key is a long, and
-    // the bit probes reuse the one hash
-    val toks = docs.select(col(id), explode(TextOps.tokens(text)).as("token"))
-      .select(col(id), xxhash64(col("token")).as("th"))
-      .groupBy(col(id), col("th")).agg(count(lit(1)).as("cnt"))
-    // each token contributes a ±cnt 64-vector (one row, not 64);
-    // vec_sum folds them element-wise with map-side partial agg
-    val sums = toks
-      .withColumn(
-        "vec",
-        transform(sequence(lit(0), lit(63)), j =>
-          when(call_function("shiftright", col("th"), j.cast("int"))
-            .bitwiseAND(lit(1L)) === 1L, col("cnt")).otherwise(-col("cnt")))
-      )
-      .groupBy(col(id))
-      .agg(call_function("vec_sum", col("vec")).as("sums"))
-    sums.select(
-      col(id),
-      aggregate(
-        zip_with(col("sums"), sequence(lit(0L), lit(63L)), (s, j) =>
-          when(s > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
-        lit(0L), (acc, v) => acc + v
-      ).as("simhash")
-    )
+    graft.functions.SimHash64.register(docs.sparkSession)
+    docs.select(col(id), call_function("simhash64", TextOps.tokens(text)).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance <= maxDist, using

@@ -78,6 +78,35 @@ class TextSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 0)))
   }
 
+  test("native minhash signature is bit-identical to the explode+vec_min pipeline") {
+    val docs = Tables.documents(spark, sf).where($"doc_id" < 50).select($"doc_id", $"text")
+    val grams = DedupOps.wordGramHashes(docs, "doc_id", $"text", 3)
+    val relational = DedupOps.minhashSignatures(grams, "doc_id", k = 16)
+    val native = DedupOps.minhashSignaturesNative(docs, "doc_id", $"text", n = 3, k = 16)
+    assert(relational.exceptAll(native).isEmpty && native.exceptAll(relational).isEmpty)
+  }
+
+  test("native simhash is bit-identical to the relational ±count formulation") {
+    graft.functions.VectorAggFunctions.register(spark)
+    val docs = Tables.documents(spark, sf).where($"doc_id" < 50).select($"doc_id", $"text")
+    // the pre-round-2 relational pipeline, reconstructed inline
+    val relational = docs
+      .select($"doc_id", explode(graft.text.TextOps.tokens($"text")).as("token"))
+      .select($"doc_id", xxhash64($"token").as("th"))
+      .groupBy($"doc_id", $"th").agg(count(lit(1)).as("cnt"))
+      .withColumn("vec", transform(sequence(lit(0), lit(63)), j =>
+        when(call_function("shiftright", $"th", j.cast("int"))
+          .bitwiseAND(lit(1L)) === 1L, $"cnt").otherwise(-$"cnt")))
+      .groupBy($"doc_id").agg(call_function("vec_sum", $"vec").as("sums"))
+      .select($"doc_id",
+        aggregate(
+          zip_with($"sums", sequence(lit(0L), lit(63L)), (s, j) =>
+            when(s > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("simhash"))
+    val native = DedupOps.simhash(docs, "doc_id", $"text")
+    assert(relational.exceptAll(native).isEmpty && native.exceptAll(relational).isEmpty)
+  }
+
   test("winnowing fingerprints overlap heavily for near-identical docs") {
     val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
     val df = Seq((1L, a), (2L, a + " extra")).toDF("doc_id", "text")
