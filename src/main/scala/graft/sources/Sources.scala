@@ -51,4 +51,27 @@ object ParquetSink {
     val w = df.write.mode(mode)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
+
+  /** Compact a parquet directory to ≈`targetBytes` files: streaming
+    * micro-batches and per-partition writes accrete small files, and
+    * at 100 TB the file count (driver listing, task scheduling, open
+    * cost) becomes its own bottleneck. Sizing from the actual on-disk
+    * bytes, then one `repartition(n)` rewrite to a temp dir and an
+    * atomic-ish swap. Returns the new file count. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path)
+    val bytes = Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(Files.size).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp)
+    val bak = path.stripSuffix("/") + "__compact_bak"
+    Files.move(dir, Paths.get(bak), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bak))
+    n
+  }
 }

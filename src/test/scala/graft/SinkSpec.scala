@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.ParquetSink
+
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned write prunes partitions at read time (PartitionFilters)") {
+    val dir = Files.createTempDirectory("graft_prune").toString + "/orders_part"
+    val o = Tables.orders(spark, sf)
+      .withColumn("order_year", year(col("o_orderdate")))
+    ParquetSink.write(o, dir, partitionCols = Seq("order_year"))
+
+    val read = spark.read.parquet(dir).where(col("order_year") === 1995)
+    val scan = read.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Scan parquet")).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("order_year"), scan)
+    // the pruned read returns exactly the partition's rows
+    val expect = o.where(col("order_year") === 1995).count()
+    assert(read.count() == expect && expect > 0)
+  }
+
+  test("compact rewrites a fragmented directory to the sized file count") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/frag"
+    // simulate micro-batch accretion: 64 tiny files
+    Tables.orders(spark, sf).repartition(64).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() == 64)
+    val before = spark.read.parquet(dir).count()
+
+    val n = ParquetSink.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(files() == n && n < 64, s"expected <64 sized files, got ${files()}")
+    assert(spark.read.parquet(dir).count() == before)
+  }
+}
