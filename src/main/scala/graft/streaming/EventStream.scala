@@ -38,6 +38,28 @@ object EventStream {
         col("event_type"), col("n_events"), col("total_value")
       )
 
+  /** Stream-stream interval join: pair rows of two streams sharing
+    * `keys` whose event times lie within `within` of each other. Both
+    * sides carry watermarks, and the time bound is part of the join
+    * condition — that pair is what lets Spark EVICT buffered state
+    * (an unbounded stream-stream join buffers forever). Column names
+    * must be disjoint apart from the keys.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String, rightTime: String,
+      within: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermarkDelay)
+    val r = right.withWatermark(rightTime, watermarkDelay)
+    val cond = (keys.map { case (a, b) => l(a) === r(b) } ++ Seq(
+      r(rightTime) >= l(leftTime) - expr(s"INTERVAL $within"),
+      r(rightTime) <= l(leftTime) + expr(s"INTERVAL $within")
+    )).reduce(_ && _)
+    l.join(r, cond)
+  }
+
   /** Streaming exact dedup with bounded state: duplicates of a key
     * arriving within the watermark horizon are dropped, and state for
     * keys older than the watermark is evicted — the streaming twin of

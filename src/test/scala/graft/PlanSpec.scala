@@ -49,4 +49,24 @@ class PlanSpec extends SparkSpec {
     val s = scanLine("q_dedup_latest")
     assert(!s.contains("props"), "dedup_latest must not read props")
   }
+
+  test("window suite: both frames share ONE hash exchange on the partition key") {
+    val p = plan("q_window_suite")
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges\n$p")
+  }
+
+  test("simhash/minhash stages are map-only (no shuffle before the band join input)") {
+    // signatures come from narrow expressions now: the only exchanges
+    // in the whole pairs plan are the band-bucket join + distinct
+    val p = plan("q_dedup_simhash")
+    assert(!p.contains("vec_sum"), "simhash must not use the aggregate formulation")
+    val pm = plan("q_dedup_minhash")
+    assert(!pm.contains("vec_min"), "minhash must not use the aggregate formulation")
+  }
+
+  test("fact spread keeps pruning: round-robin repartition adds no ReadSchema columns") {
+    val s = scanLine("q_pricing_summary")
+    assert(!s.contains("l_orderkey"), "spread must not widen the scan")
+  }
 }

@@ -123,6 +123,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the bound, drops others") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    final case class View(v_user: Long, view_id: Long, v_ts: Timestamp)
+    final case class Buy(b_user: Long, buy_id: Long, b_ts: Timestamp)
+    def t(s: String) = Timestamp.valueOf(s)
+
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val joined = EventStream.intervalJoin(
+      views.toDS().toDF("v_user", "view_id", "v_ts"),
+      buys.toDS().toDF("b_user", "buy_id", "b_ts"),
+      keys = Seq(("v_user", "b_user")),
+      leftTime = "v_ts", rightTime = "b_ts", within = "30 minutes")
+    val q = joined.select("view_id", "buy_id")
+      .writeStream.format("memory").queryName("sj").outputMode("append").start()
+    try {
+      views.addData((1L, 10L, t("2026-01-01 10:00:00")), (2L, 11L, t("2026-01-01 10:00:00")))
+      buys.addData(
+        (1L, 20L, t("2026-01-01 10:10:00")),  // within 30 min of view 10
+        (2L, 21L, t("2026-01-01 12:00:00")))  // 2h after view 11: out of bound
+      q.processAllAvailable()
+      val out = spark.table("sj").as[(Long, Long)].collect().toSet
+      assert(out == Set((10L, 20L)))
+    } finally q.stop()
+  }
+
   test("watermark store round-trips and survives re-reads") {
     val dir = Files.createTempDirectory("graft_wm").toString
     val wm = new WatermarkStore(dir)
