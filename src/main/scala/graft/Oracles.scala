@@ -492,6 +492,38 @@ object Oracles {
   /** Round-2 scale operators (SURVEY §2 #46–#53). q_hll_distinct and
     * q_topk_words are sketch-valued → rows-only, absent here. */
   val scale: Map[String, String] = Map(
+    "q_doc_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(c.i AS BIGINT) AS chunk_id,
+        |  CAST(c.nt AS BIGINT) AS chunk_tokens,
+        |  c.h AS chunk_md5
+        |FROM (
+        |  SELECT doc_id, unnest([{
+        |      'i': i,
+        |      'nt': least(256, len(w) - i*192),
+        |      'h': md5(array_to_string(w[i*192+1 : i*192+256], ' '))
+        |    } for i in range(0, (len(w)-1)//192 + 1)]) AS c
+        |  FROM toks) t""".stripMargin,
+    "q_text_redact" ->
+      """WITH stamped AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+        |         || ' ssn 123-45-6789 call 555 0123 '
+        |         || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ids,
+        |  md5(regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |          '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g'),
+        |        '[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+        |FROM stamped""".stripMargin,
     "q_asof_forward" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (

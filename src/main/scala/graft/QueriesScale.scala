@@ -223,7 +223,55 @@ object QueriesScale {
       .select("c_custkey", "c_name", "c_mktsegment")
       .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
 
+  /** #59 document chunking: split each doc into 256-token windows
+    * with stride 192 (64-token overlap) — context-window prep for
+    * training shards. Pure per-doc array math (slice over the staged
+    * token array), no shuffle; emits chunk token counts and content
+    * hashes. */
+  def docChunk(s: SparkSession, dir: String): DataFrame = {
+    val size = 256
+    val stride = 192
+    val toks = col("__toks")
+    val nChunks = call_function("div", org.apache.spark.sql.functions.size(toks) - 1, lit(stride)) + 1
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), i => struct(
+          least(lit(size.toLong), org.apache.spark.sql.functions.size(toks).cast("long") - i.cast("long") * stride).as("nt"),
+          md5(concat_ws(" ", slice(toks, i * stride + 1, lit(size)))).as("h")))))
+      .select(
+        col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col.nt").as("chunk_tokens"), col("col.h").as("chunk_md5"))
+  }
+
+  /** #60 PII text redaction: scrub emails, SSN-shaped ids, then
+    * phone-shaped digit runs from text (order matters: the id pattern
+    * is a subset of the phone pattern). The corpus is synthetically
+    * PII-stamped from the key so the operator provably fires; all
+    * patterns are RE2-compatible (oracle parity). */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val idRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    val phoneRe = "[0-9][0-9()\\- ]{7,}[0-9]"
+    val stamped = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@ex.com"),
+        lit(" ssn 123-45-6789 call 555 0123 "),
+        lpad(col("doc_id").cast("string"), 4, "0")).as("t"))
+    val noEmail = regexp_replace(col("t"), emailRe, "<EMAIL>")
+    val noId = regexp_replace(noEmail, idRe, "<ID>")
+    val clean = regexp_replace(noId, phoneRe, "<PHONE>")
+    stamped.select(
+      col("doc_id"),
+      regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("t"), lit(idRe)).cast("long").as("n_ids"),
+      md5(clean).as("redacted_md5"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q_doc_chunk" -> (docChunk _),
+    "q_text_redact" -> (textRedact _),
     "q_asof_forward" -> (asofForward _),
     "q_upsert" -> (upsert _),
     "q_anti_join" -> (antiJoin _),
