@@ -22,7 +22,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // absorb session bring-up
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fixed name order: per-round BENCH numbers stay comparable and
+    // cold-cache costs land on the same queries every run
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         // noop sink: consumes every row WITH all projected columns
@@ -34,7 +36,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -28,6 +28,8 @@ object GraftFunctions {
   val all: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("cosine_sim", info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("cosine_sim_i8", info("cosine_sim_i8", "cosine_sim_i8(a, b) - cosine over int8-quantized vectors"),
+      (es: Seq[Expression]) => QuantizedCosine(es(0), es(1))),
     ("simhash64", info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
       (es: Seq[Expression]) => SimHash64(es.head)),
     ("minhash_sig", info("minhash_sig", "minhash_sig(tokens, n, k) - k MinHash minima over word n-grams"),

@@ -43,6 +43,31 @@ object GraftSession {
     spark
   }
 
+  /** Recommended conf for a real multi-executor deployment — the
+    * cluster-side counterpart of [[local]]'s laptop settings. Values
+    * follow the scale design in SURVEY §4 / BENCH_NOTES:
+    *
+    *  - shuffle partitions ≈ 2–3 × total cores as the STATIC upper
+    *    bound; AQE coalesces down to the advisory size at runtime, so
+    *    oversizing is cheap and undersizing is not.
+    *  - 64–128 MB post-shuffle partitions keep reducers in cache and
+    *    spill-free at typical 4–8 GB/core executor memory.
+    *  - 128 MB input splits match the parquet row-group layout a
+    *    100 TB table should be written with.
+    *  - skew-join splitting stays on: at 1000 executors one hot key
+    *    is otherwise the whole job's critical path.
+    */
+  def clusterConf(totalCores: Int): Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> (totalCores * 3).toString,
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (96L * 1024 * 1024).toString,
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+    "spark.sql.session.timeZone" -> "UTC"
+  )
+
   /** Apply graft defaults to an externally-built session (used by the
     * driver's Verify/Bench mains which own the builder). */
   def tune(spark: SparkSession): SparkSession = {

@@ -43,7 +43,18 @@ object QueriesVector {
       .orderBy("query_id", "rank")
   }
 
+  /** #61 int8-quantized brute-force ANN (4× scan bandwidth, integer
+    * accumulation; see VectorOps.quantizeI8) — rows-only oracle,
+    * recall vs #27 spec-asserted. */
+  def annQuantized(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val emb = Tables.embeddings(s, dir)
+    VectorOps.quantizedTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_ann_quantized" -> (annQuantized _),
     "q_ann_ivf" -> (annIvf _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_ann_topk" -> (annTopK _),

@@ -5,6 +5,33 @@ import graft.vector.VectorOps
 import graft.functions.VectorFunctions
 
 class VectorSpec extends SparkSpec {
+
+  test("quantized ANN recalls most exact top-5 neighbors (int8 error only)") {
+    import spark.implicits._
+    val exact = QueriesVector.annTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = QueriesVector.annQuantized(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      exact(q).intersect(quant.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@5 $mean")
+  }
+
+  test("int8 quantization bounds values to [-127, 127] and keeps zero vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = graft.vector.VectorOps.quantizeI8(df, "vec_id", "embedding")
+      .as[(Long, Seq[Byte])].collect().toMap
+    assert(q(1L) == Seq[Byte](64, -127, 32))
+    assert(q(2L) == Seq[Byte](0, 0, 0))
+  }
   import spark.implicits._
   implicit val sp: org.apache.spark.sql.SparkSession = spark
 
