@@ -58,4 +58,13 @@ object DataQuality {
   /** True iff every expectation has zero violations. */
   def passed(results: DataFrame): Boolean =
     results.filter(col("check_name") =!= "row_count" && col("check_value") > 0).isEmpty
+
+  /** Schema expectation (`expect_table_columns_to_match_set`):
+    * metadata-only — no scan — so it runs before any data is read and
+    * fails fast on drifted upstream schemas. Returns the violation
+    * set (missing ++ unexpected), empty = pass. */
+  def columnsMatchSet(df: DataFrame, expected: Set[String]): Set[String] = {
+    val actual = df.columns.toSet
+    (expected -- actual).map(c => s"missing:$c") ++ (actual -- expected).map(c => s"unexpected:$c")
+  }
 }

@@ -72,4 +72,10 @@ class IncrementalSpec extends SparkSpec {
       res("unique_k_violations") == 1 && res("k_positive_violations") == 0)
     assert(!DataQuality.passed(DataQuality.run(dirty, Seq(DataQuality.NotNull("v")))))
   }
+
+  test("schema expectation reports missing and unexpected columns without a scan") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    assert(DataQuality.columnsMatchSet(df, Set("k", "v")).isEmpty)
+    assert(DataQuality.columnsMatchSet(df, Set("k", "w")) == Set("missing:w", "unexpected:v"))
+  }
 }
