@@ -492,6 +492,52 @@ object Oracles {
   /** Round-2 scale operators (SURVEY §2 #46–#53). q_hll_distinct and
     * q_topk_words are sketch-valued → rows-only, absent here. */
   val scale: Map[String, String] = Map(
+    "q_event_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+        |  FROM events
+        |), v AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts_s END) AS first_view
+        |  FROM ev GROUP BY user_id
+        |), c AS (
+        |  SELECT v.user_id, min(v.first_view) AS first_view,
+        |    min(e.ts_s) AS first_click_after_view
+        |  FROM v LEFT JOIN ev e
+        |    ON e.user_id = v.user_id AND e.event_type = 'click'
+        |   AND e.ts_s >= v.first_view
+        |  GROUP BY v.user_id
+        |), p AS (
+        |  SELECT c.user_id, min(c.first_view) AS first_view,
+        |    min(c.first_click_after_view) AS first_click_after_view,
+        |    min(e.ts_s) AS first_purchase_after_click
+        |  FROM c LEFT JOIN ev e
+        |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+        |   AND e.ts_s >= c.first_click_after_view
+        |  GROUP BY c.user_id
+        |)
+        |SELECT user_id, first_view, first_click_after_view,
+        |  first_purchase_after_click,
+        |  CAST(CASE WHEN first_purchase_after_click IS NOT NULL THEN 3
+        |            WHEN first_click_after_view IS NOT NULL THEN 2
+        |            WHEN first_view IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS conversion_step
+        |FROM p""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m
+        |  FROM orders
+        |), coh AS (
+        |  SELECT o_custkey, min(m) AS cohort_month FROM o GROUP BY o_custkey
+        |)
+        |SELECT cohort_month,
+        |  CAST(datediff('month', cohort_month, m) AS BIGINT) AS months_since,
+        |  count(DISTINCT o_custkey) AS active_customers
+        |FROM o JOIN coh USING (o_custkey)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_month, months_since""".stripMargin,
     "q_doc_chunk" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

@@ -269,7 +269,63 @@ object QueriesScale {
       md5(clean).as("redacted_md5"))
   }
 
+  /** #62 funnel analysis: per user, the first view→click→purchase
+    * progression (each step at-or-after the previous one). The
+    * sequential pattern is three ordered min-aggregations over one
+    * shuffle — no self-joins, no row explosion; `conversion_step`
+    * counts how deep the user got. */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), date_trunc("second", col("ts")).as("ts_s"))
+    // step 1: first view per user
+    val v = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts_s"))).as("first_view"))
+    // step 2: first click at-or-after it — the time gate lives in the
+    // LEFT-join condition so users whose clicks all precede the view
+    // keep their row (with a NULL step time), never vanish
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts_s").as("t_c"))
+    val c = v.join(clicks, v("user_id") === clicks("cu") && clicks("t_c") >= v("first_view"), "left")
+      .groupBy("user_id")
+      .agg(min(col("first_view")).as("first_view"),
+        min(col("t_c")).as("first_click_after_view"))
+    // step 3: first purchase at-or-after the click
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts_s").as("t_p"))
+    val p = c.join(purchases,
+        c("user_id") === purchases("pu") && purchases("t_p") >= c("first_click_after_view"), "left")
+      .groupBy("user_id")
+      .agg(min(col("first_view")).as("first_view"),
+        min(col("first_click_after_view")).as("first_click_after_view"),
+        min(col("t_p")).as("first_purchase_after_click"))
+    p.select(
+      col("user_id"), col("first_view"), col("first_click_after_view"),
+      col("first_purchase_after_click"),
+      (when(col("first_purchase_after_click").isNotNull, 3L)
+        .when(col("first_click_after_view").isNotNull, 2L)
+        .when(col("first_view").isNotNull, 1L)
+        .otherwise(0L)).as("conversion_step"))
+  }
+
+  /** #63 retention cohorts: users grouped by first-order month, counted
+    * by months-since-cohort in which they ordered again — the classic
+    * retention triangle, two aggregations sharing the custkey shuffle. */
+  def retentionCohort(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
+    val cohort = o.groupBy("o_custkey").agg(min(col("m")).as("cohort_month"))
+    o.join(cohort, "o_custkey")
+      .select(col("o_custkey"), col("cohort_month"),
+        (months_between(col("m"), col("cohort_month"))).cast("long").as("months_since"))
+      .distinct()
+      .groupBy("cohort_month", "months_since")
+      .agg(countDistinct(col("o_custkey")).as("active_customers"))
+      .orderBy("cohort_month", "months_since")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_event_funnel" -> (eventFunnel _),
+    "q_retention_cohort" -> (retentionCohort _),
     "q_doc_chunk" -> (docChunk _),
     "q_text_redact" -> (textRedact _),
     "q_asof_forward" -> (asofForward _),
