@@ -456,6 +456,22 @@ object Oracles {
         |JOIN counts c1 ON doc1 = c1.doc_id
         |JOIN counts c2 ON doc2 = c2.doc_id
         |WHERE shared_grams*100 >= (c1.n_grams + c2.n_grams - shared_grams)*1""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, hx, greatest(nb // 4, 1) AS flen FROM d
+        |), x AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |    substr(hx, i*flen*2 + 1, flen*2) AS fh
+        |  FROM f CROSS JOIN (VALUES (0), (1), (2), (3)) r(i)
+        |)
+        |SELECT doc_id, frame_idx,
+        |  CAST(length(fh) // 2 AS BIGINT) AS frame_len,
+        |  substr(fh, 1, 16) AS frame_head_hex
+        |FROM x WHERE length(fh) > 0""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,

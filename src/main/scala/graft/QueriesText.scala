@@ -101,6 +101,23 @@ object QueriesText {
       )
   }
 
+  /** #64 frame-sampling plumbing in the verified surface: 4 evenly
+    * spaced byte-range "frames" per payload via
+    * [[BinaryOps.sampleFrames]] (posexplode over substring slices).
+    * Oracle parity trick: DuckDB cannot byte-slice BLOBs, but slicing
+    * the HEX string at doubled offsets IS exact byte slicing, so the
+    * frame bytes are compared as hex. */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    BinaryOps.sampleFrames(withPayload, "payload", nFrames = 4)
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame_bytes")).cast("long").as("frame_len"),
+        hex(substring(col("frame_bytes"), 1, 8)).as("frame_head_hex"))
+  }
+
   /** #38 near-dup group resolution: candidate pairs → connected
     * components → canonical keeper (min id) per group. Rows-only
     * oracle (iterative graph algorithm). */
@@ -175,6 +192,7 @@ object QueriesText {
     "q_text_quality" -> (textQuality _),
     "q_token_count" -> (tokenCount _),
     "q_doc_fingerprint" -> (docFingerprint _),
-    "q_multimodal_meta" -> (multimodalMeta _)
+    "q_multimodal_meta" -> (multimodalMeta _),
+    "q_multimodal_frames" -> (multimodalFrames _)
   )
 }

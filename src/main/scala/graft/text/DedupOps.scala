@@ -263,21 +263,14 @@ object DedupOps {
 
   /** Winnowing fingerprints (rolling Karp–Rabin sketch): hash word
     * n-grams, take the min hash of every `window` consecutive grams,
-    * keep distinct mins per doc. */
+    * keep distinct mins per doc — via the native
+    * [[graft.functions.WinnowFps]] expression (one narrow map pass;
+    * the earlier posexplode → per-doc window-min → distinct
+    * formulation shuffled AND sorted the whole gram stream). Values
+    * are bit-identical (equivalence spec in TextSpec). */
   def fingerprints(docs: DataFrame, id: String, text: Column, n: Int, window: Int): DataFrame = {
-    val th = col("__th")
-    val grams = when(size(th) < n, array().cast("array<bigint>"))
-      .otherwise(transform(
-        sequence(lit(0), size(th) - n),
-        i => xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*)
-      ))
-    val positioned = docs
-      .select(col(id), transform(TextOps.tokens(text), t => xxhash64(t)).as("__th"))
-      .select(col(id), posexplode(grams).as(Seq("pos", "h")))
-    val w = Window.partitionBy(col(id)).orderBy(col("pos")).rowsBetween(0, window - 1)
-    positioned
-      .withColumn("fp", min(col("h")).over(w))
-      .select(col(id), col("fp"))
-      .distinct()
+    graft.functions.WinnowFps.register(docs.sparkSession)
+    docs.select(col(id),
+      explode(call_function("winnow_fps", TextOps.tokens(text), lit(n), lit(window))).as("fp"))
   }
 }

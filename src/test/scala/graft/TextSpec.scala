@@ -107,6 +107,26 @@ class TextSpec extends SparkSpec {
     assert(relational.exceptAll(native).isEmpty && native.exceptAll(relational).isEmpty)
   }
 
+  test("native winnowing is bit-identical to the posexplode+window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf).where($"doc_id" < 50).select($"doc_id", $"text")
+    val n = 3; val win = 4
+    // the pre-round-2 relational pipeline, reconstructed inline
+    val th = $"__th"
+    val grams = when(size(th) < n, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), size(th) - n),
+        i => xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*)))
+    val positioned = docs
+      .select($"doc_id", transform(graft.text.TextOps.tokens($"text"), t => xxhash64(t)).as("__th"))
+      .select($"doc_id", posexplode(grams).as(Seq("pos", "h")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, win - 1)
+    val relational = positioned
+      .withColumn("fp", min($"h").over(w))
+      .select($"doc_id", $"fp").distinct()
+    val native = DedupOps.fingerprints(docs, "doc_id", $"text", n, win)
+    assert(relational.exceptAll(native).isEmpty && native.exceptAll(relational).isEmpty)
+  }
+
   test("winnowing fingerprints overlap heavily for near-identical docs") {
     val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
     val df = Seq((1L, a), (2L, a + " extra")).toDF("doc_id", "text")
