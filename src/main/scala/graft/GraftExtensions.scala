@@ -37,6 +37,11 @@ object GraftFunctions {
         case (IntegerLiteral(n), IntegerLiteral(k)) => MinHashSig(es.head, n, k)
         case other => throw new IllegalArgumentException(s"minhash_sig n/k must be int literals, got $other")
       }),
+    ("winnow_fps", info("winnow_fps", "winnow_fps(tokens, n, window) - winnowing fingerprint set"),
+      (es: Seq[Expression]) => (es(1), es(2)) match {
+        case (IntegerLiteral(n), IntegerLiteral(w)) => WinnowFps(es.head, n, w)
+        case other => throw new IllegalArgumentException(s"winnow_fps n/window must be int literals, got $other")
+      }),
     ("nfc_norm", info("nfc_norm", "nfc_norm(s) - Unicode NFC normalization"),
       (es: Seq[Expression]) => NfcNormalize(es.head)),
     ("strip_accents", info("strip_accents", "strip_accents(s) - remove combining marks"),

@@ -696,6 +696,21 @@ object Oracles {
         |      WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 20 END AS BIGINT) AS keep_rate_pct
         |  FROM documents)
         |SELECT *, (doc_id % 100) < keep_rate_pct AS sampled FROM r""".stripMargin,
+    "q_mix_upsample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE ascii(substr(source, 4, 2)) % 3
+        |      WHEN 0 THEN 100 WHEN 1 THEN 250 ELSE 50 END AS BIGINT) AS weight_pct
+        |  FROM documents
+        |), c AS (
+        |  SELECT *,
+        |    weight_pct // 100 +
+        |      CASE WHEN doc_id % 100 < weight_pct % 100 THEN 1 ELSE 0 END AS n_copies
+        |  FROM r
+        |)
+        |SELECT doc_id, source, weight_pct, CAST(i AS BIGINT) AS copy_id
+        |FROM c CROSS JOIN LATERAL (SELECT unnest(range(1, CAST(n_copies AS INT) + 1)) AS i) u
+        |WHERE n_copies > 0""".stripMargin,
     "q_unicode_norm" ->
       """SELECT doc_id,
         |  md5(nfc_normalize(text)) AS nfc_md5,

@@ -125,6 +125,23 @@ object QueriesScale {
       .withColumn("sampled", pmod(col("doc_id"), lit(100L)) < col("keep_rate_pct"))
   }
 
+  /** #65 deterministic epoch mixing: per-source sampling weights >100%
+    * UPSAMPLE (whole copies + a key-mod fraction for the remainder)
+    * and <100% subsample — one rule covers both, reproducible at any
+    * parallelism. This is the dataset-mixture materialization step of
+    * a training pipeline (e.g. 2.5 epochs of wiki, 0.5 of crawl). */
+  def mixUpsample(s: SparkSession, dir: String): DataFrame = {
+    val tier = pmod(ascii(substring(col("source"), 4, 2)), lit(3L))
+    val rate = when(tier === 0, lit(100L)).when(tier === 1, lit(250L)).otherwise(lit(50L))
+    val copies = call_function("div", rate, lit(100L)) +
+      when(pmod(col("doc_id"), lit(100L)) < pmod(rate, lit(100L)), 1L).otherwise(0L)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), rate.as("weight_pct"), copies.as("n_copies"))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("weight_pct"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+  }
+
   /** #53 Unicode normalization (native codegen expressions #NfcNormalize
     * / #StripAccents): canonical NFC fold + accent strip + dedup keys
     * over the canonical form. */
@@ -338,6 +355,7 @@ object QueriesScale {
     "q_quartiles" -> (quartiles _),
     "q_seq_pack" -> (seqPack _),
     "q_mix_sample" -> (mixSample _),
+    "q_mix_upsample" -> (mixUpsample _),
     "q_unicode_norm" -> (unicodeNorm _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_topk_words" -> (topkWords _)

@@ -20,8 +20,8 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; table is shared
     assert(GraftFunctions.all.map(_._1).toSet == Set(
-      "cosine_sim", "cosine_sim_i8", "simhash64", "minhash_sig", "nfc_norm",
-      "strip_accents", "vec_sum", "vec_min", "vec_sum_d", "topk_sketch"))
+      "cosine_sim", "cosine_sim_i8", "simhash64", "minhash_sig", "winnow_fps",
+      "nfc_norm", "strip_accents", "vec_sum", "vec_min", "vec_sum_d", "topk_sketch"))
   }
 
   test("SQL-only session resolves every injected function") {

@@ -67,6 +67,23 @@ class ScaleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mix_upsample materializes whole copies plus the key-mod fraction") {
+    val out = QueriesScale.mixUpsample(spark, sf).cache()
+    val perDoc = out.groupBy("doc_id", "weight_pct").count()
+      .as[(Long, Long, Long)].collect()
+    perDoc.foreach { case (docId, w, copies) =>
+      val expect = w / 100 + (if (docId % 100 < w % 100) 1L else 0L)
+      assert(copies == expect, s"doc $docId weight $w: $copies copies, expected $expect")
+    }
+    // 250% sources average ~2.5 copies per doc across the key space
+    val t1 = perDoc.filter(_._2 == 250L)
+    if (t1.nonEmpty) {
+      val mean = t1.map(_._3).sum.toDouble / t1.length
+      assert(mean > 2.2 && mean < 2.8, s"mean $mean")
+    }
+    out.unpersist()
+  }
+
   test("quartiles: each segment yields the 4 requested quantiles, values from real rows") {
     val out = QueriesScale.quartiles(spark, sf)
     val bySeg = out.groupBy("c_mktsegment").count().as[(String, Long)].collect().toMap
