@@ -104,6 +104,35 @@ object EventStream {
           state.setTimeoutTimestamp(s.end + gapSeconds * 1000)))
   }
 
+  /** Shared gap-merge fold: events sorted within a micro-batch but NOT
+    * across batches — a late event may land inside, before, or after
+    * the open session. In-gap membership tests the whole span and the
+    * merge takes min/max so session bounds never regress under
+    * disorder; an event older than the open session by more than the
+    * gap is a distinct past session, emitted immediately. */
+  private[streaming] def foldEvents(
+      userId: Long, cur0: Option[SessionState], events: Seq[Event], gapMs: Long
+  ): (List[Session], Option[SessionState]) = {
+    var out = List.empty[Session]
+    var cur = cur0
+    events.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
+          cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+            s.n + 1, s.total + e.value))
+        case Some(s) if t > s.end + gapMs =>
+          out ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case Some(_) =>
+          out ::= Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (out.reverse, cur)
+  }
+
   private def handler(
       gapSeconds: Long,
       setTimeout: (GroupState[SessionState], SessionState) => Unit
@@ -114,37 +143,66 @@ object EventStream {
             state.remove()
             Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
           } else {
-            val gapMs = gapSeconds * 1000
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var out = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // Events are sorted within a micro-batch but NOT across
-                // batches: a late event may land inside, before, or after
-                // the open session. In-gap membership tests the whole
-                // span and the merge takes min/max so session bounds
-                // never regress under disorder.
-                case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
-                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
-                    s.n + 1, s.total + e.value))
-                case Some(s) if t > s.end + gapMs =>
-                  out ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case Some(_) =>
-                  // Older than the open session by more than the gap: a
-                  // distinct past session; emit it without disturbing
-                  // the open one.
-                  out ::= Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
+            val (out, cur) = foldEvents(userId, state.getOption, sorted, gapSeconds * 1000)
             cur.foreach { s =>
               state.update(s)
               setTimeout(state, s)
             }
-            out.reverseIterator
+            out.iterator
           }
+
+  /** Sessionization on the Spark 4 `transformWithState` API — the
+    * successor of `flatMapGroupsWithState`: typed `ValueState` +
+    * explicit event-time TIMERS (registered at `session_end + gap`,
+    * re-registered as the session grows) instead of a single implicit
+    * timeout. Same [[foldEvents]] semantics as the other two
+    * sessionizers. Requires the RocksDB state store provider. */
+  def sessionizeTws(
+      events: Dataset[Event], gapSeconds: Long = 1800L,
+      watermarkDelay: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** Stateful processor backing [[sessionizeTws]]. */
+  class SessionProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val prev = if (state.exists()) Some(state.get()) else None
+      val (out, cur) = foldEvents(userId, prev, sorted, gapSeconds * 1000)
+      prev.foreach(s => getHandle.deleteTimer(s.end + gapSeconds * 1000))
+      cur.foreach { s =>
+        state.update(s)
+        getHandle.registerTimer(s.end + gapSeconds * 1000)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] =
+      if (state.exists()) {
+        val s = state.get()
+        state.clear()
+        Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+      } else Iterator.empty
+  }
 }

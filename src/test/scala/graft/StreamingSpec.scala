@@ -102,6 +102,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer: timers close idle sessions, merge matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(user: Long, id: Long, t: String) =
+      EventStream.Event(user, id, Timestamp.valueOf(t), 1.0)
+
+    // transformWithState requires the RocksDB state store; scope it to
+    // this query and restore the default for the other streaming specs
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeTws(in.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_tws").outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, "2026-01-01 10:00:00"), ev(1, 2, "2026-01-01 10:10:00"))
+      q.processAllAvailable()
+      // user 2 far ahead advances the watermark past user 1's end+gap;
+      // the registered timer then fires on a subsequent batch
+      in.addData(ev(2, 3, "2026-01-02 00:00:00"))
+      q.processAllAvailable()
+      in.addData(ev(2, 4, "2026-01-02 00:01:00"))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_tws").filter($"user_id" === 1L)
+        .select($"session_start".cast("string"), $"session_end".cast("string"), $"n_events")
+        .as[(String, String, Long)].collect().toSet
+      assert(u1 == Set(("2026-01-01 10:00:00", "2026-01-01 10:10:00", 2L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming dedup drops within-watermark duplicates across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
