@@ -696,6 +696,22 @@ object Oracles {
         |      WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 20 END AS BIGINT) AS keep_rate_pct
         |  FROM documents)
         |SELECT *, (doc_id % 100) < keep_rate_pct AS sampled FROM r""".stripMargin,
+    "q_copurchase" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), cnt AS (
+        |  SELECT l_partkey, count(*) AS n FROM li GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p1, p2, n_orders, c1.n AS n1, c2.n AS n2
+        |FROM pairs
+        |JOIN cnt c1 ON p1 = c1.l_partkey
+        |JOIN cnt c2 ON p2 = c2.l_partkey
+        |WHERE n_orders >= 3""".stripMargin,
     "q_mix_upsample" ->
       """WITH r AS (
         |  SELECT doc_id, source,

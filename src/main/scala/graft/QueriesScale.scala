@@ -125,6 +125,28 @@ object QueriesScale {
       .withColumn("sampled", pmod(col("doc_id"), lit(100L)) < col("keep_rate_pct"))
   }
 
+  /** #66 market-basket co-occurrence: part pairs bought in the same
+    * order, with per-part support counts. The pair expansion is keyed
+    * on the ORDER (like the n-gram postings join): work is bounded by
+    * Σ lines-per-order², never corpus², and the order key is the
+    * shuffle key so baskets stay local. */
+  def copurchase(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val support = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
+      .where(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 3)
+    pairs
+      .join(support.select(col("l_partkey").as("p1"), col("n").as("n1")), "p1")
+      .join(support.select(col("l_partkey").as("p2"), col("n").as("n2")), "p2")
+      .select("p1", "p2", "n_orders", "n1", "n2")
+  }
+
   /** #65 deterministic epoch mixing: per-source sampling weights >100%
     * UPSAMPLE (whole copies + a key-mod fraction for the remainder)
     * and <100% subsample — one rule covers both, reproducible at any
@@ -356,6 +378,7 @@ object QueriesScale {
     "q_seq_pack" -> (seqPack _),
     "q_mix_sample" -> (mixSample _),
     "q_mix_upsample" -> (mixUpsample _),
+    "q_copurchase" -> (copurchase _),
     "q_unicode_norm" -> (unicodeNorm _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_topk_words" -> (topkWords _)

@@ -42,6 +42,22 @@ object Bronze {
     * verified paths for determinism (SURVEY §3). */
   def stampIngestion(df: DataFrame, date: Column): DataFrame =
     df.withColumn("ingestion_date", date)
+
+  /** Attach observed ingestion metrics to the frame: total rows,
+    * valid rows, and per-rule violation counts are collected as a
+    * side effect of whatever action runs downstream — ZERO extra
+    * passes (the production alternative, a separate count job per
+    * metric, rescans the input once per counter). Read results via
+    * `org.apache.spark.sql.Observation` or a QueryExecutionListener. */
+  def observed(df: DataFrame, rules: Seq[Rule],
+               observation: org.apache.spark.sql.Observation): DataFrame = {
+    val perRule = rules.map(r =>
+      sum(when(!coalesce(r.cond, lit(false)), 1L).otherwise(0L)).as(s"violations_${r.name}"))
+    val metrics = Seq(
+      count(lit(1)).as("rows_total"),
+      sum(when(validCondition(rules), 1L).otherwise(0L)).as("rows_valid")) ++ perRule
+    df.observe(observation, metrics.head, metrics.tail: _*)
+  }
 }
 
 /** Silver-layer cleaning operators (reference

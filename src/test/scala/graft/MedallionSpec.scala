@@ -47,6 +47,18 @@ class MedallionSpec extends SparkSpec {
     assert(out == Set((1L, 20L, "new"), (2L, 5L, "only")))
   }
 
+  test("observed bronze metrics arrive as a side effect of one action") {
+    val rules = Seq(
+      Bronze.Rule("NULL_KEY", col("k").isNotNull),
+      Bronze.Rule("NON_POSITIVE", col("v") > 0))
+    val df = Seq((Some(1L), 5.0), (None, 1.0), (Some(2L), -1.0)).toDF("k", "v")
+    val obs = org.apache.spark.sql.Observation("bronze")
+    Bronze.observed(df, rules, obs).collect() // the only pass over the data
+    val m = obs.get
+    assert(m("rows_total") == 3L && m("rows_valid") == 1L)
+    assert(m("violations_NULL_KEY") == 1L && m("violations_NON_POSITIVE") == 1L)
+  }
+
   test("dedupLatest plan uses aggregation, not a window") {
     val plan = Silver
       .dedupLatest(Tables.events(spark, sf), Seq("user_id"), Seq(col("ts"), col("event_id")))
