@@ -696,6 +696,26 @@ object Oracles {
         |      WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 20 END AS BIGINT) AS keep_rate_pct
         |  FROM documents)
         |SELECT *, (doc_id % 100) < keep_rate_pct AS sampled FROM r""".stripMargin,
+    "q_revenue_stats" ->
+      """WITH m AS (
+        |  SELECT n_name AS nation,
+        |    date_trunc('month', o_orderdate) AS mon,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS rev_c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2
+        |), a AS (
+        |  SELECT nation, count(*) AS n_months,
+        |    CAST(sum(rev_c) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(rev_c AS HUGEINT) * CAST(rev_c AS HUGEINT)) AS DOUBLE) AS sxx
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT nation, n_months,
+        |  sx / n_months / 100.0 AS mean_revenue,
+        |  (n_months * sxx - sx * sx) / (n_months * (n_months - 1)) / 10000.0 AS var_revenue
+        |FROM a WHERE n_months > 1
+        |ORDER BY nation""".stripMargin,
     "q_copurchase" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

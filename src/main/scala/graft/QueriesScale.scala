@@ -147,6 +147,39 @@ object QueriesScale {
       .select("p1", "p2", "n_orders", "n1", "n2")
   }
 
+  /** #67 variance/stddev with exact-decimal foundations: per-nation
+    * monthly-revenue statistics from exact DECIMAL Σx and Σx² — the
+    * only floating-point steps are the FINAL divisions on
+    * exactly-agreed inputs, so results are bit-identical at any
+    * parallelism and across engines (builtin stddev/variance
+    * aggregates stream doubles and are order-dependent — unusable
+    * under the determinism contract). */
+  def revenueStats(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), date_trunc("month", col("o_orderdate")).as("mon"))
+      // integer CENTS per month: Σ and Σ² stay in exact integer /
+      // wide-decimal arithmetic on both engines (squaring a (14,2)
+      // decimal overflows DuckDB's int64 decimal storage)
+      .agg(Money.scaledSum(col("o_totalprice"), 2).as("rev_c"))
+    val c = col("rev_c").cast("decimal(20,0)")
+    monthly.groupBy("nation")
+      .agg(
+        count(lit(1)).as("n_months"),
+        sum(col("rev_c")).cast("double").as("sx"),
+        sum(c * c).cast("double").as("sxx"))
+      .where(col("n_months") > 1)
+      .select(
+        col("nation"), col("n_months"),
+        (col("sx") / col("n_months") / 100.0).as("mean_revenue"),
+        ((col("n_months") * col("sxx") - col("sx") * col("sx")) /
+          (col("n_months") * (col("n_months") - 1)) / 10000.0).as("var_revenue"))
+      .orderBy("nation")
+  }
+
   /** #65 deterministic epoch mixing: per-source sampling weights >100%
     * UPSAMPLE (whole copies + a key-mod fraction for the remainder)
     * and <100% subsample — one rule covers both, reproducible at any
@@ -379,6 +412,7 @@ object QueriesScale {
     "q_mix_sample" -> (mixSample _),
     "q_mix_upsample" -> (mixUpsample _),
     "q_copurchase" -> (copurchase _),
+    "q_revenue_stats" -> (revenueStats _),
     "q_unicode_norm" -> (unicodeNorm _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_topk_words" -> (topkWords _)
