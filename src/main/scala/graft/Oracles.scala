@@ -696,6 +696,29 @@ object Oracles {
         |      WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 20 END AS BIGINT) AS keep_rate_pct
         |  FROM documents)
         |SELECT *, (doc_id % 100) < keep_rate_pct AS sampled FROM r""".stripMargin,
+    "q_temporal_join" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        |), incoming AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+        |    c_acctbal
+        |  FROM base
+        |), changed AS (
+        |  SELECT i.c_custkey FROM incoming i JOIN base e USING (c_custkey)
+        |  WHERE i.c_mktsegment <> e.c_mktsegment
+        |), scd AS (
+        |  SELECT e.c_custkey, e.c_mktsegment, DATE '1990-01-01' AS valid_from,
+        |    CASE WHEN ch.c_custkey IS NOT NULL THEN DATE '1995-06-01' END AS valid_to
+        |  FROM base e LEFT JOIN changed ch ON e.c_custkey = ch.c_custkey
+        |  UNION ALL
+        |  SELECT i.c_custkey, i.c_mktsegment, DATE '1995-06-01', NULL
+        |  FROM incoming i JOIN changed ch ON i.c_custkey = ch.c_custkey
+        |)
+        |SELECT o_orderkey, o_orderdate, s.c_custkey, s.c_mktsegment, s.valid_from
+        |FROM orders o JOIN scd s ON o.o_custkey = s.c_custkey
+        |  AND o.o_orderdate >= s.valid_from
+        |  AND (s.valid_to IS NULL OR o.o_orderdate < s.valid_to)""".stripMargin,
     "q_revenue_stats" ->
       """WITH m AS (
         |  SELECT n_name AS nation,

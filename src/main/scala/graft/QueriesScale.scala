@@ -147,6 +147,30 @@ object QueriesScale {
       .select("p1", "p2", "n_orders", "n1", "n2")
   }
 
+  /** #68 temporal (point-in-time) dimension join: every order joins
+    * the SCD2 customer VERSION valid at its order date —
+    * `valid_from <= d < valid_to` with NULL-open current rows. The
+    * equi-key (custkey) drives a hash join; the validity range is a
+    * post-join filter, so no nested-loop appears. This is the
+    * consumption side of #8's SCD2 history. */
+  def temporalJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scd2
+    val base = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    val existing = Scd2.initialize(base, lit("1990-01-01").cast("date"))
+    val incoming = base.withColumn("c_mktsegment",
+      when(pmod(col("c_custkey"), lit(10)) === 0, lit("MOVED")).otherwise(col("c_mktsegment")))
+    val scd = Scd2.merge(existing, incoming, Seq("c_custkey"),
+      Seq("c_name", "c_mktsegment", "c_acctbal"), lit("1995-06-01").cast("date"))
+    Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_custkey")
+      .join(scd,
+        col("o_custkey") === col("c_custkey") &&
+          col("o_orderdate") >= col("valid_from") &&
+          (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .select(col("o_orderkey"), col("o_orderdate"), col("c_custkey"),
+        col("c_mktsegment"), col("valid_from"))
+  }
+
   /** #67 variance/stddev with exact-decimal foundations: per-nation
     * monthly-revenue statistics from exact DECIMAL Σx and Σx² — the
     * only floating-point steps are the FINAL divisions on
@@ -413,6 +437,7 @@ object QueriesScale {
     "q_mix_upsample" -> (mixUpsample _),
     "q_copurchase" -> (copurchase _),
     "q_revenue_stats" -> (revenueStats _),
+    "q_temporal_join" -> (temporalJoin _),
     "q_unicode_norm" -> (unicodeNorm _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_topk_words" -> (topkWords _)

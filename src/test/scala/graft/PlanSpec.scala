@@ -65,6 +65,12 @@ class PlanSpec extends SparkSpec {
     assert(!pm.contains("vec_min"), "minhash must not use the aggregate formulation")
   }
 
+  test("temporal join plans as an equi-join on the key, range as post-filter") {
+    val p = plan("q_temporal_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
   test("fact spread keeps pruning: round-robin repartition adds no ReadSchema columns") {
     val s = scanLine("q_pricing_summary")
     assert(!s.contains("l_orderkey"), "spread must not widen the scan")
