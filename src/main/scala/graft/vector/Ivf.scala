@@ -27,15 +27,20 @@ object Ivf {
     call_function("cosine_sim", a, b)
   }
 
-  /** Assign each vector to its nearest centroid. centroids: (cid,
+  /** Assign each vector to its nearest centroid (ties → smallest
+    * cid). `max_by` over (cos, -cid) instead of a window: partial
+    * aggregation combines map-side, so the shuffle carries one row
+    * per vector per map task — the window formulation shuffled AND
+    * sorted all corpus×k scored rows. centroids: (cid,
     * centroid: array<float>). */
   private def assign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String)(
       implicit s: SparkSession): DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy(col("__c").desc, col("cid"))
     corpus.crossJoin(broadcast(centroids))
       .withColumn("__c", cos(col(vecCol), col("centroid")))
-      .withColumn("__r", row_number().over(w))
-      .where(col("__r") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("cid"), struct(col("__c"), (-col("cid")).as("__nc"))).as("cid"),
+        first(col(vecCol)).as(vecCol))
       .select(col(idCol), col("cid"), col(vecCol))
   }
 
