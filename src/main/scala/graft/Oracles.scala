@@ -653,6 +653,11 @@ object Oracles {
     "q_skew_salted" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate, o_orderstatus
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
+        |  ${sumx("o_totalprice")} AS revenue, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((CAST(year(o_orderdate) AS BIGINT)), (o_orderstatus))""".stripMargin,
     "q_sales_cube" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
         |  ${sumx("o_totalprice")} AS revenue, count(*) AS n_orders

@@ -53,6 +53,19 @@ object QueriesScale {
       bigEntropy = Seq(col("l_linenumber"), col("l_quantity")))
   }
 
+  /** #69 explicit GROUPING SETS (Spark 4 `Dataset.groupingSets` API):
+    * per-year totals and per-status totals in ONE pass — the
+    * arbitrary-sets member of the family (#35 ROLLUP, #48 CUBE),
+    * without computing the cross combinations CUBE would. */
+  def salesGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      // the set expressions must be the SAME column refs as the
+      // grouping columns — stage the derived year first
+      .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+      .groupingSets(Seq(Seq(col("order_year")), Seq(col("o_orderstatus"))),
+        col("order_year"), col("o_orderstatus"))
+      .agg(Money.sumExact(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+
   /** #48 CUBE: all 2^2 grouping combinations of (year, status) in one
     * pass — the grouping-sets twin of #35's ROLLUP. */
   def salesCube(s: SparkSession, dir: String): DataFrame =
@@ -430,6 +443,7 @@ object QueriesScale {
     "q_range_join" -> (rangeJoinSessions _),
     "q_skew_salted" -> (skewSaltedJoin _),
     "q_sales_cube" -> (salesCube _),
+    "q_grouping_sets" -> (salesGroupingSets _),
     "q_window_suite" -> (windowSuite _),
     "q_quartiles" -> (quartiles _),
     "q_seq_pack" -> (seqPack _),
