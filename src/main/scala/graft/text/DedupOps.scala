@@ -248,13 +248,19 @@ object DedupOps {
         .join(labels.withColumnRenamed("id", "b"), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("label")).as("nl"))
+      // convergence is observed as a side effect of the checkpoint
+      // materialization (one job per round) instead of a separate
+      // join+count job: the old label is already in the plan, so the
+      // changed-row count rides along for free
+      val obs = new org.apache.spark.sql.Observation()
       val next = labels.join(neighborLabels, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .select(col("id"), col("label").as("__old"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .observe(obs, sum(when(col("label") =!= col("__old"), 1L).otherwise(0L)).as("changed"))
+        .select(col("id"), col("label"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).limit(1).count()
       labels = next
-      converged = changed == 0
+      converged = obs.get("changed") == 0L
       iter += 1
     }
     edges.unpersist()
