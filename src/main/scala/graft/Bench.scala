@@ -51,7 +51,14 @@ object Bench {
         // columns that don't affect cardinality and under-measure.
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t = (System.nanoTime() - t0) / 1e9
+      // session hygiene between queries: drop any cached frames and
+      // checkpoint RDDs the query left behind, so block-manager
+      // accumulation (and the GC pauses it causes) never bills one
+      // query's storage to a later query's wall time
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> (if (ok) t else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

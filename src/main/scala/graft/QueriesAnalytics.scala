@@ -163,19 +163,19 @@ object QueriesAnalytics {
       .agg(sum(Money.dec(col("l_extendedprice")) * (lit(1) - Money.dec(col("l_discount")))).cast("double"))
       .orderBy("p_brand")
 
-  /** #44 exact lower-median order value per market segment: explicit
-    * middle-element selection (row_number vs count), no float
-    * interpolation — the value is a real data point, so it's
+  /** #44 exact lower-median order value per market segment: two-pass
+    * rank selection ([[graft.operators.Quantiles]] at p50 — the lower
+    * median, rank ceil(n/2)) instead of a whole-segment window sort;
+    * no float interpolation — the value is a real data point, so it's
     * engine-portable by construction. */
   def medianOrderValue(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
-    val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice"), col("o_orderkey"))
-    o.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
-      .where(col("rn") === call_function("div", col("n") + 1, lit(2L)))
-      .select(col("c_mktsegment"), col("o_totalprice").as("median_order_value"))
+    graft.operators.Quantiles.selectAtRanks(
+      o, "c_mktsegment", col("o_totalprice"), col("o_orderkey"),
+      floor(col("o_totalprice") / 1000.0).cast("long"), Seq(50L), "median_order_value")
+      .drop("pctl")
       .orderBy("c_mktsegment")
   }
 

@@ -88,37 +88,40 @@ object QueriesScale {
       percent_rank().over(byPrice).as("price_pct_rank"))
   }
 
-  /** #50 exact discrete quantiles (p25/50/75/90) per market segment:
-    * rank-selection like #44's median — the emitted value is a real
-    * data point, so it is engine-portable with no interpolation. One
-    * window pass serves all four quantiles (the probe list is
-    * exploded, not re-scanned). */
+  /** #50 exact discrete quantiles (p25/50/75/90) per market segment
+    * via two-pass rank selection ([[graft.operators.Quantiles]]): a
+    * bucketed histogram locates each rank, then only the targeted
+    * buckets are sorted — never a whole-segment sort (5 segments would
+    * mean 5 tasks each sorting the entire fact at 100 TB). The emitted
+    * value is a real data point (rank ceil(p·n/100) under
+    * (price, orderkey) order), identical to the window formulation. */
   def quartiles(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
-    val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice"), col("o_orderkey"))
-    o.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
-      .withColumn("pctl", explode(array(lit(25L), lit(50L), lit(75L), lit(90L))))
-      // index of the discrete lower quantile: ceil(p*n/100), >= 1
-      .where(col("rn") === call_function("div", col("pctl") * col("n") + 99L, lit(100L)))
-      .select(col("c_mktsegment"), col("pctl"), col("o_totalprice").as("value"))
+    graft.operators.Quantiles.selectAtRanks(
+      o, "c_mktsegment", col("o_totalprice"), col("o_orderkey"),
+      floor(col("o_totalprice") / 1000.0).cast("long"),
+      Seq(25L, 50L, 75L, 90L), "value")
       .orderBy("c_mktsegment", "pctl")
   }
 
   /** #51 deterministic sequence packing: per source, docs in doc_id
     * order fill 2048-token packs by exclusive-prefix-sum division —
     * the streaming-fill packing a training-data pipeline runs before
-    * writing example shards. One window pass, partitioned by source. */
+    * writing example shards. The prefix sum is the two-level
+    * [[graft.operators.ScanOps.exclusivePrefixSum]] (range partition →
+    * local scan → broadcast offsets), NOT `Window.partitionBy(source)`:
+    * with a handful of sources the per-source window sorts each
+    * source's whole corpus in ONE task — a single-machine sort at
+    * 100 TB. Values are identical (equivalence spec in ScaleSpec). */
   def seqPack(s: SparkSession, dir: String): DataFrame = {
     val budget = 2048L
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    Tables.documents(s, dir)
+    val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         TextOps.wordCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("tok_before",
-        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    graft.operators.ScanOps
+      .exclusivePrefixSum(toks, Seq("source"), Seq("doc_id"), col("n_tokens"), "tok_before")
       .select(
         col("doc_id"), col("source"), col("n_tokens"),
         call_function("div", col("tok_before"), lit(budget)).as("pack_id"),
@@ -154,10 +157,13 @@ object QueriesScale {
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_orders"))
       .where(col("n_orders") >= 3)
-    pairs
+    val out = pairs
       .join(support.select(col("l_partkey").as("p1"), col("n").as("n1")), "p1")
       .join(support.select(col("l_partkey").as("p2"), col("n").as("n2")), "p2")
       .select("p1", "p2", "n_orders", "n1", "n2")
+    // the co-occurrence matrix is tiny next to the persisted basket
+    // lines: materialize it and free them
+    Caching.reap(out)(li)
   }
 
   /** #68 temporal (point-in-time) dimension join: every order joins

@@ -39,8 +39,13 @@ object QueriesVector {
     implicit val sp: SparkSession = s
     val emb = Tables.embeddings(s, dir)
     val index = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
-    Ivf.probe(index, emb.where(col("vec_id") < 10), "vec_id", "embedding", nprobe = 2, topK = 5)
+    val res = Ivf.probe(index, emb.where(col("vec_id") < 10), "vec_id", "embedding", nprobe = 2, topK = 5)
       .orderBy("query_id", "rank")
+    // the probe result is 5 rows per query: materialize it, then
+    // release the index's persisted lists/centroids
+    val out = res.localCheckpoint(true)
+    index.release()
+    out
   }
 
   /** #61 int8-quantized brute-force ANN (4× scan bandwidth, integer

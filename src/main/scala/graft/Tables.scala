@@ -25,9 +25,24 @@ object Tables {
     * scan+filter+partial-agg pipeline runs in ONE task. Spread is
     * ROUND-ROBIN, not keyed: a keyed repartition would force the key
     * column into every scan's ReadSchema and break column pruning
-    * (asserted in PlanSpec). */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    * (asserted in PlanSpec).
+    *
+    * GATED on actual scan parallelism: on a splittable layout (many
+    * files / row groups — any real cluster table) the scan already
+    * yields ≥ cores partitions and the repartition would be a pure
+    * full-fact shuffle per query, so it is skipped (spec-asserted in
+    * BucketingSpec). */
+  private[graft] def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  /** Keyed variant for tables consumed by per-key compute (documents,
+    * embeddings): same parallelism gate, hash-spread on the key. */
+  private[graft] def spreadKeyed(s: SparkSession, df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = s.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(key)
+  }
   def orders(s: SparkSession, d: String): DataFrame    = spread(s, table(s, d, "orders"))
   def lineitem(s: SparkSession, d: String): DataFrame  = spread(s, table(s, d, "lineitem"))
   /** `ts` is TIMESTAMP(NANOS) in the parquet; Spark reads it as
@@ -58,7 +73,7 @@ object Tables {
     * spread once, then compute. Filters/pruning still push through
     * the repartition into the scan. */
   def documents(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents").repartition(col("doc_id"))
+    spreadKeyed(s, table(s, d, "documents"), col("doc_id"))
   def embeddings(s: SparkSession, d: String): DataFrame =
-    table(s, d, "embeddings").repartition(col("vec_id"))
+    spreadKeyed(s, table(s, d, "embeddings"), col("vec_id"))
 }

@@ -105,7 +105,7 @@ object DedupOps {
       .join(counts.select(col(id).as("doc2"), col("n_grams").as("grams2")), "doc2")
       .withColumn("union_grams", col("grams1") + col("grams2") - col("shared_grams"))
 
-    withCounts
+    val pairs = withCounts
       .where(col("shared_grams") * 100 >= col("union_grams") * minJaccardPct)
       .select(
         col("doc1"), col("doc2"), col("shared_grams"),
@@ -115,6 +115,10 @@ object DedupOps {
           col("union_grams") * 2L
         ).as("jaccard_pct")
       )
+    // the pair set is orders of magnitude smaller than the postings:
+    // materialize it and release the postings storage (leaked caches
+    // tax every later query in the session)
+    graft.Caching.reap(pairs)(kept)
   }
 
   /** MinHash signatures: k min-hashes per doc via seeded xxhash64
@@ -164,7 +168,7 @@ object DedupOps {
 
     val a = banded.select(col(id).as("doc1"), col("sig").as("sig1"), col("band"), col("bkey"))
     val b = banded.select(col(id).as("doc2"), col("sig").as("sig2"), col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey"))
+    val pairs = a.join(b, Seq("band", "bkey"))
       .where(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"), col("sig1"), col("sig2"))
       .distinct()
@@ -177,6 +181,7 @@ object DedupOps {
       )
       .where(col("est_sim") >= minEst)
       .select("doc1", "doc2", "est_sim")
+    graft.Caching.reap(pairs)(sigs)
   }
 
   /** 64-bit SimHash per doc from the token multiset, via the native
@@ -207,13 +212,14 @@ object DedupOps {
 
     val a = banded.select(col(id).as("doc1"), col("simhash").as("h1"), col("band"), col("bkey"))
     val b = banded.select(col(id).as("doc2"), col("simhash").as("h2"), col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey"))
+    val pairs = a.join(b, Seq("band", "bkey"))
       .where(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"), col("h1"), col("h2"))
       .distinct()
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .where(col("hamming") <= maxDist)
       .select("doc1", "doc2", "hamming")
+    graft.Caching.reap(pairs)(hashes)
   }
 
   /** Resolve near-dup candidate pairs into groups and pick a
@@ -243,6 +249,7 @@ object DedupOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val prev = labels
       // each node adopts the min label among itself and its neighbors
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "b"), "b")
@@ -260,8 +267,14 @@ object DedupOps {
         .select(col("id"), col("label"))
         .localCheckpoint()
       labels = next
-      converged = obs.get("changed") == 0L
+      // null-safe: sum() over an empty labels frame observes NULL,
+      // which must read as converged (0 changed rows), not as another
+      // maxIter rounds of checkpoint jobs over empty data
+      converged = Option(obs.get("changed")).forall(_ == 0L)
       iter += 1
+      // free the superseded round's checkpoint blocks now — the
+      // ContextCleaner would only reclaim them at some future GC
+      graft.Caching.release(prev)
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))

@@ -20,7 +20,15 @@ import graft.functions.{VectorFunctions, VectorAggFunctions}
   * instead of |Q|·n. Centroid count k is the recall/speed dial.
   */
 object Ivf {
-  final case class Index(centroids: DataFrame, lists: DataFrame)
+  /** Owning handle for the built index: callers release the persisted
+    * lists/centroids when done probing (leaked caches tax every later
+    * query in the session). */
+  final case class Index(centroids: DataFrame, lists: DataFrame) {
+    def release(): Unit = {
+      lists.unpersist(blocking = false)
+      centroids.unpersist(blocking = false)
+    }
+  }
 
   private def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)(implicit s: SparkSession) = {
     VectorFunctions.register(s)

@@ -81,19 +81,52 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("qcosine"), 4).as("qcosine"))
   }
 
-  /** All pairs with cosine >= minCos (near-duplicate detection).
-    * Exact; O(n²) scored but only over `corpus` × broadcast(corpus
-    * projection) — swap in [[lshBucketTopK]] candidates at scale. */
+  /** All pairs with cosine >= minCos (near-duplicate detection) —
+    * EXACT, via a tiled self-join: block the corpus on a stable key
+    * hash, materialize each of the B(B+1)/2 block-pair tiles as one
+    * shuffle-join key, and score only within tiles.
+    *
+    * Why tiles and not LSH candidates: an exact threshold output needs
+    * recall 1, and on a continuous cosine distribution the threshold
+    * has no margin (measured on the testdata at sf0.1: 14,922 pairs
+    * ≥ 0.30 with the nearest kept/dropped pair 7e-6 apart), so ANY
+    * probabilistic bucketing either misses straddling pairs or degrades
+    * to scoring everything. Exhaustive scoring is inherent to the
+    * semantics; what scale demands is that it DISTRIBUTES: the tile id
+    * is the shuffle key, each task holds 2·(n/B) vectors (bounded by
+    * choosing B), no broadcast of the corpus, no CartesianProduct /
+    * BroadcastNestedLoopJoin in the plan (spec-asserted), and shuffle
+    * volume is n·B rows — the classic GEMM tiling. For an approximate
+    * top-k at scale use [[lshTopK]] instead; the thresholded
+    * NEAR-DUP decision (cos ≥ 0.8-ish, wide margins) can layer LSH
+    * candidates in front, but the exact threshold operator is this. */
   def cosinePairs(
-      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double
+      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      blocks: Int = 16
   )(implicit spark: SparkSession): DataFrame = {
-    val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("__v1"))
-    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("__v2"))
-    a.crossJoin(b)
-      .where(col("id1") < col("id2"))
+    val b = lit(blocks)
+    val withBlock = corpus.select(
+      col(idCol), col(vecCol),
+      pmod(xxhash64(col(idCol)), b.cast("long")).cast("int").as("__b"))
+    // a vector in block i drives row-side tiles (i, j≥i); one in block
+    // j drives col-side tiles (i≤j, j) — every unordered block pair is
+    // exactly one tile, so no pair is scored twice across tiles
+    val rows = withBlock.select(
+      col(idCol).as("id1"), col(vecCol).as("__v1"),
+      col("__b").as("__ti"), explode(sequence(col("__b"), b - 1)).as("__tj"))
+    val cols = withBlock.select(
+      col(idCol).as("id2"), col(vecCol).as("__v2"),
+      explode(sequence(lit(0), col("__b"))).as("__ti"), col("__b").as("__tj"))
+    rows.join(cols, Seq("__ti", "__tj"))
+      // diagonal tiles see both orderings: keep one; cross tiles see
+      // exactly one ordering: keep it whatever the id order
+      .where(col("__ti") =!= col("__tj") || col("id1") < col("id2"))
       .withColumn("cosine", round(cos(col("__v1"), col("__v2")), 4))
       .where(col("cosine") >= minCos)
-      .select("id1", "id2", "cosine")
+      .select(
+        least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"),
+        col("cosine"))
   }
 
   /** Deterministic hyperplanes in [-0.5, 0.5), generated driver-side

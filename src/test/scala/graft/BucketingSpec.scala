@@ -46,4 +46,27 @@ class BucketingSpec extends SparkSpec {
       .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
     assert(joined.count() == plain.count())
   }
+
+  test("spread is gated on scan parallelism: a splittable layout gets no repartition") {
+    val dir = Files.createTempDirectory("graft_split").toString
+    val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Tables.table(spark, sf, "orders").repartition(target)
+      .write.mode("overwrite").parquet(s"$dir/orders_multi")
+
+    // small split size so the tiny test files aren't packed into one
+    // partition (at real scale file sizes make the scan parallel)
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+    try {
+      // multi-file input: scan already parallel → spread must be identity
+      val multi = Tables.spread(spark, spark.read.parquet(s"$dir/orders_multi"))
+      assert(!multi.queryExecution.executedPlan.toString.contains("Exchange"),
+        "spread must not insert an exchange over an already-parallel scan")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+
+    // the driver's single-row-group layout: spread still kicks in
+    val single = Tables.spread(spark, Tables.table(spark, sf, "orders"))
+    assert(single.queryExecution.executedPlan.toString.contains("Exchange"),
+      "spread must repartition an unsplittable single-partition scan")
+  }
 }

@@ -56,13 +56,24 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges\n$p")
   }
 
-  test("simhash/minhash stages are map-only (no shuffle before the band join input)") {
-    // signatures come from narrow expressions now: the only exchanges
-    // in the whole pairs plan are the band-bucket join + distinct
-    val p = plan("q_dedup_simhash")
-    assert(!p.contains("vec_sum"), "simhash must not use the aggregate formulation")
-    val pm = plan("q_dedup_minhash")
-    assert(!pm.contains("vec_min"), "minhash must not use the aggregate formulation")
+  test("simhash/minhash signature stages are map-only (zero exchanges)") {
+    // the pairs queries checkpoint their result (cache scoping), so
+    // assert the property on the signature frames themselves: one
+    // narrow projection from the scan, not the aggregate formulation
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.table(spark, sf, "documents")
+    val sh = graft.text.DedupOps.simhash(docs, "doc_id", col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!sh.contains("Exchange") && sh.contains("simhash64"), sh)
+    val mh = graft.text.DedupOps.minhashSignaturesNative(docs, "doc_id", col("text"), 3, 32)
+      .queryExecution.executedPlan.toString
+    assert(!mh.contains("Exchange") && mh.contains("minhash_sig"), mh)
+  }
+
+  test("embedding near-dup pairs: tiled join, no cartesian / nested-loop") {
+    val p = plan("q_dedup_embedding")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
   }
 
   test("temporal join plans as an equi-join on the key, range as post-filter") {
