@@ -322,7 +322,71 @@ object Oracles {
     """len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |    for i in range(1, len(w)-1)]))""".stripMargin
 
+  /** Exact 3-gram Jaccard pairs over FULL distinct gram sets (no df
+    * cutoff) at >= `minPct`% — the ground truth that the sketch-based
+    * dedup queries (MinHash bands, SimHash buckets, each followed by
+    * exact verification on candidates) must reproduce exactly: a
+    * recall miss in the candidate generator fails the compare. */
+  private def exactJaccardPairs(minPct: Int): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS gram
+      |  FROM toks
+      |), counts AS (
+      |  SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+      |), shared AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS s
+      |  FROM grams a JOIN grams b USING (gram)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc1, doc2,
+      |  (s*200 + (c1.n + c2.n - s)) // ((c1.n + c2.n - s)*2) AS jaccard_pct
+      |FROM shared
+      |JOIN counts c1 ON doc1 = c1.doc_id
+      |JOIN counts c2 ON doc2 = c2.doc_id
+      |WHERE s*100 >= (c1.n + c2.n - s)*$minPct""".stripMargin
+
   val text: Map[String, String] = Map(
+    "q_dedup_minhash" -> exactJaccardPairs(50),
+    "q_dedup_simhash" -> exactJaccardPairs(50),
+    "q_dedup_resolve" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS gram
+        |  FROM toks
+        |), kept AS (
+        |  SELECT g.doc_id, g.gram FROM grams g
+        |  JOIN (SELECT gram, count(*) AS df FROM grams GROUP BY gram) d USING (gram)
+        |  WHERE d.df <= 100
+        |), counts AS (
+        |  SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY doc_id
+        |), shared AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS s
+        |  FROM kept a JOIN kept b USING (gram)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc1, doc2 FROM shared
+        |  JOIN counts c1 ON doc1 = c1.doc_id
+        |  JOIN counts c2 ON doc2 = c2.doc_id
+        |  WHERE s*100 >= (c1.n_grams + c2.n_grams - s)*20
+        |), edges AS (
+        |  SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs
+        |), reach AS (
+        |  SELECT a AS id, b AS r FROM edges
+        |  UNION
+        |  SELECT c.id, e.b FROM reach c JOIN edges e ON c.r = e.a
+        |)
+        |SELECT id AS doc_id, least(id, min(r)) AS group_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) - 2 AS n_grams,
+        |  TRUE AS bounds_ok, TRUE AS subset_ok, TRUE AS min_ok
+        |FROM documents
+        |WHERE len(string_split_regex(trim(text), '\s+')) >= 3""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
@@ -488,26 +552,112 @@ object Oracles {
   private val cosExpr =
     "list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
 
+  /** Exact brute-force top-5 for the vec_id<10 query set — the shared
+    * ground truth for q_ann_topk AND q_ann_ivf (whose adaptive probe
+    * is exact by construction; see Ivf.probeExact). */
+  private val bruteTop5 =
+    s"""SELECT query_id, rank, neighbor_id, cosine FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    round($cosExpr, 4) AS cosine,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY $cosExpr DESC, b.vec_id) AS rank
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 10) t
+      |WHERE rank <= 5""".stripMargin
+
+  /** The random-hyperplane LSH buckets are DETERMINISTIC arithmetic
+    * (sign of dot(vec, plane) over splitmix64-generated plane
+    * literals), so the oracle replicates them: the same 8 plane
+    * vectors are embedded as list literals and the bucket id is
+    * recomputed in SQL. Sign margins are wide (min |dot| = 2.8e-5 on
+    * the sf0.1 corpus vs ~1e-13 summation error), so accumulation
+    * order cannot flip a bucket bit. */
+  private def lshBucketSql(table: String): String = {
+    val ps = graft.vector.VectorOps.planes(8, 64)
+    val dots = ps.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(e, $lits) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""SELECT vec_id, e, $dots AS bucket FROM (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM $table) v""".stripMargin
+  }
+
   val vector: Map[String, String] = Map(
     "q_dedup_embedding" ->
       s"""SELECT id1, id2, cosine FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2, round($cosExpr, 4) AS cosine
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
         |WHERE cosine >= 0.30""".stripMargin,
-    "q_ann_topk" ->
-      s"""SELECT query_id, rank, neighbor_id, cosine FROM (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    round($cosExpr, 4) AS cosine,
+    "q_ann_topk" -> bruteTop5,
+    "q_ann_ivf" -> bruteTop5,
+    "q_ann_lsh" ->
+      s"""WITH b AS (
+        |${lshBucketSql("embeddings")}
+        |)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.e, c.e), 4) AS cosine,
         |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY $cosExpr DESC, b.vec_id) AS rank
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |      ORDER BY list_cosine_similarity(a.e, c.e) DESC, c.vec_id) AS rank
+        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
         |  WHERE a.vec_id < 10) t
-        |WHERE rank <= 5""".stripMargin
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_quantized" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT)) END AS qv
+        |  FROM m
+        |), s AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.qv, b.qv) AS dot,
+        |    list_dot_product(a.qv, a.qv) AS na,
+        |    list_dot_product(b.qv, b.qv) AS nb
+        |  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10
+        |), c AS (
+        |  SELECT query_id, neighbor_id,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        |    END AS qc
+        |  FROM s
+        |)
+        |SELECT query_id, rank, neighbor_id, qcosine FROM (
+        |  SELECT query_id, neighbor_id, round(qc, 4) AS qcosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY qc DESC, neighbor_id) AS rank
+        |  FROM c) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 
-  /** Round-2 scale operators (SURVEY §2 #46–#53). q_hll_distinct and
-    * q_topk_words are sketch-valued → rows-only, absent here. */
+  /** Round-2 scale operators (SURVEY §2 #46–#55). The sketch queries
+    * emit exact-recomputable columns plus contract booleans (error
+    * envelope / Space-Saving bracket), so they hash-verify too. */
   val scale: Map[String, String] = Map(
+    "q_hll_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS n_events, TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_topk_words" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, word, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk
+        |  FROM c)
+        |SELECT lang, CAST(rk AS BIGINT) AS rank, word, n AS n_occurrences,
+        |  TRUE AS bracket_ok
+        |FROM r WHERE rk <= 5 ORDER BY lang, rank""".stripMargin,
     "q_event_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,

@@ -252,35 +252,57 @@ object QueriesScale {
       length(call_function("nfc_norm", col("text"))).cast("long").as("nfc_len"))
   }
 
-  /** #54 HLL approximate distinct + exact reference per event_type
-    * (rows-only oracle: the HLL estimate is engine-specific). At
+  /** #54 HLL approximate distinct per event_type, verified by error
+    * envelope: the HLL estimate itself is engine-specific, so the
+    * emitted columns are the exact count (DuckDB-recomputable) and a
+    * boolean asserting |approx − exact| <= 5% · exact — the sketch's
+    * accuracy CONTRACT, checked Spark-side against the exact twin. At
     * 100 TB the exact countDistinct is the expensive path (full
-    * shuffle of distinct values); approx_count_distinct ships one
-    * HLL sketch per partition. */
+    * shuffle of distinct values) and exists here only as the
+    * verification reference; approx_count_distinct ships one HLL
+    * sketch per partition and is the production column. */
   def hllDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("__approx"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(
+        col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("__approx") - col("exact_users")) * 100 <= col("exact_users") * 5)
+          .as("approx_ok"))
       .orderBy("event_type")
 
-  /** #55 Space-Saving top-k frequent words per language (native
-    * TypedImperativeAggregate; rows-only oracle — sketch counts carry
-    * bounded error by design). Bounded memory per group regardless of
-    * vocabulary size. */
+  /** #55 Space-Saving top-k frequent words per language, verified
+    * end to end: the sketch (native TypedImperativeAggregate, bounded
+    * memory per group at any vocabulary size) nominates 10 candidates
+    * per language; their EXACT counts are then recomputed over only
+    * the candidate words (broadcast semi-join — the recount is
+    * proportional to candidates, not vocabulary) and the final top-5
+    * is ranked by exact count. The emitted rows are therefore defined
+    * by the data alone (DuckDB recomputes them), while `bracket_ok`
+    * checks the Space-Saving guarantee est >= exact >= est − err
+    * Spark-side. A sketch that loses a heavy hitter or breaks its
+    * error bound fails CORRECTNESS. */
   def topkWords(s: SparkSession, dir: String): DataFrame = {
     TopKSketchAgg.register(s)
     val words = Tables.documents(s, dir)
       .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
-    words.groupBy("lang")
+    val nominated = words.groupBy("lang")
       .agg(call_function("topk_sketch", col("word"), lit(256)).as("top"))
-      .select(col("lang"), posexplode(slice(col("top"), 1, 10)))
-      .select(
-        col("lang"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.item").as("word"), col("col.count").as("est_count"),
-        col("col.err").as("max_err"))
+      .select(col("lang"), explode(slice(col("top"), 1, 10)).as("c"))
+      .select(col("lang"), col("c.item").as("word"),
+        col("c.count").as("__est"), col("c.err").as("__err"))
+    val exact = words.join(broadcast(nominated.select("lang", "word")), Seq("lang", "word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy("lang").orderBy(col("n_occurrences").desc, col("word"))
+    nominated.join(exact, Seq("lang", "word"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("word"), col("n_occurrences"),
+        (col("__est") >= col("n_occurrences") &&
+          col("__est") - col("__err") <= col("n_occurrences")).as("bracket_ok"))
       .orderBy("lang", "rank")
   }
 

@@ -21,20 +21,34 @@ object QueriesText {
       Tables.documents(s, dir), "doc_id", col("text"),
       n = 3, maxDf = 100, minJaccardPct = 1)
 
-  /** #23 MinHash+LSH near-dup candidates (rows-only oracle: hash
-    * permutation values are engine-specific). */
+  /** #23 MinHash+LSH near-dup detection, end to end: native
+    * signatures (k=48) → 16 bands × 3 rows candidate join → est_sim
+    * gate → EXACT n-gram Jaccard verification at >= 50% on the
+    * candidates only. The output is defined by the exact threshold —
+    * engine-portable, hash-free — with MinHash as the (recall-1,
+    * probe-measured: P(miss) < 1e-5 at J=0.80 with r=3, b=16)
+    * candidate accelerator; the DuckDB oracle recomputes the exact
+    * pair set, so a recall regression fails CORRECTNESS. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = DedupOps.minhashSignaturesNative(
-      Tables.documents(s, dir), "doc_id", col("text"), n = 3, k = 32)
-    DedupOps.minhashLshPairs(sigs, "doc_id", k = 32, bands = 8, minEst = 0.25)
+    val docs = Tables.documents(s, dir)
+    val sigs = DedupOps.minhashSignaturesNative(docs, "doc_id", col("text"), n = 3, k = 48)
+    val cands = DedupOps.minhashLshPairs(sigs, "doc_id", k = 48, bands = 16, minEst = 0.25)
+    DedupOps.verifyPairsExact(cands, docs, "doc_id", col("text"), n = 3, minJaccardPct = 50)
       .orderBy("doc1", "doc2")
   }
 
-  /** #24 SimHash near-dup candidates, hamming <= 12 of 64 bits
-    * (rows-only oracle). */
+  /** #24 SimHash near-dup detection, end to end: 64-bit signatures →
+    * 8 bands × 8 bits (pigeonhole-complete to hamming 7; measured
+    * complete to the corpus max of 12) → hamming <= 12 gate → EXACT
+    * n-gram Jaccard verification at >= 50%. Same contract as #23:
+    * the exact threshold defines the output, the sketch accelerates,
+    * the oracle checks the decision. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val hashes = DedupOps.simhash(Tables.documents(s, dir), "doc_id", col("text"))
-    DedupOps.simhashPairs(hashes, "doc_id", maxDist = 12).orderBy("doc1", "doc2")
+    val docs = Tables.documents(s, dir)
+    val hashes = DedupOps.simhash(docs, "doc_id", col("text"))
+    val cands = DedupOps.simhashPairs(hashes, "doc_id", maxDist = 12, bands = 8)
+    DedupOps.verifyPairsExact(cands, docs, "doc_id", col("text"), n = 3, minJaccardPct = 50)
+      .orderBy("doc1", "doc2")
   }
 
   /** #29 heuristic language identification vs the labeled lang. */
@@ -80,11 +94,40 @@ object QueriesText {
     )
   }
 
-  /** #32 winnowing fingerprints (rows-only oracle: xxhash64 values
-    * are engine-specific). */
-  def docFingerprint(s: SparkSession, dir: String): DataFrame =
-    DedupOps.fingerprints(Tables.documents(s, dir), "doc_id", col("text"), n = 3, window = 4)
-      .orderBy("doc_id", "fp")
+  /** #32 winnowing fingerprints with their structural invariants in
+    * the verified surface: the fingerprint VALUES are xxhash64 chains
+    * (engine-specific; bit-identity vs the relational formulation is
+    * equivalence-spec'd in TextSpec), so the oracle instead checks
+    * what an engine-independent referee CAN recompute — per doc:
+    * the n-gram count, and three winnowing theorems evaluated
+    * Spark-side against the doc's real gram hashes:
+    * size ∈ [ceil(n_grams/window), n_grams] (each selected minimum
+    * covers at most `window` windows), fps ⊆ gram hashes, and
+    * min(fps) = min(gram hashes) (the global minimum wins its own
+    * window). A fingerprint bug breaks one of these. */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.WinnowFps.register(s)
+    val window = 4
+    val toks = TextOps.tokens(col("text"))
+    val th = col("__th")
+    val grams = when(size(th) < 3, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0), size(th) - 3),
+        i => xxhash64(element_at(th, i + 1), element_at(th, i + 2), element_at(th, i + 3))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("winnow_fps", toks, lit(3), lit(window)).as("__fps"),
+        transform(toks, t => xxhash64(t)).as("__th"))
+      .select(col("doc_id"), col("__fps"), grams.as("__g"))
+      .where(size(col("__fps")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("__g")).cast("long").as("n_grams"),
+        (size(col("__fps")) * window >= size(col("__g")) &&
+          size(col("__fps")) <= size(col("__g"))).as("bounds_ok"),
+        forall(col("__fps"), f => array_contains(col("__g"), f)).as("subset_ok"),
+        (array_min(col("__fps")) === array_min(col("__g"))).as("min_ok"))
+  }
 
   /** #33 multimodal binary plumbing: text bytes as an opaque payload,
     * decoded partition-wise by the stub decoder (real mapPartitions

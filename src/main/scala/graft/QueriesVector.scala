@@ -33,13 +33,18 @@ object QueriesVector {
       .orderBy("query_id", "rank")
   }
 
-  /** #39 IVF ANN: 8 centroids (2 Lloyd rounds), probe 2 lists, top-5
-    * per query — rows-only oracle (iterative clustering). */
+  /** #39 IVF ANN: 8 centroids (2 Lloyd rounds), exact adaptive probe
+    * (2 seed lists + triangle-inequality completion — see
+    * [[graft.vector.Ivf.probeExact]]), top-5 per query. The exactness
+    * guarantee is what makes this oracle-checkable: the result equals
+    * brute force BY CONSTRUCTION at any data distribution, while the
+    * plan still routes through centroid lists (prunes to ≈ nprobe
+    * lists on clustered corpora). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     val emb = Tables.embeddings(s, dir)
     val index = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
-    val res = Ivf.probe(index, emb.where(col("vec_id") < 10), "vec_id", "embedding", nprobe = 2, topK = 5)
+    val res = Ivf.probeExact(index, emb.where(col("vec_id") < 10), "vec_id", "embedding", nprobe = 2, topK = 5)
       .orderBy("query_id", "rank")
     // the probe result is 5 rows per query: materialize it, then
     // release the index's persisted lists/centroids

@@ -197,16 +197,24 @@ object DedupOps {
   }
 
   /** Near-dup pairs by SimHash hamming distance <= maxDist, using
-    * 4×16-bit band buckets (pigeonhole: dist<=3 guarantees one equal
-    * band) then exact `bit_count(xor)` verification. */
-  def simhashPairs(hashes0: DataFrame, id: String, maxDist: Int): DataFrame = {
+    * `bands` equal bit-slices as bucket keys (pigeonhole: dist <
+    * bands guarantees one equal band) then exact `bit_count(xor)`
+    * verification. Band width trades completeness against bucket
+    * selectivity: 4×16 bands are selective enough for web-scale
+    * corpora but only guarantee dist<=3; 8×8 bands guarantee dist<=7
+    * and (measured on the testdata) catch every planted near-dup up
+    * to dist 12. */
+  def simhashPairs(hashes0: DataFrame, id: String, maxDist: Int, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0)
+    val width = 64 / bands
+    val mask = (1L << width) - 1
     // one row per doc: materialize once, both join sides reuse it
     val hashes = hashes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashes.select(
       col(id), col("simhash"),
       explode(
-        transform(sequence(lit(0), lit(3)),
-          b => struct(b.as("band"), call_function("shiftright", col("simhash"), (b * 16).cast("int")).bitwiseAND(lit(0xFFFFL)).as("bkey")))
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), call_function("shiftright", col("simhash"), (b * width).cast("int")).bitwiseAND(lit(mask)).as("bkey")))
       ).as("bb")
     ).select(col(id), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
@@ -220,6 +228,40 @@ object DedupOps {
       .where(col("hamming") <= maxDist)
       .select("doc1", "doc2", "hamming")
     graft.Caching.reap(pairs)(hashes)
+  }
+
+  /** EXACT n-gram Jaccard verification of candidate pairs: the
+    * refine step of the candidate-generate → verify dedup pipeline.
+    * Recounts grams only for docs that appear in a candidate pair
+    * (broadcast semi-join gate), so the cost is proportional to the
+    * candidate set — at 100 TB the sketches (MinHash bands, SimHash
+    * buckets) cut n² down to candidates and this pass makes the final
+    * DECISION exact, which is also what makes the whole pipeline
+    * verifiable against an engine-independent oracle: the output is
+    * defined by the Jaccard threshold alone, with the sketch as a
+    * (recall-spec'd) accelerator. Emits (doc1, doc2, jaccard_pct)
+    * for candidates with exact Jaccard >= minJaccardPct. */
+  def verifyPairsExact(
+      candidates: DataFrame, docs: DataFrame, id: String, text: Column,
+      n: Int, minJaccardPct: Int
+  ): DataFrame = {
+    val grams = wordGramHashes(docs, id, text, n)
+    val inPairs = candidates.select(col("doc1").as("__d"))
+      .unionByName(candidates.select(col("doc2").as("__d"))).distinct()
+    val g = grams.join(broadcast(inPairs), col(id) === col("__d")).drop("__d")
+    val counts = g.groupBy(col(id)).agg(count(lit(1)).as("__n"))
+    val shared = candidates.select("doc1", "doc2")
+      .join(g.select(col(id).as("doc1"), col("gram")), "doc1")
+      .join(g.select(col(id).as("doc2"), col("gram")), Seq("doc2", "gram"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("__s"))
+    shared
+      .join(counts.select(col(id).as("doc1"), col("__n").as("__n1")), "doc1")
+      .join(counts.select(col(id).as("doc2"), col("__n").as("__n2")), "doc2")
+      .withColumn("__u", col("__n1") + col("__n2") - col("__s"))
+      .where(col("__s") * 100 >= col("__u") * minJaccardPct)
+      .select(col("doc1"), col("doc2"),
+        call_function("div", col("__s") * 200L + col("__u"), col("__u") * 2L).as("jaccard_pct"))
   }
 
   /** Resolve near-dup candidate pairs into groups and pick a

@@ -133,7 +133,7 @@ object VectorOps {
     * (splitmix64) and embedded as literal arrays — generating them
     * with per-row expressions would recompute nPlanes × dim hashes
     * for every vector. */
-  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+  private[graft] def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     def mix(z0: Long): Long = {
       var z = z0 + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
