@@ -57,12 +57,18 @@ object MinHashSig {
   def compute(tokens: ArrayData, n: Int, k: Int): GenericArrayData = {
     val nTok = tokens.numElements()
     if (nTok < n) return null
-    // token hashes, identical to Spark's xxhash64(token)
+    // token hashes, identical to Spark's xxhash64(token); a null
+    // element hashes to the bare seed (exactly what xxhash64(NULL)
+    // returns — null args leave the chain untouched) — the function
+    // is SQL-exposed, so a null array element must not NPE the task
     val th = new Array[Long](nTok)
     var i = 0
     while (i < nTok) {
-      val t = tokens.getUTF8String(i)
-      th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      if (tokens.isNullAt(i)) th(i) = 42L
+      else {
+        val t = tokens.getUTF8String(i)
+        th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      }
       i += 1
     }
     // per-seed base hashes (xxhash64's running chain starts at the

@@ -25,14 +25,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * The sketch keeps a bounded buffer per group per map task, partial
   * aggregation combines map-side, and the merge (counter sum +
   * cross-summary error accounting, then re-trim) is associative.
+  *
+  * The buffer pairs the item→counter map with an eviction index (a
+  * tree ordered by (count, key desc)) — the stream-summary structure
+  * of the paper — so the hot path is O(log capacity) per item, not an
+  * O(capacity) min scan per eviction.
   */
 case class TopKSketchAgg(
     child: Expression,
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[mutable.HashMap[String, TopKSketchAgg.Counter]] {
-  import TopKSketchAgg.Counter
+) extends TypedImperativeAggregate[TopKSketchAgg.Summary] {
+  import TopKSketchAgg.{Counter, Summary}
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -49,60 +54,53 @@ case class TopKSketchAgg(
     case t => TypeCheckResult.TypeCheckFailure(s"topk_sketch expects string, got ${t.simpleString}")
   }
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Counter] = mutable.HashMap.empty
+  override def createAggregationBuffer(): Summary = new Summary
 
-  override def update(buf: mutable.HashMap[String, Counter], input: InternalRow): mutable.HashMap[String, Counter] = {
+  override def update(buf: Summary, input: InternalRow): Summary = {
     val v = child.eval(input)
     if (v == null) return buf
     val item = v.asInstanceOf[UTF8String].toString
-    buf.get(item) match {
-      case Some(c) => c.count += 1
-      case None if buf.size < capacity => buf(item) = Counter(1L, 0L)
+    buf.map.get(item) match {
+      case Some(c) => buf.bump(item, c)
+      case None if buf.map.size < capacity => buf.add(item, Counter(1L, 0L))
       case None =>
         // evict the min-count counter (ties: lexicographically largest
-        // item evicted first, for deterministic merges)
-        val (mk, mc) = buf.minBy { case (k, c) => (c.count, reverse(k)) }
+        // item evicted first, for deterministic merges) — O(log cap)
+        // off the head of the eviction index
+        val (mc, mk) = buf.order.head
         buf.remove(mk)
-        buf(item) = Counter(mc.count + 1, mc.count)
+        buf.add(item, Counter(mc + 1, mc))
     }
     buf
   }
 
-  private def reverse(s: String): String = {
-    // orders ties so the lexicographically LARGEST key has the
-    // smallest sort key — a cheap deterministic eviction rule
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) { sb.append((0xFFFF - s.charAt(i)).toChar); i += 1 }
-    sb.toString
-  }
-
-  override def merge(a: mutable.HashMap[String, Counter], b: mutable.HashMap[String, Counter]): mutable.HashMap[String, Counter] = {
-    if (b.isEmpty) return a
-    if (a.isEmpty) return b
+  override def merge(a: Summary, b: Summary): Summary = {
+    if (b.map.isEmpty) return a
+    if (a.map.isEmpty) return b
     // an item absent from a full summary may still have occurred up to
     // that summary's min count — fold that in as error
-    val minA = if (a.size >= capacity) a.values.map(_.count).min else 0L
-    val minB = if (b.size >= capacity) b.values.map(_.count).min else 0L
-    val out = mutable.HashMap.empty[String, Counter]
-    a.foreach { case (k, c) =>
-      b.get(k) match {
-        case Some(cb) => out(k) = Counter(c.count + cb.count, c.err + cb.err)
-        case None => out(k) = Counter(c.count + minB, c.err + minB)
+    val minA = if (a.map.size >= capacity) a.order.head._1 else 0L
+    val minB = if (b.map.size >= capacity) b.order.head._1 else 0L
+    val merged = mutable.HashMap.empty[String, Counter]
+    a.map.foreach { case (k, c) =>
+      b.map.get(k) match {
+        case Some(cb) => merged(k) = Counter(c.count + cb.count, c.err + cb.err)
+        case None => merged(k) = Counter(c.count + minB, c.err + minB)
       }
     }
-    b.foreach { case (k, c) =>
-      if (!a.contains(k)) out(k) = Counter(c.count + minA, c.err + minA)
+    b.map.foreach { case (k, c) =>
+      if (!a.map.contains(k)) merged(k) = Counter(c.count + minA, c.err + minA)
     }
-    if (out.size <= capacity) out
-    else {
-      val kept = out.toSeq.sortBy { case (k, c) => (-c.count, k) }.take(capacity)
-      mutable.HashMap(kept: _*)
-    }
+    val kept =
+      if (merged.size <= capacity) merged.toSeq
+      else merged.toSeq.sortBy { case (k, c) => (-c.count, k) }.take(capacity)
+    val out = new Summary
+    kept.foreach { case (k, c) => out.add(k, c) }
+    out
   }
 
-  override def eval(buf: mutable.HashMap[String, Counter]): Any = {
-    val rows = buf.toSeq
+  override def eval(buf: Summary): Any = {
+    val rows = buf.map.toSeq
       .sortBy { case (k, c) => (-c.count, k) }
       .map { case (k, c) =>
         new GenericInternalRow(Array[Any](UTF8String.fromString(k), c.count, c.err))
@@ -110,11 +108,11 @@ case class TopKSketchAgg(
     new GenericArrayData(rows.toArray[Any])
   }
 
-  override def serialize(buf: mutable.HashMap[String, Counter]): Array[Byte] = {
+  override def serialize(buf: Summary): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (k, c) =>
+    out.writeInt(buf.map.size)
+    buf.map.foreach { case (k, c) =>
       val bytes = k.getBytes(StandardCharsets.UTF_8)
       out.writeInt(bytes.length); out.write(bytes)
       out.writeLong(c.count); out.writeLong(c.err)
@@ -122,15 +120,15 @@ case class TopKSketchAgg(
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Counter] = {
+  override def deserialize(bytes: Array[Byte]): Summary = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.HashMap.empty[String, Counter]
+    val buf = new Summary
     var i = 0
     while (i < n) {
       val len = in.readInt()
       val b = new Array[Byte](len); in.readFully(b)
-      buf(new String(b, StandardCharsets.UTF_8)) = Counter(in.readLong(), in.readLong())
+      buf.add(new String(b, StandardCharsets.UTF_8), Counter(in.readLong(), in.readLong()))
       i += 1
     }
     buf
@@ -144,6 +142,22 @@ case class TopKSketchAgg(
 object TopKSketchAgg {
   /** Mutable counter: observed count and max over-count. */
   final case class Counter(var count: Long, var err: Long)
+
+  /** Item→counter map plus the eviction index: a tree of (count, key)
+    * ordered by count asc then key DESC, so `order.head` is always
+    * the Space-Saving eviction victim. Both structures are kept in
+    * lockstep by [[add]]/[[remove]]/[[bump]]. */
+  final class Summary {
+    val map: mutable.HashMap[String, Counter] = mutable.HashMap.empty
+    val order: mutable.TreeSet[(Long, String)] =
+      mutable.TreeSet.empty(Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+
+    def add(k: String, c: Counter): Unit = { map(k) = c; order += ((c.count, k)) }
+    def remove(k: String): Unit = map.remove(k).foreach(c => order -= ((c.count, k)))
+    def bump(k: String, c: Counter): Unit = {
+      order -= ((c.count, k)); c.count += 1; order += ((c.count, k))
+    }
+  }
 
   /** Register `topk_sketch(item, capacity)` (capacity: int literal). */
   def register(spark: SparkSession): Unit =

@@ -51,8 +51,13 @@ object WinnowFps {
     val th = new Array[Long](nTok)
     var i = 0
     while (i < nTok) {
-      val t = tokens.getUTF8String(i)
-      th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      // null elements hash to the bare seed, like xxhash64(NULL):
+      // SQL-exposed, must not NPE (see MinHashSig)
+      if (tokens.isNullAt(i)) th(i) = 42L
+      else {
+        val t = tokens.getUTF8String(i)
+        th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      }
       i += 1
     }
     val g = new Array[Long](nGrams)

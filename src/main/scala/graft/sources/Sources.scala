@@ -57,14 +57,22 @@ object ParquetSink {
     * at 100 TB the file count (driver listing, task scheduling, open
     * cost) becomes its own bottleneck. Sizing from the actual on-disk
     * bytes, then one `repartition(n)` rewrite to a temp dir and an
-    * atomic-ish swap. Returns the new file count. */
+    * atomic-ish swap. Returns the new file count.
+    *
+    * Requires EXCLUSIVE access to `path`: the two-move swap leaves a
+    * brief window where the directory does not exist, so a concurrent
+    * reader mid-swap fails — run compaction in the maintenance slot
+    * of the table's write lock, never against a live-read path. */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(path)
-    val bytes = Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(Files.size).sum
+    // Files.walk holds directory handles until closed — leak-free via Using
+    val bytes = scala.util.Using.resource(Files.walk(dir)) { stream =>
+      stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(Files.size).sum
+    }
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp)

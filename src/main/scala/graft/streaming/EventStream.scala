@@ -108,28 +108,52 @@ object EventStream {
     * across batches — a late event may land inside, before, or after
     * the open session. In-gap membership tests the whole span and the
     * merge takes min/max so session bounds never regress under
-    * disorder; an event older than the open session by more than the
-    * gap is a distinct past session, emitted immediately. */
+    * disorder. Events older than the open session by more than the
+    * gap accumulate into a PAST session run (consecutive late events
+    * within the gap of each other merge, matching the batch twin)
+    * emitted when the run closes.
+    *
+    * Accepted divergence from the batch twin: a late event that
+    * bridges an already-emitted past session to the open one cannot
+    * retroactively merge them — Append-mode streaming never retracts
+    * emitted rows; global hindsight belongs to the batch formulation. */
   private[streaming] def foldEvents(
       userId: Long, cur0: Option[SessionState], events: Seq[Event], gapMs: Long
   ): (List[Session], Option[SessionState]) = {
     var out = List.empty[Session]
     var cur = cur0
+    var past = Option.empty[SessionState]
+    def flushPast(): Unit = past.foreach { p =>
+      out ::= Session(userId, new Timestamp(p.start), new Timestamp(p.end), p.n, p.total)
+      past = None
+    }
     events.foreach { e =>
       val t = e.ts.getTime
       cur match {
         case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
+          flushPast() // later events sort >= t, so the past run is closed
           cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
             s.n + 1, s.total + e.value))
         case Some(s) if t > s.end + gapMs =>
+          flushPast()
           out ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
           cur = Some(SessionState(t, t, 1, e.value))
         case Some(_) =>
-          out ::= Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
+          past match {
+            case Some(p) if t >= p.start - gapMs && t <= p.end + gapMs =>
+              past = Some(SessionState(math.min(p.start, t), math.max(p.end, t),
+                p.n + 1, p.total + e.value))
+            case Some(_) =>
+              flushPast()
+              past = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              past = Some(SessionState(t, t, 1, e.value))
+          }
         case None =>
           cur = Some(SessionState(t, t, 1, e.value))
       }
     }
+    flushPast()
     (out.reverse, cur)
   }
 

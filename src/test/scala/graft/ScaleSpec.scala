@@ -98,4 +98,68 @@ class ScaleSpec extends SparkSpec {
       .select($"approx_ok").as[Boolean].collect()
     assert(out.nonEmpty && out.forall(identity), out.mkString(","))
   }
+
+  test("two-level prefix sum equals the single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextOps
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", TextOps.wordCount($"text").cast("long").as("n_tokens"))
+    val twoLevel = graft.operators.ScanOps
+      .exclusivePrefixSum(toks, Seq("source"), Seq("doc_id"), $"n_tokens", "tok_before")
+      .select("doc_id", "source", "n_tokens", "tok_before")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val oneWindow = toks
+      .withColumn("tok_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+    assert(twoLevel.exceptAll(oneWindow).isEmpty && oneWindow.exceptAll(twoLevel).isEmpty)
+    // and the local scan really is partition-scoped: the big window
+    // partitions on (__pid, source), never on source alone
+    val plan = twoLevel.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("two-pass quantiles equal the whole-segment window sort") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")),
+        $"o_custkey" === $"c_custkey")
+    val twoPass = graft.operators.Quantiles.selectAtRanks(
+      o, "c_mktsegment", $"o_totalprice", $"o_orderkey",
+      floor($"o_totalprice" / 1000.0).cast("long"), Seq(25L, 50L, 75L, 90L), "value")
+    val w = Window.partitionBy("c_mktsegment").orderBy($"o_totalprice", $"o_orderkey")
+    val windowed = o
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+      .withColumn("pctl", explode(array(lit(25L), lit(50L), lit(75L), lit(90L))))
+      .where($"rn" === call_function("div", $"pctl" * $"n" + 99L, lit(100L)))
+      .select($"c_mktsegment", $"pctl", $"o_totalprice".as("value"))
+    assert(twoPass.exceptAll(windowed).isEmpty && windowed.exceptAll(twoPass).isEmpty)
+    // no window over the raw fact partitioned by segment alone
+    val plan = twoPass.queryExecution.executedPlan.toString
+    assert(!"windowspecdefinition\\(c_mktsegment#\\d+, o_totalprice".r
+      .findFirstIn(plan).isDefined, "whole-segment sort crept back in")
+  }
+
+  test("exact IVF probe equals brute force regardless of data clusteredness") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val emb = Tables.embeddings(spark, sf)
+    val idx = graft.vector.Ivf.build(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val exact = graft.vector.Ivf.probeExact(
+      idx, emb.where($"vec_id" < 5), "vec_id", "embedding", nprobe = 1, topK = 3)
+    val brute = graft.vector.VectorOps.bruteForceTopK(
+      emb.where($"vec_id" < 5), emb, "vec_id", "embedding", k = 3)
+    assert(exact.exceptAll(brute).isEmpty && brute.exceptAll(exact).isEmpty)
+    idx.release()
+  }
+
+  test("minhash_sig / winnow_fps tolerate NULL array elements (SQL surface)") {
+    graft.functions.MinHashSig.register(spark)
+    graft.functions.WinnowFps.register(spark)
+    val out = spark.sql(
+      """SELECT minhash_sig(array('a', CAST(NULL AS STRING), 'b'), 2, 4) AS sig,
+        |       winnow_fps(array('a', CAST(NULL AS STRING), 'b', 'c'), 2, 2) AS fps
+        |""".stripMargin).collect().head
+    assert(out.getSeq[Long](0).size == 4)
+    assert(out.getSeq[Long](1).nonEmpty)
+  }
 }

@@ -35,6 +35,16 @@ class SkewResolveSpec extends SparkSpec {
     assert(spread == 8)
   }
 
+  test("salted LEFT join keeps unmatched big rows exactly once") {
+    val big = Seq((1L, "a"), (2L, "b"), (3L, "orphan")).toDF("k", "v")
+    val small = Seq((1L, "x"), (2L, "y")).toDF("k", "w")
+    val out = Skew.saltedJoin(big, small, "k", 4,
+      bigEntropy = Seq(col("v")), joinType = "left")
+    val plain = big.join(small, Seq("k"), "left")
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
+    assert(out.where(col("v") === "orphan").count() == 1)
+  }
+
   test("salted join rejects join types where small-side replication duplicates output") {
     val big = Seq((1L, "a")).toDF("k", "v")
     val small = Seq((2L, "unmatched")).toDF("k", "w")
