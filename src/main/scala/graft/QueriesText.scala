@@ -37,16 +37,19 @@ object QueriesText {
       .orderBy("doc1", "doc2")
   }
 
-  /** #24 SimHash near-dup detection, end to end: 64-bit signatures →
-    * 8 bands × 8 bits (pigeonhole-complete to hamming 7; measured
-    * complete to the corpus max of 12) → hamming <= 12 gate → EXACT
-    * n-gram Jaccard verification at >= 50%. Same contract as #23:
-    * the exact threshold defines the output, the sketch accelerates,
-    * the oracle checks the decision. */
+  /** #24 SimHash near-dup detection, end to end: 64-bit GRAM-level
+    * signatures (see [[DedupOps.simhashGrams]] — token-level SimHash
+    * collapses on templated corpora) → 16 bands × 4 bits
+    * (pigeonhole-complete to hamming 15 ≥ the corpus max of 12, so
+    * candidate recall is GUARANTEED, not lucky) → hamming <= 12 gate
+    * → EXACT n-gram Jaccard verification at >= 50% on the
+    * ~candidate-sized remainder. Same contract as #23: the exact
+    * threshold defines the output, the sketch accelerates, the oracle
+    * checks the decision. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val hashes = DedupOps.simhash(docs, "doc_id", col("text"))
-    val cands = DedupOps.simhashPairs(hashes, "doc_id", maxDist = 12, bands = 8)
+    val hashes = DedupOps.simhashGrams(docs, "doc_id", col("text"), n = 3)
+    val cands = DedupOps.simhashPairs(hashes, "doc_id", maxDist = 12, bands = 16)
     DedupOps.verifyPairsExact(cands, docs, "doc_id", col("text"), n = 3, minJaccardPct = 50)
       .orderBy("doc1", "doc2")
   }

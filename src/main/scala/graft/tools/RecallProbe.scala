@@ -22,7 +22,7 @@ object RecallProbe {
     println(s"TRUTH pairs: ${truth.count()}")
 
     // simhash hamming for the true pairs
-    val hashes = DedupOps.simhash(docs, "doc_id", col("text"))
+    val hashes = DedupOps.simhashGrams(docs, "doc_id", col("text"), 3)
     val h1 = hashes.select(col("doc_id").as("doc1"), col("simhash").as("h1"))
     val h2 = hashes.select(col("doc_id").as("doc2"), col("simhash").as("h2"))
     val withHam = truth.join(h1, "doc1").join(h2, "doc2")

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+import graft.text.DedupOps
+
+/** Diagnostic main: per-stage row counts and wall times of the
+  * sketch-dedup pipelines (band-join volume vs verified pairs). */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32)
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = Tables.documents(spark, dir)
+    val hashes = DedupOps.simhashGrams(docs, "doc_id", col("text"), 3)
+    time("simhash cands (16x4, d<=12)") {
+      val c = DedupOps.simhashPairs(hashes, "doc_id", maxDist = 12, bands = 16)
+      println("  n_cands = " + c.count())
+      time("  verify") {
+        println("  verified = " +
+          DedupOps.verifyPairsExact(c, docs, "doc_id", col("text"), 3, 50).count())
+      }
+    }
+    val sigs = DedupOps.minhashSignaturesNative(docs, "doc_id", col("text"), 3, 48)
+    time("minhash cands (16x3, est>=.25)") {
+      val c = DedupOps.minhashLshPairs(sigs, "doc_id", k = 48, bands = 16, minEst = 0.25)
+      println("  n_cands = " + c.count())
+    }
+    spark.stop()
+  }
+}
