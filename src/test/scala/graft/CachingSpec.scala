@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The cache-scoping utility must actually free storage — a pattern
+  * match that silently misses the checkpoint's plan node would turn
+  * reap/release into no-ops and resurrect the round-2 leak. */
+class CachingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def persistentRddCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("release drops a localCheckpoint's blocks from the block manager") {
+    val before = persistentRddCount
+    val df = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
+    assert(persistentRddCount == before + 1, "checkpoint must register an RDD")
+    Caching.release(df)
+    assert(persistentRddCount == before, "release must unpersist the checkpoint RDD")
+  }
+
+  test("reap materializes the result and unpersists the temps") {
+    val temp = Seq(1, 2, 3, 4).toDF("x").persist()
+    temp.count()
+    assert(temp.storageLevel.useMemory, "temp should be persisted")
+    val out = Caching.reap(temp.groupBy(($"x" % 2).as("k")).count())(temp)
+    assert(!temp.storageLevel.useMemory, "reap must unpersist the temp")
+    assert(out.count() == 2) // and the result is still correct
+    Caching.release(out)
+  }
+
+  test("edge: empty inputs through the new operators") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // prefix sum over nothing
+    val scan = graft.operators.ScanOps.exclusivePrefixSum(
+      emptyDocs.withColumn("n", lit(1L)), Seq("text"), Seq("doc_id"), $"n", "before")
+    assert(scan.count() == 0)
+    // quantiles over nothing
+    val q = graft.operators.Quantiles.selectAtRanks(
+      emptyDocs, "text", $"doc_id", $"doc_id", $"doc_id", Seq(50L), "v")
+    assert(q.count() == 0)
+    // exact verify with no candidates
+    val noCands = Seq.empty[(Long, Long)].toDF("doc1", "doc2")
+    val v = graft.text.DedupOps.verifyPairsExact(
+      noCands, emptyDocs, "doc_id", $"text", 3, 50)
+    assert(v.count() == 0)
+    // resolveGroups over an empty pair set converges immediately
+    val r = graft.text.DedupOps.resolveGroups(noCands)
+    assert(r.count() == 0)
+  }
+}
