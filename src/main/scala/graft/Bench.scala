@@ -55,9 +55,11 @@ object Bench {
       // session hygiene between queries: drop any cached frames and
       // checkpoint RDDs the query left behind, so block-manager
       // accumulation (and the GC pauses it causes) never bills one
-      // query's storage to a later query's wall time
+      // query's storage to a later query's wall time. BLOCKING: the
+      // removal work itself must land here, between the timers, not
+      // race into the next query's window
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       name -> (if (ok) t else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -276,8 +276,11 @@ object QueriesScale {
 
   /** #55 Space-Saving top-k frequent words per language, verified
     * end to end: the sketch (native TypedImperativeAggregate, bounded
-    * memory per group at any vocabulary size) nominates 10 candidates
-    * per language; their EXACT counts are then recomputed over only
+    * memory per group at any vocabulary size) nominates 32 candidates
+    * per language (6× the emitted 5, so a true heavy hitter would
+    * need 28 over-counted words ranked above it to be displaced —
+    * impossible while err <= N/256 stays far below the top-5 gap);
+    * their EXACT counts are then recomputed over only
     * the candidate words (broadcast semi-join — the recount is
     * proportional to candidates, not vocabulary) and the final top-5
     * is ranked by exact count. The emitted rows are therefore defined
@@ -291,7 +294,7 @@ object QueriesScale {
       .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
     val nominated = words.groupBy("lang")
       .agg(call_function("topk_sketch", col("word"), lit(256)).as("top"))
-      .select(col("lang"), explode(slice(col("top"), 1, 10)).as("c"))
+      .select(col("lang"), explode(slice(col("top"), 1, 32)).as("c"))
       .select(col("lang"), col("c.item").as("word"),
         col("c.count").as("__est"), col("c.err").as("__err"))
     val exact = words.join(broadcast(nominated.select("lang", "word")), Seq("lang", "word"))

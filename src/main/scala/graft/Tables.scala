@@ -32,19 +32,28 @@ object Tables {
     * yields ≥ cores partitions and the repartition would be a pure
     * full-fact shuffle per query, so it is skipped (spec-asserted in
     * BucketingSpec). */
-  private[graft] def spread(s: SparkSession, df: DataFrame): DataFrame = {
+  /** Scan partition count, memoized per (path, session): `df.rdd`
+    * forces full physical planning + file listing, and the answer is
+    * constant for a given path — paying it once per session instead
+    * of several times per query keeps the gate off the driver's
+    * critical path. */
+  private val scanParts = new scala.collection.concurrent.TrieMap[(String, String), Int]
+  private def scanPartitions(s: SparkSession, df: DataFrame, path: String): Int =
+    scanParts.getOrElseUpdate((s.sparkContext.applicationId, path), df.rdd.getNumPartitions)
+
+  private[graft] def spread(s: SparkSession, df: DataFrame, path: String): DataFrame = {
     val target = s.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    if (scanPartitions(s, df, path) >= target) df else df.repartition(target)
   }
 
   /** Keyed variant for tables consumed by per-key compute (documents,
     * embeddings): same parallelism gate, hash-spread on the key. */
-  private[graft] def spreadKeyed(s: SparkSession, df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+  private[graft] def spreadKeyed(s: SparkSession, df: DataFrame, key: org.apache.spark.sql.Column, path: String): DataFrame = {
     val target = s.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(key)
+    if (scanPartitions(s, df, path) >= target) df else df.repartition(key)
   }
-  def orders(s: SparkSession, d: String): DataFrame    = spread(s, table(s, d, "orders"))
-  def lineitem(s: SparkSession, d: String): DataFrame  = spread(s, table(s, d, "lineitem"))
+  def orders(s: SparkSession, d: String): DataFrame    = spread(s, table(s, d, "orders"), s"$d/orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = spread(s, table(s, d, "lineitem"), s"$d/lineitem")
   /** `ts` is TIMESTAMP(NANOS) in the parquet; Spark reads it as
     * epoch-nanos long (`nanosAsLong`, set by [[GraftSession]]) and we
     * convert to a microsecond timestamp here with integer division
@@ -52,7 +61,7 @@ object Tables {
     * 1.7e18-scale nanos). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    spread(s, raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    spread(s, raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))), s"$d/events")
   }
 
   /** Events with `ts` still epoch-nanos long. Predicates against the
@@ -73,7 +82,7 @@ object Tables {
     * spread once, then compute. Filters/pruning still push through
     * the repartition into the scan. */
   def documents(s: SparkSession, d: String): DataFrame =
-    spreadKeyed(s, table(s, d, "documents"), col("doc_id"))
+    spreadKeyed(s, table(s, d, "documents"), col("doc_id"), s"$d/documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    spreadKeyed(s, table(s, d, "embeddings"), col("vec_id"))
+    spreadKeyed(s, table(s, d, "embeddings"), col("vec_id"), s"$d/embeddings")
 }

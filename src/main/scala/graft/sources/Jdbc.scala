@@ -47,8 +47,12 @@ object JdbcSink {
       mode: SaveMode = SaveMode.Append, maxConnections: Int = 8,
       batchSize: Int = 1000, props: Properties = new Properties
   ): Unit = {
+    // repartition, NOT coalesce: coalesce propagates its low task
+    // count up through every narrow stage, so the whole upstream
+    // computation would run at write parallelism; the bounded shuffle
+    // confines the fan-in to the write stage alone
     val bounded =
-      if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections) else df
+      if (df.rdd.getNumPartitions > maxConnections) df.repartition(maxConnections) else df
     val p = new Properties()
     p.putAll(props)
     p.setProperty("batchsize", batchSize.toString)

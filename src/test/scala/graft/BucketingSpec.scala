@@ -59,13 +59,13 @@ class BucketingSpec extends SparkSpec {
     spark.conf.set("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
     try {
       // multi-file input: scan already parallel → spread must be identity
-      val multi = Tables.spread(spark, spark.read.parquet(s"$dir/orders_multi"))
+      val multi = Tables.spread(spark, spark.read.parquet(s"$dir/orders_multi"), s"$dir/orders_multi")
       assert(!multi.queryExecution.executedPlan.toString.contains("Exchange"),
         "spread must not insert an exchange over an already-parallel scan")
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
 
     // the driver's single-row-group layout: spread still kicks in
-    val single = Tables.spread(spark, Tables.table(spark, sf, "orders"))
+    val single = Tables.spread(spark, Tables.table(spark, sf, "orders"), s"$sf/orders")
     assert(single.queryExecution.executedPlan.toString.contains("Exchange"),
       "spread must repartition an unsplittable single-partition scan")
   }
