@@ -26,7 +26,10 @@ object Ivf {
   final case class Index(centroids: DataFrame, lists: DataFrame) {
     def release(): Unit = {
       lists.unpersist(blocking = false)
-      centroids.unpersist(blocking = false)
+      // centroids are localCheckpoint-materialized (see build):
+      // unpersist() is a no-op on a checkpointed frame, release the
+      // underlying RDD blocks instead
+      graft.Caching.release(centroids)
     }
   }
 
@@ -66,9 +69,14 @@ object Ivf {
         .select(col("cid"),
           transform(col("__s"), x => (x / col("__n")).cast("float")).as("centroid"))
     }
-    val lists = assign(corpus, centroids, idCol, vecCol)
+    // materialize the k centroid rows once: every downstream consumer
+    // broadcasts them (final assign, radii, query routing), and each
+    // broadcast would otherwise re-execute the whole nested Lloyd
+    // chain — for iters rounds that's the dominant cost of the build
+    val mat = centroids.localCheckpoint(true)
+    val lists = assign(corpus, mat, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Index(centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), lists)
+    Index(mat, lists)
   }
 
   /** EXACT top-k probe: IVF with a triangle-inequality completeness
