@@ -348,6 +348,22 @@ object Oracles {
       |WHERE s*100 >= (c1.n + c2.n - s)*$minPct""".stripMargin
 
   val text: Map[String, String] = Map(
+    "q_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS gram
+        |  FROM toks
+        |), ev AS (
+        |  SELECT doc_id AS eid, gram FROM grams WHERE doc_id % 97 = 0
+        |)
+        |SELECT g.doc_id,
+        |  count(DISTINCT g.gram) AS n_shared_grams,
+        |  count(DISTINCT ev.eid) AS n_eval_docs_hit
+        |FROM grams g JOIN ev USING (gram)
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_minhash" -> exactJaccardPairs(50),
     "q_dedup_simhash" -> exactJaccardPairs(50),
     "q_dedup_resolve" ->

@@ -237,7 +237,22 @@ object QueriesText {
         .otherwise(Bronze.rejectionReason(rules)))
   }
 
+  /** #70 eval-set contamination check: every corpus doc sharing word
+    * 3-grams with the (deterministic ~1%) benchmark slice, with
+    * distinct-gram and eval-doc hit counts — the test-set-leakage
+    * gate a training pipeline runs before every data release. The
+    * eval postings broadcast; the corpus never shuffles (see
+    * [[DedupOps.contaminationReport]]). */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalSet = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    DedupOps.contaminationReport(corpus, evalSet, "doc_id", col("text"), n = 3)
+      .orderBy("doc_id")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_contamination" -> (contamination _),
     "q_json_extract" -> (jsonExtract _),
     "q_repetition" -> (repetition _),
     "q_corpus_filter" -> (corpusFilter _),

@@ -294,6 +294,33 @@ object DedupOps {
         call_function("div", col("__s") * 200L + col("__u"), col("__u") * 2L).as("jaccard_pct"))
   }
 
+  /** Benchmark-contamination report: for every corpus doc sharing at
+    * least one word n-gram with any doc of the (small) eval set, the
+    * number of distinct shared grams and of eval docs hit. This is
+    * the standard pre-training hygiene check against test-set
+    * leakage (n-gram collision detection à la GPT-3 appendix C /
+    * PaLM; n = 8–13 in production, sized to the corpus here).
+    *
+    * Scale shape: the eval side is benchmarks — thousands of docs,
+    * not terabytes — so its distinct (gram, eval_doc) postings
+    * BROADCAST; the corpus side is one narrow gram pass + a broadcast
+    * hash join, no corpus shuffle at all until the tiny per-doc
+    * aggregate of matching rows. At 100 TB the whole check costs one
+    * scan. */
+  def contaminationReport(
+      corpus: DataFrame, evalDocs: DataFrame, id: String, text: Column, n: Int
+  ): DataFrame = {
+    val corpusGrams = wordGramHashes(corpus, id, text, n)
+    val evalGrams = wordGramHashes(evalDocs, id, text, n)
+      .select(col(id).as("__eval_id"), col("gram"))
+    corpusGrams
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(id))
+      .agg(
+        countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("__eval_id")).as("n_eval_docs_hit"))
+  }
+
   /** Resolve near-dup candidate pairs into groups and pick a
     * canonical keeper per group: iterative min-label propagation
     * (each doc adopts the smallest id reachable through the pair

@@ -152,6 +152,15 @@ class ScaleSpec extends SparkSpec {
     idx.release()
   }
 
+  test("contamination report broadcasts the eval side and hits planted overlaps") {
+    val out = QueriesText.contamination(spark, sf)
+    assert(out.count() > 0, "the synthetic corpus plants near-dups of eval docs")
+    // the eval postings must come in over a broadcast join — the
+    // corpus side must not shuffle for the probe
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(8).mkString("\n"))
+  }
+
   test("minhash_sig / winnow_fps tolerate NULL array elements (SQL surface)") {
     graft.functions.MinHashSig.register(spark)
     graft.functions.WinnowFps.register(spark)
