@@ -365,6 +365,27 @@ object Oracles {
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_minhash" -> exactJaccardPairs(50),
+    "q_dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS gram
+        |  FROM toks
+        |), counts AS (
+        |  SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+        |), shared AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS s
+        |  FROM grams a JOIN grams b USING (gram)
+        |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+        |  GROUP BY 1, 2)
+        |SELECT d1 AS new_doc_id, d2 AS known_doc_id,
+        |  (s*200 + (c1.n + c2.n - s)) // ((c1.n + c2.n - s)*2) AS jaccard_pct
+        |FROM shared
+        |JOIN counts c1 ON d1 = c1.doc_id
+        |JOIN counts c2 ON d2 = c2.doc_id
+        |WHERE s*100 >= (c1.n + c2.n - s)*50
+        |ORDER BY new_doc_id, known_doc_id""".stripMargin,
     "q_dedup_simhash" -> exactJaccardPairs(50),
     "q_dedup_resolve" ->
       """WITH RECURSIVE toks AS (

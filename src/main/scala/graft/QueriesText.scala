@@ -251,8 +251,26 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  /** #71 incremental dedup: a new batch (deterministic ~10% slice)
+    * deduped AGAINST the existing corpus — the shape production
+    * pipelines actually run (band keys of the standing corpus form a
+    * probe index; the batch × corpus n² never appears). Candidates
+    * via [[DedupOps.minhashLshPairsAcross]], decision via exact
+    * Jaccard >= 50 (oracle recomputes the cross-split exact pairs). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isNew = pmod(col("doc_id"), lit(10)) === 7
+    val sigsAll = DedupOps.minhashSignaturesNative(docs, "doc_id", col("text"), n = 3, k = 48)
+    val cands = DedupOps.minhashLshPairsAcross(
+      sigsAll.where(isNew), sigsAll.where(!isNew), "doc_id", k = 48, bands = 24, minEst = 0.25)
+    DedupOps.verifyPairsExact(cands, docs, "doc_id", col("text"), n = 3, minJaccardPct = 50)
+      .select(col("doc1").as("new_doc_id"), col("doc2").as("known_doc_id"), col("jaccard_pct"))
+      .orderBy("new_doc_id", "known_doc_id")
+  }
+
   def all: Map[String, Q] = Map(
     "q_contamination" -> (contamination _),
+    "q_dedup_incremental" -> (dedupIncremental _),
     "q_json_extract" -> (jsonExtract _),
     "q_repetition" -> (repetition _),
     "q_corpus_filter" -> (corpusFilter _),

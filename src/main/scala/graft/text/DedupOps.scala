@@ -294,6 +294,41 @@ object DedupOps {
         call_function("div", col("__s") * 200L + col("__u"), col("__u") * 2L).as("jaccard_pct"))
   }
 
+  /** MinHash LSH candidates ACROSS two corpora (incremental dedup:
+    * new batch vs existing corpus). Same banding as
+    * [[minhashLshPairs]], but the join pairs left-side docs only with
+    * right-side docs — the n² of the self-join never appears, and at
+    * 100 TB the existing corpus's band keys are a precomputed index
+    * the new batch probes. Emits (doc1 = left id, doc2 = right id,
+    * est_sim). */
+  def minhashLshPairsAcross(
+      leftSigs: DataFrame, rightSigs: DataFrame, id: String,
+      k: Int, bands: Int, minEst: Double
+  ): DataFrame = {
+    require(k % bands == 0)
+    val r = k / bands
+    def banded(sigs: DataFrame) = sigs.select(
+      col(id), col("sig"),
+      explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(b, slice(col("sig"), b * r + 1, lit(r)).cast("string")).as("bkey")))
+      ).as("bb")
+    ).select(col(id), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val a = banded(leftSigs).select(col(id).as("doc1"), col("sig").as("sig1"), col("band"), col("bkey"))
+    val b = banded(rightSigs).select(col(id).as("doc2"), col("sig").as("sig2"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .select(col("doc1"), col("doc2"), col("sig1"), col("sig2"))
+      .distinct()
+      .withColumn(
+        "est_sim",
+        aggregate(
+          zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v
+        ).cast("double") / k)
+      .where(col("est_sim") >= minEst)
+      .select("doc1", "doc2", "est_sim")
+  }
+
   /** Benchmark-contamination report: for every corpus doc sharing at
     * least one word n-gram with any doc of the (small) eval set, the
     * number of distinct shared grams and of eval docs hit. This is
