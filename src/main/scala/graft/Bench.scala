@@ -64,8 +64,10 @@ object Bench {
     }
     // millisecond precision: full-precision doubles double the line
     // length, and the driver keeps only a bounded tail of the output —
-    // a JSON line that doesn't fit is a JSON line that doesn't parse
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // a JSON line that doesn't fit is a JSON line that doesn't parse.
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", v: java.lang.Double)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -114,12 +114,12 @@ object QueriesText {
     * what an engine-independent referee CAN recompute — per doc:
     * the n-gram count, and three winnowing theorems evaluated
     * Spark-side against the doc's real gram hashes:
-    * 1 <= size <= n_grams (winnow_fps emits DISTINCT minima, so the
-    * density lower bound ceil(n_grams/window) does NOT hold when
-    * repeated grams collapse — e.g. a doc of one repeated token has
-    * one distinct fingerprint over many windows), fps ⊆ gram hashes,
-    * and min(fps) = min(gram hashes) (the global minimum wins its
-    * own window). A fingerprint bug breaks one of these. */
+    * size <= n_grams plus the LAST gram's membership (its truncated
+    * window is a singleton, so its hash is always selected; note the
+    * density lower bound ceil(n_grams/window) does NOT hold — minima
+    * are emitted DISTINCT, so repeated grams collapse), fps ⊆ gram
+    * hashes, and min(fps) = min(gram hashes) (the global minimum wins
+    * its own window). A fingerprint bug breaks one of these. */
   def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     graft.functions.WinnowFps.register(s)
     val window = 4
@@ -138,8 +138,8 @@ object QueriesText {
       .select(
         col("doc_id"),
         size(col("__g")).cast("long").as("n_grams"),
-        (size(col("__fps")) >= 1 &&
-          size(col("__fps")) <= size(col("__g"))).as("bounds_ok"),
+        (size(col("__fps")) <= size(col("__g")) &&
+          array_contains(col("__fps"), element_at(col("__g"), -1))).as("bounds_ok"),
         forall(col("__fps"), f => array_contains(col("__g"), f)).as("subset_ok"),
         (array_min(col("__fps")) === array_min(col("__g"))).as("min_ok"))
   }

@@ -37,9 +37,14 @@ object Tables {
     * constant for a given path — paying it once per session instead
     * of several times per query keeps the gate off the driver's
     * critical path. */
-  private val scanParts = new scala.collection.concurrent.TrieMap[(String, String), Int]
-  private def scanPartitions(s: SparkSession, df: DataFrame, path: String): Int =
-    scanParts.getOrElseUpdate((s.sparkContext.applicationId, path), df.rdd.getNumPartitions)
+  private val scanParts = new scala.collection.concurrent.TrieMap[(String, String, String), Int]
+  private def scanPartitions(s: SparkSession, df: DataFrame, path: String): Int = {
+    // maxPartitionBytes is part of the key: it decides file splitting,
+    // and a count computed under a mutated conf (tests do this) must
+    // not poison later lookups under the default conf
+    val split = s.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    scanParts.getOrElseUpdate((s.sparkContext.applicationId, path, split), df.rdd.getNumPartitions)
+  }
 
   private[graft] def spread(s: SparkSession, df: DataFrame, path: String): DataFrame = {
     val target = s.conf.get("spark.sql.shuffle.partitions").toInt

@@ -149,15 +149,13 @@ object DedupOps {
       .where(col("sig").isNotNull)
   }
 
-  /** LSH candidate pairs from MinHash signatures: `bands` bands of
-    * `k/bands` rows; docs sharing any band bucket become candidates;
-    * estimated similarity = fraction of matching seeds. */
-  def minhashLshPairs(sigs0: DataFrame, id: String, k: Int, bands: Int, minEst: Double): DataFrame = {
-    require(k % bands == 0)
-    val r = k / bands
-    // signatures feed both sides of the bucket join: materialize once
-    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(
+  /** Band-bucket keys for a MinHash signature frame: one row per
+    * (doc, band) with `bkey` = hash of the band's seed slice. SHARED
+    * by the self-join and cross-corpus candidate generators — the
+    * cross-corpus probe only works while both sides derive
+    * bit-identical band keys, so there is exactly one derivation. */
+  private def minhashBanded(sigs: DataFrame, id: String, r: Int, bands: Int): DataFrame =
+    sigs.select(
       col(id),
       col("sig"),
       explode(
@@ -166,19 +164,30 @@ object DedupOps {
       ).as("bb")
     ).select(col(id), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
+  /** Fraction of matching seeds between two signatures (the unbiased
+    * MinHash similarity estimate). */
+  private def estSim(sig1: Column, sig2: Column, k: Int): Column =
+    aggregate(
+      zip_with(sig1, sig2, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v
+    ).cast("double") / k
+
+  /** LSH candidate pairs from MinHash signatures: `bands` bands of
+    * `k/bands` rows; docs sharing any band bucket become candidates;
+    * estimated similarity = fraction of matching seeds. */
+  def minhashLshPairs(sigs0: DataFrame, id: String, k: Int, bands: Int, minEst: Double): DataFrame = {
+    require(k % bands == 0)
+    val r = k / bands
+    // signatures feed both sides of the bucket join: materialize once
+    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = minhashBanded(sigs, id, r, bands)
     val a = banded.select(col(id).as("doc1"), col("sig").as("sig1"), col("band"), col("bkey"))
     val b = banded.select(col(id).as("doc2"), col("sig").as("sig2"), col("band"), col("bkey"))
     val pairs = a.join(b, Seq("band", "bkey"))
       .where(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"), col("sig1"), col("sig2"))
       .distinct()
-      .withColumn(
-        "est_sim",
-        aggregate(
-          zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v
-        ).cast("double") / k
-      )
+      .withColumn("est_sim", estSim(col("sig1"), col("sig2"), k))
       .where(col("est_sim") >= minEst)
       .select("doc1", "doc2", "est_sim")
     graft.Caching.reap(pairs)(sigs)
@@ -307,24 +316,14 @@ object DedupOps {
   ): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
-    def banded(sigs: DataFrame) = sigs.select(
-      col(id), col("sig"),
-      explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(b, slice(col("sig"), b * r + 1, lit(r)).cast("string")).as("bkey")))
-      ).as("bb")
-    ).select(col(id), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val a = banded(leftSigs).select(col(id).as("doc1"), col("sig").as("sig1"), col("band"), col("bkey"))
-    val b = banded(rightSigs).select(col(id).as("doc2"), col("sig").as("sig2"), col("band"), col("bkey"))
+    val a = minhashBanded(leftSigs, id, r, bands)
+      .select(col(id).as("doc1"), col("sig").as("sig1"), col("band"), col("bkey"))
+    val b = minhashBanded(rightSigs, id, r, bands)
+      .select(col(id).as("doc2"), col("sig").as("sig2"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
       .select(col("doc1"), col("doc2"), col("sig1"), col("sig2"))
       .distinct()
-      .withColumn(
-        "est_sim",
-        aggregate(
-          zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v
-        ).cast("double") / k)
+      .withColumn("est_sim", estSim(col("sig1"), col("sig2"), k))
       .where(col("est_sim") >= minEst)
       .select("doc1", "doc2", "est_sim")
   }
