@@ -110,8 +110,9 @@ object QueriesScale {
     * order fill 2048-token packs by exclusive-prefix-sum division —
     * the streaming-fill packing a training-data pipeline runs before
     * writing example shards. The prefix sum is the two-level
-    * [[graft.operators.ScanOps.exclusivePrefixSum]] (range partition →
-    * local scan → broadcast offsets), NOT `Window.partitionBy(source)`:
+    * [[graft.operators.ScanOps.exclusivePrefixSum]] (value-range
+    * buckets → local scan → broadcast offsets), NOT
+    * `Window.partitionBy(source)`:
     * with a handful of sources the per-source window sorts each
     * source's whole corpus in ONE task — a single-machine sort at
     * 100 TB. Values are identical (equivalence spec in ScaleSpec). */

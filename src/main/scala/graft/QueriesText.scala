@@ -260,9 +260,14 @@ object QueriesText {
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val isNew = pmod(col("doc_id"), lit(10)) === 7
+    // one signature pass: both probe sides filter the same cached
+    // frame instead of re-running the native sig map per side
     val sigsAll = DedupOps.minhashSignaturesNative(docs, "doc_id", col("text"), n = 3, k = 48)
-    val cands = DedupOps.minhashLshPairsAcross(
-      sigsAll.where(isNew), sigsAll.where(!isNew), "doc_id", k = 48, bands = 24, minEst = 0.25)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = graft.Caching.reap(
+      DedupOps.minhashLshPairsAcross(
+        sigsAll.where(isNew), sigsAll.where(!isNew), "doc_id", k = 48, bands = 24, minEst = 0.25)
+    )(sigsAll)
     DedupOps.verifyPairsExact(cands, docs, "doc_id", col("text"), n = 3, minJaccardPct = 50)
       .select(col("doc1").as("new_doc_id"), col("doc2").as("known_doc_id"), col("jaccard_pct"))
       .orderBy("new_doc_id", "known_doc_id")

@@ -112,10 +112,10 @@ class ScaleSpec extends SparkSpec {
     val oneWindow = toks
       .withColumn("tok_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
     assert(twoLevel.exceptAll(oneWindow).isEmpty && oneWindow.exceptAll(twoLevel).isEmpty)
-    // and the local scan really is partition-scoped: the big window
-    // partitions on (__pid, source), never on source alone
+    // and the local scan really is bucket-scoped: the big window
+    // partitions on (source, __bkt), never on source alone
     val plan = twoLevel.queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"), plan.linesIterator.take(8).mkString("\n"))
+    assert(plan.contains("__bkt"), plan.linesIterator.take(8).mkString("\n"))
   }
 
   test("two-pass quantiles equal the whole-segment window sort") {
