@@ -112,10 +112,15 @@ class ScaleSpec extends SparkSpec {
     val oneWindow = toks
       .withColumn("tok_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
     assert(twoLevel.exceptAll(oneWindow).isEmpty && oneWindow.exceptAll(twoLevel).isEmpty)
-    // and the local scan really is bucket-scoped: the big window
-    // partitions on (source, __bkt), never on source alone
+    // and the local scan really is bucket-scoped: the fact-sized
+    // window partitions on (source, __bkt) — its spec shows __bkt as
+    // a PARTITION column (followed by the doc_id sort key), and no
+    // window sorts the fact on source alone
     val plan = twoLevel.queryExecution.executedPlan.toString
-    assert(plan.contains("__bkt"), plan.linesIterator.take(8).mkString("\n"))
+    assert("windowspecdefinition\\(source#\\d+, __bkt#\\d+L?, doc_id".r.findFirstIn(plan).isDefined,
+      plan.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
+    assert(!"windowspecdefinition\\(source#\\d+, doc_id".r.findFirstIn(plan).isDefined,
+      "whole-source window sort crept back in")
   }
 
   test("two-pass quantiles equal the whole-segment window sort") {

@@ -38,6 +38,41 @@ class ScanQuantilePropertySpec extends SparkSpec {
     }
   }
 
+  test("exclusivePrefixSum keeps NULL leading keys, ordered first like the window") {
+    val df = Seq(
+      (Option(10L), 1L, "a", 3L), (Option.empty[Long], 2L, "a", 5L),
+      (Option(20L), 3L, "a", 7L), (Option.empty[Long], 4L, "a", 11L),
+      (Option(10L), 5L, "b", 13L)
+    ).toDF("k", "tie", "grp", "v")
+    val got = graft.operators.ScanOps
+      .exclusivePrefixSum(df, Seq("grp"), Seq("k", "tie"), $"v", "pfx")
+    val w = Window.partitionBy("grp").orderBy("k", "tie")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val exp = df.withColumn("pfx", coalesce(sum($"v").over(w), lit(0L)))
+    assert(got.count() == 5, "no row may vanish on a NULL key")
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+  }
+
+  test("exclusivePrefixSum survives a full-Long key span (no ANSI overflow)") {
+    val df = Seq(
+      (Long.MinValue, "a", 1L), (-7L, "a", 2L), (0L, "a", 3L),
+      (42L, "a", 4L), (Long.MaxValue, "a", 5L)
+    ).toDF("k", "grp", "v")
+    val got = graft.operators.ScanOps
+      .exclusivePrefixSum(df, Seq("grp"), Seq("k"), $"v", "pfx")
+    val w = Window.partitionBy("grp").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val exp = df.withColumn("pfx", coalesce(sum($"v").over(w), lit(0L)))
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+  }
+
+  test("exclusivePrefixSum rejects fractional leading keys loudly") {
+    val df = Seq((0.5, "a", 1L)).toDF("score", "grp", "v")
+    assertThrows[IllegalArgumentException] {
+      graft.operators.ScanOps.exclusivePrefixSum(df, Seq("grp"), Seq("score"), $"v", "pfx")
+    }
+  }
+
   test("selectAtRanks equals the window rank selection on random layouts") {
     for (seed <- 11L to 18L) {
       val df = sample(layout, seed).toDF("id", "grp", "v").repartition(3)
