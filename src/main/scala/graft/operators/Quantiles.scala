@@ -31,7 +31,12 @@ object Quantiles {
       df: DataFrame, segCol: String, value: Column, tie: Column,
       bucket: Column, pctls: Seq[Long], outCol: String
   ): DataFrame = {
-    val base = df.select(col(segCol), value.as("__val"), tie.as("__tie"), bucket.as("__bkt"))
+    // NULL values (whose bucket expression is NULL) get the sentinel
+    // bucket before all real ones: equi-joins never match NULL keys,
+    // so without it a rank landing among the NULLS FIRST rows would
+    // silently return no row for that (segment, pctl)
+    val base = df.select(col(segCol), value.as("__val"), tie.as("__tie"),
+      coalesce(bucket, lit(Long.MinValue)).as("__bkt"))
 
     // pass 1a: segment sizes → requested global ranks (tiny)
     val targets = base.groupBy(segCol).agg(count(lit(1)).as("__n"))

@@ -73,6 +73,20 @@ class ScanQuantilePropertySpec extends SparkSpec {
     }
   }
 
+  test("selectAtRanks serves ranks that land among NULL values (NULLS FIRST)") {
+    // 4 of 5 values NULL: p25 and p50 fall inside the null run
+    val df = Seq(
+      (1L, "a", Option.empty[Long]), (2L, "a", Option.empty[Long]),
+      (3L, "a", Option.empty[Long]), (4L, "a", Option.empty[Long]),
+      (5L, "a", Option(42L))
+    ).toDF("id", "grp", "v")
+    val got = graft.operators.Quantiles.selectAtRanks(
+      df, "grp", $"v", $"id", floor($"v" / 7.0).cast("long"), Seq(25L, 50L, 100L), "value")
+      .orderBy("pctl")
+      .select($"pctl", $"value").as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq((25L, None), (50L, None), (100L, Some(42L))), got.toString)
+  }
+
   test("selectAtRanks equals the window rank selection on random layouts") {
     for (seed <- 11L to 18L) {
       val df = sample(layout, seed).toDF("id", "grp", "v").repartition(3)
