@@ -158,9 +158,11 @@ object QueriesScale {
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_orders"))
       .where(col("n_orders") >= 3)
+    // per-part support is bounded by the part dimension (tiny next to
+    // the pair matrix): broadcast both enrichment joins
     val out = pairs
-      .join(support.select(col("l_partkey").as("p1"), col("n").as("n1")), "p1")
-      .join(support.select(col("l_partkey").as("p2"), col("n").as("n2")), "p2")
+      .join(broadcast(support.select(col("l_partkey").as("p1"), col("n").as("n1"))), "p1")
+      .join(broadcast(support.select(col("l_partkey").as("p2"), col("n").as("n2"))), "p2")
       .select("p1", "p2", "n_orders", "n1", "n2")
     // the co-occurrence matrix is tiny next to the persisted basket
     // lines: materialize it and free them
