@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the string-heavy dedup/mart queries thrash an 8g heap
+  // under 32 threads — GC pauses then bill to whichever query is being
+  // timed (the round-3 driver bench billed a 40 s stall to one query).
+  // The bench box has 125g; a real cluster sizes executor memory anyway.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
