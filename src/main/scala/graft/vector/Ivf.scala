@@ -3,34 +3,38 @@ package graft.vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{VectorFunctions, VectorAggFunctions}
+import graft.functions.{NearestCentroid, VectorFunctions, VectorAggFunctions}
 
 /** IVF (inverted-file) approximate nearest neighbor.
   *
-  * Build: deterministic seed centroids → `iters` Lloyd rounds
-  * (assign each vector to its nearest centroid by cosine, recompute
-  * centroids as the mean via the `vec_sum_d` aggregate) → inverted
-  * lists keyed by centroid id. Probe: route each query to its
-  * `nprobe` nearest centroids (broadcast — there are only k), scan
-  * just those lists brute-force, take top-k.
+  * Build: deterministic seed centroids → `iters` Lloyd rounds. Each
+  * round is (1) a MAP-ONLY assignment of every vector to its nearest
+  * centroid via the [[graft.functions.NearestCentroid]] expression
+  * (centroids ride along as a codegen reference object), then (2) a
+  * k-group mean aggregate (`vec_sum_d`) that map-side combines to k
+  * rows per task before the exchange. The k updated centroids are
+  * collected to the driver between rounds — k·dim floats, the same
+  * driver-side footprint a broadcast would need (this is how MLlib's
+  * KMeans iterates too). Nothing corpus-sized ever shuffles: the
+  * join-based alternative (crossJoin(broadcast) + groupBy(id)) ships
+  * every (id, cid, vector) row through an exchange per round because
+  * partial aggregation on a unique key reduces nothing.
   *
-  * Scale: the corpus is scanned once per Lloyd round and once for
-  * final assignment, all narrow + one groupBy(cid) each; the probe
-  * joins queries×lists on `cid`, so scored pairs ≈ |Q|·(n/k)·nprobe
-  * instead of |Q|·n. Centroid count k is the recall/speed dial.
+  * Probe: route each query to its `nprobe` nearest centroids
+  * (broadcast — there are only k), scan just those lists brute-force,
+  * take top-k. Scored pairs ≈ |Q|·(n/k)·nprobe instead of |Q|·n.
+  * Centroid count k is the recall/speed dial.
   */
 object Ivf {
-  /** Owning handle for the built index: callers release the persisted
-    * lists/centroids when done probing (leaked caches tax every later
-    * query in the session). */
-  final case class Index(centroids: DataFrame, lists: DataFrame) {
-    def release(): Unit = {
-      lists.unpersist(blocking = false)
-      // centroids are localCheckpoint-materialized (see build):
-      // unpersist() is a no-op on a checkpointed frame, release the
-      // underlying RDD blocks instead
-      graft.Caching.release(centroids)
-    }
+  /** Owning handle for the built index: centroid ids/vectors live on
+    * the driver (k rows); `centroids` exposes them as a local-relation
+    * DataFrame for routing joins; `lists` is the persisted inverted
+    * file (id, cid, __c = cosine to its centroid, vector). Callers
+    * release the persisted lists when done probing (leaked caches tax
+    * every later query in the session). */
+  final case class Index(cids: Array[Int], cents: Array[Array[Float]],
+                         centroids: DataFrame, lists: DataFrame) {
+    def release(): Unit = lists.unpersist(blocking = false)
   }
 
   private def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)(implicit s: SparkSession) = {
@@ -38,45 +42,47 @@ object Ivf {
     call_function("cosine_sim", a, b)
   }
 
-  /** Assign each vector to its nearest centroid (ties → smallest
-    * cid). `max_by` over (cos, -cid) instead of a window: partial
-    * aggregation combines map-side, so the shuffle carries one row
-    * per vector per map task — the window formulation shuffled AND
-    * sorted all corpus×k scored rows. centroids: (cid,
-    * centroid: array<float>). */
-  private def assign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String)(
-      implicit s: SparkSession): DataFrame = {
-    corpus.crossJoin(broadcast(centroids))
-      .withColumn("__c", cos(col(vecCol), col("centroid")))
-      .groupBy(col(idCol))
-      .agg(
-        max_by(col("cid"), struct(col("__c"), (-col("cid")).as("__nc"))).as("cid"),
-        first(col(vecCol)).as(vecCol))
-      .select(col(idCol), col("cid"), col(vecCol))
+  /** Map-only nearest-centroid projection: adds `__a = struct(cid,
+    * cos)`. Registers the expression bound to this centroid set first
+    * — analysis resolves at DataFrame construction, and every caller
+    * consumes the frame before rebinding. */
+  private def assign(corpus: DataFrame, cids: Array[Int], cents: Array[Array[Float]],
+                     vecCol: String)(implicit s: SparkSession): DataFrame = {
+    NearestCentroid.register(s, cids, cents)
+    corpus.withColumn("__a", call_function("nearest_centroid", col(vecCol)))
   }
 
   def build(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 2)(
       implicit s: SparkSession): Index = {
     VectorAggFunctions.register(s)
-    // deterministic seeds: the k smallest ids
-    var centroids = corpus.orderBy(col(idCol)).limit(k)
-      .select(row_number().over(Window.orderBy(col(idCol))).as("cid"), col(vecCol).as("centroid"))
+    // deterministic seeds: the k smallest ids (TakeOrdered — k rows)
+    var cids = (1 to k).toArray
+    var cents = corpus.orderBy(col(idCol)).limit(k).select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
     for (_ <- 0 until iters) {
-      val assigned = assign(corpus, centroids, idCol, vecCol)
-      centroids = assigned
-        .groupBy("cid")
+      val next = assign(corpus, cids, cents, vecCol)
+        .groupBy(col("__a.cid").as("__cid"))
         .agg(call_function("vec_sum_d", col(vecCol)).as("__s"), count(lit(1)).as("__n"))
-        .select(col("cid"),
-          transform(col("__s"), x => (x / col("__n")).cast("float")).as("centroid"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(2)
+          r.getInt(0) -> r.getSeq[Double](1).map(x => (x / n).toFloat).toArray
+        }
+        .sortBy(_._1) // NearestCentroid requires cid-ascending order
+      // empty clusters drop out (their cid simply stops existing)
+      cids = next.map(_._1)
+      cents = next.map(_._2)
     }
-    // materialize the k centroid rows once: every downstream consumer
-    // broadcasts them (final assign, radii, query routing), and each
-    // broadcast would otherwise re-execute the whole nested Lloyd
-    // chain — for iters rounds that's the dominant cost of the build
-    val mat = centroids.localCheckpoint(true)
-    val lists = assign(corpus, mat, idCol, vecCol)
+    val lists = assign(corpus, cids, cents, vecCol)
+      // separate projection: extracting cid AND cos from __a inside
+      // the same select would let CollapseProject inline the (non-
+      // cheap) assignment once per reference
+      .select(col(idCol), col("__a.cid").as("cid"), col("__a.cos").as("__c"), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Index(mat, lists)
+    import s.implicits._
+    val centroids = cids.zip(cents).toSeq
+      .map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "centroid")
+    Index(cids, cents, centroids, lists)
   }
 
   /** EXACT top-k probe: IVF with a triangle-inequality completeness
@@ -101,11 +107,10 @@ object Ivf {
                  nprobe: Int, topK: Int)(implicit s: SparkSession): DataFrame = {
     val eps = 1e-9
     val clamp = (c: org.apache.spark.sql.Column) => greatest(lit(-1.0), least(lit(1.0), c))
-    // angular radius per list (skips empty lists by construction)
-    val radii = index.lists
-      .join(broadcast(index.centroids), "cid")
-      .groupBy("cid")
-      .agg(max(acos(clamp(cos(col(vecCol), col("centroid"))))).as("__r"))
+    // angular radius per list, straight off the stored assignment
+    // cosine (same double arithmetic as cosine_sim — no re-join, no
+    // re-score; skips empty lists by construction)
+    val radii = index.lists.groupBy("cid").agg(max(acos(clamp(col("__c")))).as("__r"))
     val cents = index.centroids.join(radii, "cid")
 
     // per (query, list): closeness rank and best-achievable cosine
