@@ -348,6 +348,49 @@ object Oracles {
       |WHERE s*100 >= (c1.n + c2.n - s)*$minPct""".stripMargin
 
   val text: Map[String, String] = Map(
+    "q_train_split" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rare_tokens" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents
+        |), head AS (
+        |  SELECT word FROM (
+        |    SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+        |  WHERE df >= 50
+        |), per AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens, count(h.word) AS n_common
+        |  FROM tok t LEFT JOIN head h USING (word) GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_tokens - n_common AS BIGINT) AS n_rare,
+        |  CAST((n_tokens - n_common) * 1000 // n_tokens AS BIGINT) AS rare_permille
+        |FROM per""".stripMargin,
+    "q_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dfx AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    CAST(t.tf AS DOUBLE) / d.df AS score,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.term) AS rk
+        |  FROM tf t JOIN dfx d USING (term))
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        |FROM sc WHERE rk = 1""".stripMargin,
     "q_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

@@ -273,7 +273,78 @@ object QueriesText {
       .orderBy("new_doc_id", "known_doc_id")
   }
 
+  /** #72 deterministic train/val/test split: bucket on the first hex
+    * nibble of md5(doc_id) — train < 'd' (13/16), val < 'f' (2/16),
+    * test = 'f' (1/16). A hash of the STABLE KEY (never `rand()`)
+    * makes the split reproducible at any parallelism on any engine,
+    * and new documents never reshuffle old ones between splits — the
+    * property a training pipeline needs for eval hygiene. Map-only
+    * classification + a (split, lang)-group aggregate: nothing
+    * corpus-sized shuffles. */
+  def trainSplit(s: SparkSession, dir: String): DataFrame = {
+    val nibble = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val split = when(nibble < "d", "train").when(nibble < "f", "val").otherwise("test")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split.as("split"),
+        TextOps.wordCount(col("text")).cast("long").as("__nt"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .orderBy("split", "lang")
+  }
+
+  /** #73 rare-token scoring: per document, how many of its tokens
+    * fall outside the corpus head vocabulary (document frequency >=
+    * 50). High rare ratios flag gibberish/OCR noise for a corpus
+    * quality gate. Scale shape: the df aggregate map-side combines
+    * the token stream (Zipf head collapses hard); the head set —
+    * bounded by total_tokens/50 DISTINCT heavy words, not the vocab
+    * tail — broadcasts back onto the exploded stream, and the per-doc
+    * count partial-aggregates to ~1 row per doc per task before the
+    * final exchange. rare_permille is integer floor math, engine-
+    * exact. */
+  def rareTokens(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+    val head = tok.distinct().groupBy("word")
+      .agg(count(lit(1)).as("__df")).where(col("__df") >= 50)
+      .select(col("word"), lit(1L).as("__common"))
+    val nRare = col("n_tokens") - col("__nc")
+    tok.join(broadcast(head), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), count(col("__common")).as("__nc"))
+      .select(col("doc_id"), col("n_tokens"), nRare.as("n_rare"),
+        call_function("div", nRare * 1000L, col("n_tokens")).as("rare_permille"))
+  }
+
+  /** #74 keyword extraction: each document's most distinctive term by
+    * tf/df (term frequency over document frequency — tf-idf's ranking
+    * core with a rational score both engines compute bit-identically
+    * from exact integer counts; ties break on the term). df reuses
+    * the tf aggregate (df(word) = |tf rows for word|), so the token
+    * stream is shuffled once into (doc, word) groups, df is a
+    * second-level combine over that, and the top-1 window sorts only
+    * each doc's distinct-term group — never a corpus-wide sort. */
+  def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val score = col("tf").cast("double") / col("df")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(score.desc, col("term"))
+    val top = tf.join(df, "term")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), score.as("score"))
+    Caching.reap(top)(tf)
+  }
+
   def all: Map[String, Q] = Map(
+    "q_train_split" -> (trainSplit _),
+    "q_rare_tokens" -> (rareTokens _),
+    "q_tfidf_terms" -> (tfidfTerms _),
     "q_contamination" -> (contamination _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_json_extract" -> (jsonExtract _),
