@@ -297,12 +297,16 @@ object QueriesText {
     * fall outside the corpus head vocabulary (document frequency >=
     * 50). High rare ratios flag gibberish/OCR noise for a corpus
     * quality gate. Scale shape: the df aggregate map-side combines
-    * the token stream (Zipf head collapses hard); the head set —
-    * bounded by total_tokens/50 DISTINCT heavy words, not the vocab
-    * tail — broadcasts back onto the exploded stream, and the per-doc
-    * count partial-aggregates to ~1 row per doc per task before the
-    * final exchange. rare_permille is integer floor math, engine-
-    * exact. */
+    * the token stream (on natural language the Zipf head collapses
+    * hard, so the head set is small — but that is a DATA assumption,
+    * not a bound: an adversarial/non-Zipf corpus can have a head of
+    * up to total_tokens/50 distinct words). The head join therefore
+    * carries NO broadcast hint — AQE broadcasts it when its runtime
+    * size stats allow and falls back to a shuffle join when they
+    * don't, so the query never bets driver memory on the Zipf
+    * assumption. The per-doc count partial-aggregates to ~1 row per
+    * doc per task before the final exchange. rare_permille is integer
+    * floor math, engine-exact. */
   def rareTokens(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
@@ -310,7 +314,7 @@ object QueriesText {
       .agg(count(lit(1)).as("__df")).where(col("__df") >= 50)
       .select(col("word"), lit(1L).as("__common"))
     val nRare = col("n_tokens") - col("__nc")
-    tok.join(broadcast(head), Seq("word"), "left")
+    tok.join(head, Seq("word"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), count(col("__common")).as("__nc"))
       .select(col("doc_id"), col("n_tokens"), nRare.as("n_rare"),

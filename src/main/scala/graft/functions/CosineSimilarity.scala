@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *    results are deterministic and engine-comparable.
   *
   * Zero-norm inputs yield 0.0; length mismatch uses the common
-  * prefix.
+  * prefix. Null ELEMENTS read as 0.0 (they contribute nothing to the
+  * dot product or norms) — parquet schemas routinely declare
+  * element-nullable arrays even for dense embeddings, so rejecting
+  * `containsNull = true` at analysis would refuse real scans, and
+  * reading the slot blindly would return format-dependent garbage.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,8 +48,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      val yi = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -66,8 +70,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x.getFloat($i);
-         |  double $yi = (double) $y.getFloat($i);
+         |  double $xi = $x.isNullAt($i) ? 0.0 : (double) $x.getFloat($i);
+         |  double $yi = $y.isNullAt($i) ? 0.0 : (double) $y.getFloat($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0)

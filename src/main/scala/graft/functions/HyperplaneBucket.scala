@@ -15,6 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * Here the planes ride along as a reference object and codegen emits
   * one tight two-level loop; the vector is walked once per plane with
   * no intermediate arrays.
+  *
+  * Null ELEMENTS read as 0.0 (contribute nothing to the dot product),
+  * matching [[CosineSimilarity]].
   */
 case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {
@@ -35,7 +38,10 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
       val n = math.min(arr.numElements(), pl.length)
       var dot = 0.0
       var i = 0
-      while (i < n) { dot += arr.getFloat(i).toDouble * pl(i); i += 1 }
+      while (i < n) {
+        if (!arr.isNullAt(i)) dot += arr.getFloat(i).toDouble * pl(i)
+        i += 1
+      }
       if (dot > 0) bucket |= (1L << p)
       p += 1
     }
@@ -58,7 +64,7 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
          |  int $n = java.lang.Math.min($x.numElements(), $pl.length);
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += ((double) $x.getFloat($i)) * $pl[$i];
+         |    if (!$x.isNullAt($i)) $dot += ((double) $x.getFloat($i)) * $pl[$i];
          |  }
          |  if ($dot > 0) $bucket |= (1L << $p);
          |}

@@ -26,7 +26,10 @@ import org.apache.spark.sql.types._
   * janino-compile for seconds and re-walk per reference). Cosine
   * accumulation is double-precision sequential over the common
   * prefix, bit-identical to [[CosineSimilarity]] for equal-length
-  * inputs; zero-norm inputs score 0.0.
+  * inputs; zero-norm inputs score 0.0. Null ELEMENTS read as 0.0,
+  * matching [[CosineSimilarity]] — parquet schemas routinely declare
+  * element-nullable arrays even for dense embeddings, so rejecting
+  * `containsNull = true` at analysis would refuse real scans.
   */
 case class NearestCentroid(child: Expression, cids: Array[Int], cents: Array[Array[Float]])
     extends UnaryExpression {
@@ -49,7 +52,10 @@ case class NearestCentroid(child: Expression, cids: Array[Int], cents: Array[Arr
     // accumulate once, same sequential order as CosineSimilarity
     var nx = 0.0
     var i = 0
-    while (i < xn) { val xi = x.getFloat(i).toDouble; nx += xi * xi; i += 1 }
+    while (i < xn) {
+      val xi = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      nx += xi * xi; i += 1
+    }
     var best = 0
     var bestc = Double.NegativeInfinity
     var p = 0
@@ -59,7 +65,7 @@ case class NearestCentroid(child: Expression, cids: Array[Int], cents: Array[Arr
       var dot = 0.0; var ny = 0.0
       var j = 0
       while (j < n) {
-        val xj = x.getFloat(j).toDouble
+        val xj = if (x.isNullAt(j)) 0.0 else x.getFloat(j).toDouble
         val yj = c(j).toDouble
         dot += xj * yj; ny += yj * yj
         j += 1
@@ -94,7 +100,7 @@ case class NearestCentroid(child: Expression, cids: Array[Int], cents: Array[Arr
          |int $xn = $x.numElements();
          |double $nx = 0.0;
          |for (int $i = 0; $i < $xn; $i++) {
-         |  double $xi = (double) $x.getFloat($i);
+         |  double $xi = $x.isNullAt($i) ? 0.0 : (double) $x.getFloat($i);
          |  $nx += $xi * $xi;
          |}
          |int $best = 0;
@@ -104,7 +110,7 @@ case class NearestCentroid(child: Expression, cids: Array[Int], cents: Array[Arr
          |  int $n = java.lang.Math.min($xn, $c.length);
          |  double $dot = 0.0; double $ny = 0.0;
          |  for (int $j = 0; $j < $n; $j++) {
-         |    double $xj = (double) $x.getFloat($j);
+         |    double $xj = $x.isNullAt($j) ? 0.0 : (double) $x.getFloat($j);
          |    double $yj = (double) $c[$j];
          |    $dot += $xj * $yj; $ny += $yj * $yj;
          |  }
@@ -125,8 +131,16 @@ object NearestCentroid {
     * the session (analysis resolves the function at DataFrame
     * construction, so each caller registers-then-builds in order). */
   def register(spark: SparkSession, cids: Array[Int], cents: Array[Array[Float]]): Unit =
+    registerAs(spark, "nearest_centroid", cids, cents)
+
+  /** Register under a caller-chosen name. Concurrent index builds on
+    * one session each bind their own name, so two in-flight centroid
+    * sets can never cross-resolve (the shared-name variant relies on
+    * eager analysis + single-threaded builds). */
+  def registerAs(spark: SparkSession, name: String,
+                 cids: Array[Int], cents: Array[Array[Float]]): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nearest_centroid",
+      name,
       exprs => NearestCentroid(exprs.head, cids, cents),
       "built-in")
 }

@@ -18,6 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
   * integer dot/norms give the quantized cosine directly. Accumulation
   * is exact 64-bit integer arithmetic (deterministic at any
   * parallelism); only the final division is floating point.
+  *
+  * Null ELEMENTS read as 0 (contribute nothing), matching
+  * [[CosineSimilarity]].
   */
 case class QuantizedCosine(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -51,8 +54,8 @@ object QuantizedCosine {
     var dot = 0L; var na = 0L; var nb = 0L
     var i = 0
     while (i < n) {
-      val x = a.getByte(i).toLong
-      val y = b.getByte(i).toLong
+      val x = if (a.isNullAt(i)) 0L else a.getByte(i).toLong
+      val y = if (b.isNullAt(i)) 0L else b.getByte(i).toLong
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }

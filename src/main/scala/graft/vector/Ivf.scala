@@ -42,23 +42,32 @@ object Ivf {
     call_function("cosine_sim", a, b)
   }
 
+  private val fnCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Map-only nearest-centroid projection: adds `__a = struct(cid,
-    * cos)`. Registers the expression bound to this centroid set first
-    * — analysis resolves at DataFrame construction, and every caller
-    * consumes the frame before rebinding. */
+    * cos)`. Each call binds its centroid set under a unique temp
+    * function name, so concurrent builds on one session can't
+    * cross-resolve; Dataset analysis is eager, so the name can be
+    * dropped again before returning (the resolved plan holds the
+    * expression instance, not the name). */
   private def assign(corpus: DataFrame, cids: Array[Int], cents: Array[Array[Float]],
                      vecCol: String)(implicit s: SparkSession): DataFrame = {
-    NearestCentroid.register(s, cids, cents)
-    corpus.withColumn("__a", call_function("nearest_centroid", col(vecCol)))
+    val fn = s"__nearest_centroid_${fnCounter.incrementAndGet()}"
+    NearestCentroid.registerAs(s, fn, cids, cents)
+    try corpus.withColumn("__a", call_function(fn, col(vecCol)))
+    finally s.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fn))
   }
 
   def build(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 2)(
       implicit s: SparkSession): Index = {
     VectorAggFunctions.register(s)
-    // deterministic seeds: the k smallest ids (TakeOrdered — k rows)
-    var cids = (1 to k).toArray
+    // deterministic seeds: the k smallest ids (TakeOrdered — k rows).
+    // A corpus smaller than k just yields a smaller index.
     var cents = corpus.orderBy(col(idCol)).limit(k).select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray)
+    require(cents.nonEmpty, "Ivf.build needs a non-empty corpus")
+    var cids = (1 to cents.length).toArray
     for (_ <- 0 until iters) {
       val next = assign(corpus, cids, cents, vecCol)
         .groupBy(col("__a.cid").as("__cid"))

@@ -32,6 +32,17 @@ class IvfSpec extends SparkSpec {
     assert(index.lists.select("vec_id").distinct().count() == emb.count())
   }
 
+  test("k larger than the corpus degrades to a smaller index") {
+    val emb = Tables.embeddings(spark, sf).where($"vec_id" < 5)
+    val index = Ivf.build(emb, "vec_id", "embedding", k = 64, iters = 2)
+    assert(index.cids.length <= 5 && index.cids.nonEmpty)
+    assert(index.lists.count() == 5) // every vector still lands in a list
+    val out = Ivf.probe(index, emb.where($"vec_id" < 1), "vec_id", "embedding",
+      nprobe = 2, topK = 2)
+    assert(out.count() > 0)
+    index.release()
+  }
+
   test("map-only NearestCentroid assignment == join-based max_by assignment") {
     val emb = Tables.embeddings(spark, sf)
     val index = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)

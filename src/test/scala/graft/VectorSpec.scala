@@ -75,6 +75,33 @@ class VectorSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("null array ELEMENTS read as 0 across all vector expressions") {
+    VectorFunctions.register(spark)
+    graft.functions.QuantizedCosine.register(spark)
+    // (1, null, 2) must behave exactly like (1, 0, 2) — parquet dense
+    // embeddings are routinely element-nullable in the schema.
+    val d = spark.range(1).select(
+      expr("cast(array(1.0, null, 2.0) as array<float>)").as("a"),
+      expr("cast(array(1.0, 0.0, 2.0) as array<float>)").as("b"))
+    val row = d.select(
+      expr("cosine_sim(a, b)").as("cos"),
+      expr("cosine_sim(a, a)").as("self"),
+      VectorOps.lshBucket($"a", 4, 3).as("ba"),
+      VectorOps.lshBucket($"b", 4, 3).as("bb"),
+      expr("cosine_sim_i8(cast(array(1, null, 2) as array<tinyint>), cast(array(1, 0, 2) as array<tinyint>))").as("qc")
+    ).collect().head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12, "cosine: null elem != 0")
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12, "cosine self: null elem != 0")
+    assert(row.getLong(2) == row.getLong(3), "hyperplane_bucket: null elem != 0")
+    assert(math.abs(row.getDouble(4) - 1.0) < 1e-12, "cosine_sim_i8: null elem != 0")
+
+    graft.functions.NearestCentroid.register(
+      spark, Array(1, 2), Array(Array(1f, 0f, 2f), Array(-1f, 0f, -2f)))
+    val nc = d.select(expr("nearest_centroid(a)").as("n")).select($"n.cid", $"n.cos")
+      .as[(Int, Double)].collect().head
+    assert(nc._1 == 1 && math.abs(nc._2 - 1.0) < 1e-12, s"nearest_centroid: $nc")
+  }
+
   test("lshTopK returns a subset of brute-force candidates with correct scores") {
     val emb = Tables.embeddings(spark, sf).limit(200)
     val q = emb.where($"vec_id" < 3)
