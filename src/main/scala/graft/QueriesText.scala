@@ -295,7 +295,10 @@ object QueriesText {
 
   /** #73 rare-token scoring: per document, how many of its tokens
     * fall outside the corpus head vocabulary (document frequency >=
-    * 50). High rare ratios flag gibberish/OCR noise for a corpus
+    * 50 — `tok.distinct()` reduces the stream to one row per
+    * (doc, word) first, so the count is distinct DOCUMENTS containing
+    * the word, not total occurrences). High rare ratios flag
+    * gibberish/OCR noise for a corpus
     * quality gate. Scale shape: the df aggregate map-side combines
     * the token stream (on natural language the Zipf head collapses
     * hard, so the head set is small — but that is a DATA assumption,

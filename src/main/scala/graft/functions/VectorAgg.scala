@@ -41,15 +41,19 @@ abstract class ElementwiseLongAgg extends TypedImperativeAggregate[Array[Long]] 
     if (v == null) return buffer
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // null elements read as 0 — the convention all graft vector
+    // expressions share; reading an UnsafeArrayData null slot blindly
+    // yields format-dependent garbage.
+    def elem(i: Int): Long = if (arr.isNullAt(i)) 0L else arr.getLong(i)
     if (buffer.isEmpty) {
       val fresh = new Array[Long](n)
       var i = 0
-      while (i < n) { fresh(i) = arr.getLong(i); i += 1 }
+      while (i < n) { fresh(i) = elem(i); i += 1 }
       fresh
     } else {
       var i = 0
       val m = math.min(n, buffer.length)
-      while (i < m) { buffer(i) = combine(buffer(i), arr.getLong(i)); i += 1 }
+      while (i < m) { buffer(i) = combine(buffer(i), elem(i)); i += 1 }
       buffer
     }
   }
@@ -143,7 +147,10 @@ case class VectorSumDoubleAgg(
     if (v == null) return buffer
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    def elem(i: Int): Double = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+    def elem(i: Int): Double =
+      if (arr.isNullAt(i)) 0.0
+      else if (isFloat) arr.getFloat(i).toDouble
+      else arr.getDouble(i)
     if (buffer.isEmpty) Array.tabulate(n)(elem)
     else {
       var i = 0

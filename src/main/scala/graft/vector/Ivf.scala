@@ -62,14 +62,18 @@ object Ivf {
   def build(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 2)(
       implicit s: SparkSession): Index = {
     VectorAggFunctions.register(s)
+    // null-vector rows are unindexable: a null seed would NPE below
+    // and a null assignment would surface as a null __a group in the
+    // Lloyd collect. The index simply excludes them.
+    val corp = corpus.where(col(vecCol).isNotNull)
     // deterministic seeds: the k smallest ids (TakeOrdered — k rows).
     // A corpus smaller than k just yields a smaller index.
-    var cents = corpus.orderBy(col(idCol)).limit(k).select(col(vecCol))
+    var cents = corp.orderBy(col(idCol)).limit(k).select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray)
     require(cents.nonEmpty, "Ivf.build needs a non-empty corpus")
     var cids = (1 to cents.length).toArray
     for (_ <- 0 until iters) {
-      val next = assign(corpus, cids, cents, vecCol)
+      val next = assign(corp, cids, cents, vecCol)
         .groupBy(col("__a.cid").as("__cid"))
         .agg(call_function("vec_sum_d", col(vecCol)).as("__s"), count(lit(1)).as("__n"))
         .collect()
@@ -82,7 +86,7 @@ object Ivf {
       cids = next.map(_._1)
       cents = next.map(_._2)
     }
-    val lists = assign(corpus, cids, cents, vecCol)
+    val lists = assign(corp, cids, cents, vecCol)
       // separate projection: extracting cid AND cos from __a inside
       // the same select would let CollapseProject inline the (non-
       // cheap) assignment once per reference

@@ -43,6 +43,19 @@ class IvfSpec extends SparkSpec {
     index.release()
   }
 
+  test("null vectors are excluded from the index instead of crashing the build") {
+    val emb = Tables.embeddings(spark, sf).where($"vec_id" < 20)
+    // vec_id 0 is among the k-smallest-id seed rows — nulling it
+    // exercises the seed path, not just the assignment path
+    val withNulls = emb.select($"vec_id",
+      when($"vec_id" % 3 === 0, lit(null)).otherwise($"embedding").as("embedding"))
+    val index = Ivf.build(withNulls, "vec_id", "embedding", k = 4, iters = 2)
+    val nonNull = withNulls.where($"embedding".isNotNull).count()
+    assert(index.lists.count() == nonNull)
+    assert(index.lists.where($"embedding".isNull).isEmpty)
+    index.release()
+  }
+
   test("map-only NearestCentroid assignment == join-based max_by assignment") {
     val emb = Tables.embeddings(spark, sf)
     val index = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)

@@ -102,6 +102,24 @@ class VectorSpec extends SparkSpec {
     assert(nc._1 == 1 && math.abs(nc._2 - 1.0) < 1e-12, s"nearest_centroid: $nc")
   }
 
+  test("null array ELEMENTS read as 0 in vec_sum / vec_min / vec_sum_d") {
+    graft.functions.VectorAggFunctions.register(spark)
+    // same convention as the scalar expressions above: a null slot is
+    // 0, never a blind buffer read.
+    val d = spark.range(2).select(
+      when($"id" === 0, expr("cast(array(1, null, 4) as array<bigint>)"))
+        .otherwise(expr("cast(array(10, 20, null) as array<bigint>)")).as("v"),
+      when($"id" === 0, expr("cast(array(1.0, null, 4.0) as array<float>)"))
+        .otherwise(expr("cast(array(10.0, 20.0, null) as array<float>)")).as("f"))
+    val row = d.select(
+      expr("vec_sum(v)").as("s"),
+      expr("vec_min(v)").as("m"),
+      expr("vec_sum_d(f)").as("sd")).collect().head
+    assert(row.getSeq[Long](0) == Seq(11L, 20L, 4L), "vec_sum: null elem != 0")
+    assert(row.getSeq[Long](1) == Seq(1L, 0L, 0L), "vec_min: null elem != 0")
+    assert(row.getSeq[Double](2) == Seq(11.0, 20.0, 4.0), "vec_sum_d: null elem != 0")
+  }
+
   test("lshTopK returns a subset of brute-force candidates with correct scores") {
     val emb = Tables.embeddings(spark, sf).limit(200)
     val q = emb.where($"vec_id" < 3)
