@@ -407,6 +407,35 @@ object Oracles {
         |FROM grams g JOIN ev USING (gram)
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bloom_ok is the filter's no-false-negative guarantee — an
+    // engine-independent constant TRUE; n_grams/n_shared are exact
+    "q_bloom_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS gram
+        |  FROM toks
+        |), corp AS (
+        |  SELECT DISTINCT gram FROM grams WHERE doc_id % 10 <> 7
+        |)
+        |SELECT g.doc_id, count(*) AS n_grams, count(c.gram) AS n_shared,
+        |  TRUE AS bloom_ok
+        |FROM grams g LEFT JOIN corp c USING (gram)
+        |WHERE g.doc_id % 10 = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sketch_ok is the GK rank-envelope guarantee (constant TRUE on
+    // any conforming sketch); the median itself is the exact element
+    "q_approx_quantiles" ->
+      """SELECT c_mktsegment, CAST(n AS BIGINT) AS n_orders,
+        |  o_totalprice AS median_order_value, TRUE AS sketch_ok FROM (
+        |  SELECT c_mktsegment, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rn = (n + 1) // 2
+        |ORDER BY c_mktsegment""".stripMargin,
     "q_dedup_minhash" -> exactJaccardPairs(50),
     "q_dedup_incremental" ->
       """WITH toks AS (

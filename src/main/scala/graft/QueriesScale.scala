@@ -466,7 +466,52 @@ object QueriesScale {
       .orderBy("cohort_month", "months_since")
   }
 
+  /** #76 sketch quantiles with a rank-error contract: the
+    * `percentile_approx` (GK) sketch — bounded memory, one pass,
+    * mergeable; the quantile path at 100 TB where even the two-pass
+    * exact selection is a luxury — answers the per-segment median,
+    * and `sketch_ok` checks the sketch's defining guarantee (the
+    * returned element's rank lies within n/accuracy of the target)
+    * against EXACT ranks. The exact lower median rides along as the
+    * verification twin; the approx value itself is NOT emitted — no
+    * other engine reproduces the sketch's internals bit-for-bit, but
+    * every engine can check the rank envelope. Same contract shape
+    * as q_hll_distinct. Completes the sketch family: HLL = distinct,
+    * Space-Saving = top-k, Bloom = membership, GK = quantiles. */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val acc = 1000 // GK bound: rank error <= n/acc
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ap = o.groupBy("c_mktsegment")
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(acc)).as("__ap"))
+    val stats = o.join(broadcast(ap), "c_mktsegment")
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(when(col("o_totalprice") < col("__ap"), 1L).otherwise(0L)).as("__lt"),
+        sum(when(col("o_totalprice") <= col("__ap"), 1L).otherwise(0L)).as("__le"),
+        count(lit(1)).as("n_orders"))
+    val exact = graft.operators.Quantiles.selectAtRanks(
+      o, "c_mktsegment", col("o_totalprice"), col("o_orderkey"),
+      floor(col("o_totalprice") / 1000.0).cast("long"), Seq(50L), "median_order_value")
+      .drop("pctl")
+    // the sketch's element sits at SOME rank in [count(<ap)+1,
+    // count(<=ap)] (ties widen it); ok iff that interval intersects
+    // [target - n/acc, target + n/acc]. +1 absorbs discreteness.
+    val target = col("n_orders").cast("double") * 0.5
+    val env = col("n_orders").cast("double") / acc + 1.0
+    val out = stats.join(exact, "c_mktsegment")
+      .select(col("c_mktsegment"), col("n_orders"), col("median_order_value"),
+        (col("__lt").cast("double") <= target + env &&
+          col("__le").cast("double") >= target - env).as("sketch_ok"))
+      .orderBy("c_mktsegment")
+    graft.Caching.reap(out)(o)
+  }
+
   def all: Map[String, Q] = Map(
+    "q_approx_quantiles" -> (approxQuantiles _),
     "q_event_funnel" -> (eventFunnel _),
     "q_retention_cohort" -> (retentionCohort _),
     "q_doc_chunk" -> (docChunk _),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.{TextOps, DedupOps}
+import graft.text.{TextOps, DedupOps, BloomDedup}
 import graft.multimodal.BinaryOps
 
 /** Text-analysis + document-dedup + multimodal verified queries
@@ -348,7 +348,42 @@ object QueriesText {
     Caching.reap(top)(tf)
   }
 
+  /** #75 Bloom-gated corpus membership: for each new-batch document
+    * (deterministic ~10% slice), its distinct word 3-grams are probed
+    * against a Bloom filter built over the STANDING corpus's gram
+    * set — the map-only pre-gate that replaces the batch×corpus join
+    * at 100 TB ([[graft.text.BloomDedup]]; the corpus gram set is far
+    * past broadcast size there, but its bloom is ~10 bits/gram and
+    * probes as a projection). The emitted contract is the filter's
+    * defining guarantee: `bloom_ok` = NO exactly-shared gram was
+    * missed (false negatives are impossible, so the oracle emits
+    * TRUE); `n_shared` is the exact shared-gram count, carried as the
+    * verification twin — at 100 TB that exact join is the cost the
+    * bloom path exists to avoid (run it on flagged survivors only),
+    * same caveat as q_hll_distinct's exact column. False-positive
+    * rate is spec-asserted (BloomSpec), not part of the contract. */
+  def bloomMembership(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isNew = pmod(col("doc_id"), lit(10)) === 7
+    val corpusGrams = DedupOps.wordGramHashes(docs.where(!isNew), "doc_id", col("text"), n = 3)
+    // sized for the sf0.1 corpus's ~1M distinct grams with headroom;
+    // oversizing only lowers the FP rate (bits stay driver-small)
+    val bits = BloomDedup.buildFilter(corpusGrams, col("gram"), expectedItems = 4000000L, fpp = 0.01)
+    val corpusSet = corpusGrams.select(col("gram")).distinct().withColumn("__in", lit(1))
+    val probed = BloomDedup.flag(
+      DedupOps.wordGramHashes(docs.where(isNew), "doc_id", col("text"), n = 3),
+      col("gram"), bits, "__hit")
+    probed.join(corpusSet, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("__in")).as("n_shared"),
+        (sum(when(col("__in").isNotNull && !col("__hit"), 1L).otherwise(0L)) === 0L).as("bloom_ok"))
+      .orderBy("doc_id")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_bloom_dedup" -> (bloomMembership _),
     "q_train_split" -> (trainSplit _),
     "q_rare_tokens" -> (rareTokens _),
     "q_tfidf_terms" -> (tfidfTerms _),

@@ -284,23 +284,31 @@ object DedupOps {
       candidates: DataFrame, docs: DataFrame, id: String, text: Column,
       n: Int, minJaccardPct: Int
   ): DataFrame = {
-    val grams = wordGramHashes(docs, id, text, n)
     val inPairs = candidates.select(col("doc1").as("__d"))
       .unionByName(candidates.select(col("doc2").as("__d"))).distinct()
-    val g = grams.join(broadcast(inPairs), col(id) === col("__d")).drop("__d")
+    // gate BEFORE the gram explode: a join cannot push below a
+    // Generate, so gating after it would re-run the tokenize + hash +
+    // distinct + explode pipeline over the WHOLE corpus once per
+    // consumer below. Gated first, the expensive gram work touches
+    // candidate docs only — and the persist collapses the three
+    // consumers onto one derivation of even that slice.
+    val gated = docs.join(broadcast(inPairs), col(id) === col("__d")).drop("__d")
+    val g = wordGramHashes(gated, id, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = g.groupBy(col(id)).agg(count(lit(1)).as("__n"))
     val shared = candidates.select("doc1", "doc2")
       .join(g.select(col(id).as("doc1"), col("gram")), "doc1")
       .join(g.select(col(id).as("doc2"), col("gram")), Seq("doc2", "gram"))
       .groupBy("doc1", "doc2")
       .agg(count(lit(1)).as("__s"))
-    shared
+    val out = shared
       .join(counts.select(col(id).as("doc1"), col("__n").as("__n1")), "doc1")
       .join(counts.select(col(id).as("doc2"), col("__n").as("__n2")), "doc2")
       .withColumn("__u", col("__n1") + col("__n2") - col("__s"))
       .where(col("__s") * 100 >= col("__u") * minJaccardPct)
       .select(col("doc1"), col("doc2"),
         call_function("div", col("__s") * 200L + col("__u"), col("__u") * 2L).as("jaccard_pct"))
+    graft.Caching.reap(out)(g)
   }
 
   /** MinHash LSH candidates ACROSS two corpora (incremental dedup:
