@@ -20,18 +20,30 @@ object QueriesAnalytics {
   private def revenue =
     sum(Money.dec(col("l_extendedprice")) * (lit(1) - Money.dec(col("l_discount")))).cast("double")
 
-  /** #14 KPI card totals (dashboard.py:128-140) in one scan. */
-  def kpiSummary(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).agg(
-      revenue.as("total_revenue"),
-      countDistinct(col("l_orderkey")).as("total_orders"),
-      count(lit(1)).as("total_line_items"),
-      countDistinct(col("l_partkey")).as("distinct_parts"),
-      countDistinct(col("l_suppkey")).as("distinct_suppliers"),
-      Money.scaledSum(col("l_extendedprice"), 2).as("__sp")
-    )
-    .withColumn("avg_line_price", Money.avgFromScaled(col("__sp"), col("total_line_items"), 2))
-    .drop("__sp")
+  /** #14 KPI card totals (dashboard.py:128-140).
+    *
+    * The three distinct counts run as separate single-column
+    * distinct pre-aggregates (each scan pruned to its one column,
+    * shuffle volume = #distinct keys) rather than one agg with three
+    * `countDistinct`s — Spark plans multi-distinct via an Expand that
+    * replicates every fact row once per distinct column BEFORE the
+    * exchange, which at 100 TB shuffles 4× the fact instead of three
+    * key sets. The 1-row results recombine with broadcast joins. */
+  def kpiSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def nDistinct(c: String, as: String): DataFrame =
+      li.select(c).distinct().agg(count(lit(1)).as(as))
+    li.agg(
+        revenue.as("total_revenue"),
+        count(lit(1)).as("total_line_items"),
+        Money.scaledSum(col("l_extendedprice"), 2).as("__sp"))
+      .crossJoin(nDistinct("l_orderkey", "total_orders"))
+      .crossJoin(nDistinct("l_partkey", "distinct_parts"))
+      .crossJoin(nDistinct("l_suppkey", "distinct_suppliers"))
+      .withColumn("avg_line_price", Money.avgFromScaled(col("__sp"), col("total_line_items"), 2))
+      .select(col("total_revenue"), col("total_orders"), col("total_line_items"),
+        col("distinct_parts"), col("distinct_suppliers"), col("avg_line_price"))
+  }
 
   /** #15 top-10 products by revenue (dashboard.py:190-199). */
   def topProducts(s: SparkSession, dir: String): DataFrame = {

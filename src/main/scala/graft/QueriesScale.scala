@@ -143,18 +143,29 @@ object QueriesScale {
   }
 
   /** #66 market-basket co-occurrence: part pairs bought in the same
-    * order, with per-part support counts. The pair expansion is keyed
-    * on the ORDER (like the n-gram postings join): work is bounded by
-    * Σ lines-per-order², never corpus², and the order key is the
-    * shuffle key so baskets stay local. */
+    * order, with per-part support counts. ONE corpus shuffle total:
+    * `groupBy(order).collect_set(part)` assembles each basket (with
+    * map-side partial sets, so the exchange carries ~distinct
+    * (order, part) elements once), then the i<j pair expansion is a
+    * MAP-ONLY array transform over the sorted basket — no distinct
+    * pre-pass and no self-join re-shuffling the lines a second and
+    * third time. Work stays bounded by Σ lines-per-order²; the pair
+    * and support aggregates see only basket-derived rows. */
   def copurchase(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val baskets = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select("parts")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val support = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
-    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
-      .where(col("p1") < col("p2"))
+    val support = baskets.select(explode(col("parts")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    // sorted basket → ordered (parts[i], parts[j>i]) pairs, all map-side
+    val pairList = flatten(transform(col("parts"), (x, i) =>
+      transform(slice(col("parts"), i + lit(2), size(col("parts"))), y =>
+        struct(x.as("p1"), y.as("p2")))))
+    val pairs = baskets
+      .select(explode(pairList).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_orders"))
       .where(col("n_orders") >= 3)
@@ -164,9 +175,9 @@ object QueriesScale {
       .join(broadcast(support.select(col("l_partkey").as("p1"), col("n").as("n1"))), "p1")
       .join(broadcast(support.select(col("l_partkey").as("p2"), col("n").as("n2"))), "p2")
       .select("p1", "p2", "n_orders", "n1", "n2")
-    // the co-occurrence matrix is tiny next to the persisted basket
-    // lines: materialize it and free them
-    Caching.reap(out)(li)
+    // the co-occurrence matrix is tiny next to the persisted baskets:
+    // materialize it and free them
+    Caching.reap(out)(baskets)
   }
 
   /** #68 temporal (point-in-time) dimension join: every order joins

@@ -52,7 +52,17 @@ object DedupOps {
     * string building, no per-gram string rehash, and no long
     * arithmetic (ANSI mode would throw on wrap-around). Collisions
     * are ~2⁻⁶⁴ and only perturb candidate counts. */
-  def wordGramHashes(docs: DataFrame, id: String, text: Column, n: Int): DataFrame = {
+  def wordGramHashes(docs: DataFrame, id: String, text: Column, n: Int): DataFrame =
+    wordGramHashSets(docs, id, text, n)
+      .select(col(id), explode(col("__grams")).as("gram"))
+
+  /** Same distinct gram-hash set, kept as ONE array row per doc
+    * instead of exploded postings. The set-as-array form lets
+    * candidate verification compute |A∩B| with `array_intersect` after
+    * plain doc-id joins — no postings explode, no per-pair aggregate
+    * shuffle. Row width is bounded by doc length; for pathological
+    * multi-million-gram docs prefer the exploded postings form. */
+  def wordGramHashSets(docs: DataFrame, id: String, text: Column, n: Int): DataFrame = {
     // token hashes materialize in their own projection: referencing
     // the transform() directly from every element_at would let the
     // optimizer inline it and re-hash the whole doc per gram
@@ -64,7 +74,7 @@ object DedupOps {
       ))
     docs
       .select(col(id), transform(TextOps.tokens(text), t => xxhash64(t)).as("__th"))
-      .select(col(id), explode(array_distinct(grams)).as("gram"))
+      .select(col(id), array_distinct(grams).as("__grams"))
   }
 
   /** Exact n-gram Jaccard pairs over "informative" grams (document
@@ -183,13 +193,17 @@ object DedupOps {
     val banded = minhashBanded(sigs, id, r, bands)
     val a = banded.select(col(id).as("doc1"), col("sig").as("sig1"), col("band"), col("bkey"))
     val b = banded.select(col(id).as("doc2"), col("sig").as("sig2"), col("band"), col("bkey"))
+    // estimate + filter BEFORE the distinct: the zip_with over k
+    // seeds is re-evaluated per band collision (cheap, map-side), but
+    // sub-threshold pairs die before the exchange and the distinct's
+    // shuffle rows carry 3 narrow columns instead of two k-long
+    // signature arrays
     val pairs = a.join(b, Seq("band", "bkey"))
       .where(col("doc1") < col("doc2"))
-      .select(col("doc1"), col("doc2"), col("sig1"), col("sig2"))
-      .distinct()
       .withColumn("est_sim", estSim(col("sig1"), col("sig2"), k))
       .where(col("est_sim") >= minEst)
       .select("doc1", "doc2", "est_sim")
+      .distinct()
     graft.Caching.reap(pairs)(sigs)
   }
 
@@ -286,29 +300,30 @@ object DedupOps {
   ): DataFrame = {
     val inPairs = candidates.select(col("doc1").as("__d"))
       .unionByName(candidates.select(col("doc2").as("__d"))).distinct()
-    // gate BEFORE the gram explode: a join cannot push below a
-    // Generate, so gating after it would re-run the tokenize + hash +
-    // distinct + explode pipeline over the WHOLE corpus once per
-    // consumer below. Gated first, the expensive gram work touches
-    // candidate docs only — and the persist collapses the three
-    // consumers onto one derivation of even that slice.
+    // gate BEFORE the gram work: the expensive tokenize + hash pass
+    // touches candidate docs only. Gram sets stay as one array row per
+    // doc (wordGramHashSets), so verification is two doc-id hash joins
+    // + a map-side array_intersect — no postings explode and no
+    // per-pair aggregate shuffle, hence nothing to persist/reap.
     val gated = docs.join(broadcast(inPairs), col(id) === col("__d")).drop("__d")
-    val g = wordGramHashes(gated, id, text, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = g.groupBy(col(id)).agg(count(lit(1)).as("__n"))
-    val shared = candidates.select("doc1", "doc2")
-      .join(g.select(col(id).as("doc1"), col("gram")), "doc1")
-      .join(g.select(col(id).as("doc2"), col("gram")), Seq("doc2", "gram"))
-      .groupBy("doc1", "doc2")
-      .agg(count(lit(1)).as("__s"))
-    val out = shared
-      .join(counts.select(col(id).as("doc1"), col("__n").as("__n1")), "doc1")
-      .join(counts.select(col(id).as("doc2"), col("__n").as("__n2")), "doc2")
-      .withColumn("__u", col("__n1") + col("__n2") - col("__s"))
-      .where(col("__s") * 100 >= col("__u") * minJaccardPct)
+    val g = wordGramHashSets(gated, id, text, n)
+    candidates.select("doc1", "doc2")
+      .join(g.select(col(id).as("doc1"), col("__grams").as("__g1")), "doc1")
+      .join(g.select(col(id).as("doc2"), col("__grams").as("__g2")), "doc2")
+      .withColumn("__s", size(array_intersect(col("__g1"), col("__g2"))).cast("long"))
+      .withColumn("__u", size(col("__g1")) + size(col("__g2")) - col("__s"))
+      // `__s > 0 && __u > 0` reproduces the exploded-postings
+      // contract (pairs need ≥1 shared gram; docs under n tokens have
+      // empty sets and drop out) — phrased over BOTH sides' columns
+      // deliberately: a per-side `size(__g1) > 0` guard is a
+      // single-input predicate Catalyst pushes below the broadcast
+      // gate join, where alias substitution inlines the whole
+      // tokenize+hash gram chain into a scan filter evaluated over
+      // the ENTIRE corpus (measured 7× the query's cost at sf0.1)
+      .where(col("__s") > 0 && col("__u") > 0 &&
+        col("__s") * 100 >= col("__u") * minJaccardPct)
       .select(col("doc1"), col("doc2"),
         call_function("div", col("__s") * 200L + col("__u"), col("__u") * 2L).as("jaccard_pct"))
-    graft.Caching.reap(out)(g)
   }
 
   /** MinHash LSH candidates ACROSS two corpora (incremental dedup:
@@ -328,12 +343,13 @@ object DedupOps {
       .select(col(id).as("doc1"), col("sig").as("sig1"), col("band"), col("bkey"))
     val b = minhashBanded(rightSigs, id, r, bands)
       .select(col(id).as("doc2"), col("sig").as("sig2"), col("band"), col("bkey"))
+    // same est-before-distinct ordering as [[minhashLshPairs]]: kill
+    // sub-threshold collisions before the exchange, dedup narrow rows
     a.join(b, Seq("band", "bkey"))
-      .select(col("doc1"), col("doc2"), col("sig1"), col("sig2"))
-      .distinct()
       .withColumn("est_sim", estSim(col("sig1"), col("sig2"), k))
       .where(col("est_sim") >= minEst)
       .select("doc1", "doc2", "est_sim")
+      .distinct()
   }
 
   /** Benchmark-contamination report: for every corpus doc sharing at
