@@ -700,6 +700,18 @@ object Oracles {
         |WHERE cosine >= 0.30""".stripMargin,
     "q_ann_topk" -> bruteTop5,
     "q_ann_ivf" -> bruteTop5,
+    // exact kNN SELF-join: brute force over every query vector — the
+    // Spark side's tiled two-level selection is lossless, so the
+    // outputs agree row-for-row
+    "q_knn_join" ->
+      s"""SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round($cosExpr, 4) AS cosine,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY $cosExpr DESC, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+        |WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH b AS (
         |${lshBucketSql("embeddings")}

@@ -63,11 +63,23 @@ object QueriesVector {
       .orderBy("query_id", "rank")
   }
 
+  /** #77 exact kNN self-join: EVERY vector's top-3 neighbors via the
+    * tiled block join + two-level top-k selection
+    * ([[VectorOps.knnJoinExact]]) — the batch similarity join of an
+    * embedding-dedup/retrieval-eval pipeline, exact by construction
+    * and verified against DuckDB's brute force. */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    VectorOps.knnJoinExact(Tables.embeddings(s, dir), "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   def all: Map[String, Q] = Map(
     "q_ann_quantized" -> (annQuantized _),
     "q_ann_ivf" -> (annIvf _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_ann_topk" -> (annTopK _),
-    "q_ann_lsh" -> (annLsh _)
+    "q_ann_lsh" -> (annLsh _),
+    "q_knn_join" -> (knnJoin _)
   )
 }

@@ -129,6 +129,51 @@ object VectorOps {
         col("cosine"))
   }
 
+  /** Exact k-nearest-neighbor SELF-join: EVERY corpus vector gets its
+    * top-k cosine neighbors — the batch similarity join behind
+    * embedding-cluster dedup and retrieval evaluation, as opposed to
+    * the small-query-set probes above.
+    *
+    * Scale shape: the corpus never broadcasts. Both sides tile on a
+    * stable key-hash block (queries replicate across the corpus-block
+    * axis, corpus rows across the query-block axis), so the tile id is
+    * the shuffle key, shuffle volume is 2·n·B rows, and each task
+    * scores an (n/B)×(n/B) tile holding 2·(n/B) vectors — B sizes the
+    * task, the classic GEMM tiling (same scheme as [[cosinePairs]]).
+    * Selection is TWO-LEVEL: a per-(tile, query) top-k inside the tile
+    * (bounding the second exchange to B·k rows per query) and a global
+    * top-k over those candidates — lossless, because every global
+    * neighbor is by definition in its tile's local top-k. */
+  def knnJoinExact(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      blocks: Int = 8
+  )(implicit spark: SparkSession): DataFrame = {
+    val b = lit(blocks)
+    val withBlock = corpus.select(
+      col(idCol), col(vecCol),
+      pmod(xxhash64(col(idCol)), b.cast("long")).cast("int").as("__b"))
+    val q = withBlock.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col("__b").as("__qb"), explode(sequence(lit(0), b - 1)).as("__cb"))
+    val c = withBlock.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      explode(sequence(lit(0), b - 1)).as("__qb"), col("__b").as("__cb"))
+    val scored = q.join(c, Seq("__qb", "__cb"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cos(col("__qv"), col("__cv")))
+    val wLocal = Window.partitionBy("__qb", "__cb", "query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val candidates = scored
+      .withColumn("__r", row_number().over(wLocal))
+      .where(col("__r") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Deterministic hyperplanes in [-0.5, 0.5), generated driver-side
     * (splitmix64) and embedded as literal arrays — generating them
     * with per-row expressions would recompute nPlanes × dim hashes

@@ -120,6 +120,26 @@ class VectorSpec extends SparkSpec {
     assert(row.getSeq[Double](2) == Seq(11.0, 20.0, 4.0), "vec_sum_d: null elem != 0")
   }
 
+  test("knnJoinExact equals brute force for every query, any block count") {
+    val emb = Tables.embeddings(spark, sf).limit(120)
+    val brute = VectorOps.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    for (b <- Seq(1, 4, 8)) {
+      val knn = VectorOps.knnJoinExact(emb, "vec_id", "embedding", k = 3, blocks = b)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(knn == brute, s"blocks=$b: tiled two-level selection must be lossless")
+    }
+  }
+
+  test("knnJoinExact plans a tiled equi-join: no cartesian / nested-loop") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = VectorOps.knnJoinExact(emb, "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("lshTopK returns a subset of brute-force candidates with correct scores") {
     val emb = Tables.embeddings(spark, sf).limit(200)
     val q = emb.where($"vec_id" < 3)
