@@ -56,7 +56,11 @@ object Bench {
     // fixed name order: per-round BENCH numbers stay comparable and
     // cold-cache costs land on the same queries every run
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter (driver leaves it unset → all queries)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // min of `runs` full executions (data is re-read and recomputed
       // each time — hygiene() drops all storage between them; only JIT
       // and codegen caches stay warm). A single cold run is hostage to

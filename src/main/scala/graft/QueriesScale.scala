@@ -152,6 +152,16 @@ object QueriesScale {
     * third time. Work stays bounded by Σ lines-per-order²; the pair
     * and support aggregates see only basket-derived rows. */
   def copurchase(s: SparkSession, dir: String): DataFrame = {
+    val (out, baskets) = copurchaseRaw(s, dir)
+    // the co-occurrence matrix is tiny next to the persisted baskets:
+    // materialize it and free them
+    Caching.reap(out)(baskets)
+  }
+
+  /** Un-reaped [[copurchase]] pipeline (result, persisted temp) — the
+    * plan-shape spec asserts on the result BEFORE the checkpoint
+    * truncates its lineage. */
+  private[graft] def copurchaseRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val baskets = Tables.lineitem(s, dir)
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
@@ -175,9 +185,7 @@ object QueriesScale {
       .join(broadcast(support.select(col("l_partkey").as("p1"), col("n").as("n1"))), "p1")
       .join(broadcast(support.select(col("l_partkey").as("p2"), col("n").as("n2"))), "p2")
       .select("p1", "p2", "n_orders", "n1", "n2")
-    // the co-occurrence matrix is tiny next to the persisted baskets:
-    // materialize it and free them
-    Caching.reap(out)(baskets)
+    (out, baskets)
   }
 
   /** #68 temporal (point-in-time) dimension join: every order joins

@@ -53,8 +53,15 @@ object DedupOps {
     * arithmetic (ANSI mode would throw on wrap-around). Collisions
     * are ~2⁻⁶⁴ and only perturb candidate counts. */
   def wordGramHashes(docs: DataFrame, id: String, text: Column, n: Int): DataFrame =
-    wordGramHashSets(docs, id, text, n)
-      .select(col(id), explode(col("__grams")).as("gram"))
+    // the generator must stay the FULL gram expression, not an alias
+    // of it: explode(__grams) over a projected alias triggers
+    // InferFiltersFromGenerate on the bare attribute, and the inferred
+    // `size(__grams) > 0` predicate then pushes below the exchange
+    // with the whole tokenize+hash chain alias-inlined — measured 10×
+    // on every postings consumer at sf0.1
+    docs
+      .select(col(id), transform(TextOps.tokens(text), t => xxhash64(t)).as("__th"))
+      .select(col(id), explode(array_distinct(gramArray(col("__th"), n))).as("gram"))
 
   /** Same distinct gram-hash set, kept as ONE array row per doc
     * instead of exploded postings. The set-as-array form lets
@@ -62,20 +69,21 @@ object DedupOps {
     * plain doc-id joins — no postings explode, no per-pair aggregate
     * shuffle. Row width is bounded by doc length; for pathological
     * multi-million-gram docs prefer the exploded postings form. */
-  def wordGramHashSets(docs: DataFrame, id: String, text: Column, n: Int): DataFrame = {
-    // token hashes materialize in their own projection: referencing
-    // the transform() directly from every element_at would let the
-    // optimizer inline it and re-hash the whole doc per gram
-    val th = col("__th")
-    val grams = when(size(th) < n, array().cast("array<bigint>"))
+  def wordGramHashSets(docs: DataFrame, id: String, text: Column, n: Int): DataFrame =
+    docs
+      .select(col(id), transform(TextOps.tokens(text), t => xxhash64(t)).as("__th"))
+      .select(col(id), array_distinct(gramArray(col("__th"), n)).as("__grams"))
+
+  /** n-gram hash array over a token-hash array `th` — `th` MUST be a
+    * materialized column (not an inline transform): referencing a
+    * transform() from every element_at lets the optimizer inline it
+    * and re-hash the whole doc per gram. */
+  private def gramArray(th: Column, n: Int): Column =
+    when(size(th) < n, array().cast("array<bigint>"))
       .otherwise(transform(
         sequence(lit(0), size(th) - n),
         i => xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*)
       ))
-    docs
-      .select(col(id), transform(TextOps.tokens(text), t => xxhash64(t)).as("__th"))
-      .select(col(id), array_distinct(grams).as("__grams"))
-  }
 
   /** Exact n-gram Jaccard pairs over "informative" grams (document
     * frequency <= maxDf). Emits integer gram counts and a half-up

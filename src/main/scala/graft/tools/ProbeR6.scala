@@ -2,9 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.{GraftSession, Tables}
-import graft.text.{DedupOps, TextOps}
+import graft.text.DedupOps
 
-/** Diagnostic main: stage wall times inside q_dedup_incremental. */
+/** Diagnostic main: wordGramHashes plan shape + ngram-jaccard time. */
 object ProbeR6 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -15,23 +15,12 @@ object ProbeR6 {
       println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val docs = Tables.documents(spark, dir)
-    val isNew = pmod(col("doc_id"), lit(10)) === 7
-    val sigsAll = DedupOps.minhashSignaturesNative(docs, "doc_id", col("text"), n = 3, k = 48)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("sig materialize")(sigsAll.count())
-    val cands = time("lsh across + reap") {
-      graft.Caching.reap(
-        DedupOps.minhashLshPairsAcross(
-          sigsAll.where(isNew), sigsAll.where(!isNew), "doc_id", k = 48, bands = 24, minEst = 0.25)
-      )(sigsAll)
+    val g = DedupOps.wordGramHashes(docs, "doc_id", col("text"), 3)
+    g.explain("formatted")
+    time("gram count")(println("  n = " + g.count()))
+    time("ngram jaccard") {
+      println("  pairs = " + graft.Queries.all("q_ngram_jaccard")(spark, dir).count())
     }
-    time("gramsets only") {
-      println("  gs = " + DedupOps.wordGramHashSets(docs, "doc_id", col("text"), 3)
-        .agg(sum(size(col("__grams")))).collect().mkString)
-    }
-    val v = DedupOps.verifyPairsExact(cands, docs, "doc_id", col("text"), 3, 50)
-    time("verify explain")(v.explain("formatted"))
-    time("verify run")(println("  verified = " + v.count()))
     spark.stop()
   }
 }

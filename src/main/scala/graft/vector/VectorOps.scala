@@ -152,15 +152,28 @@ object VectorOps {
     val withBlock = corpus.select(
       col(idCol), col(vecCol),
       pmod(xxhash64(col(idCol)), b.cast("long")).cast("int").as("__b"))
+    // explicit fixed-count repartition on the tile key: the join's
+    // INPUT is tiny (2nB id+vector rows) while its OUTPUT is the
+    // (n/B)² pair explosion per tile — AQE's coalescing reads the
+    // input stats and would fold the tiles onto 1-2 cores, serializing
+    // the scoring. A fixed partition count is exempt from coalescing,
+    // and since it matches the join keys no further exchange is added.
+    val tileParts = blocks * blocks
     val q = withBlock.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv"),
       col("__b").as("__qb"), explode(sequence(lit(0), b - 1)).as("__cb"))
+      .repartition(tileParts, col("__qb"), col("__cb"))
     val c = withBlock.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       explode(sequence(lit(0), b - 1)).as("__qb"), col("__b").as("__cb"))
+      .repartition(tileParts, col("__qb"), col("__cb"))
     val scored = q.join(c, Seq("__qb", "__cb"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cos(col("__qv"), col("__cv")))
+      // drop the vectors BEFORE the window sort: the local top-k sorts
+      // the full pair stream, which must carry 5 narrow columns, not
+      // two dim-length float arrays
+      .select("__qb", "__cb", "query_id", "neighbor_id", "cosine")
     val wLocal = Window.partitionBy("__qb", "__cb", "query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     val candidates = scored

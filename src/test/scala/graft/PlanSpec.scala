@@ -70,6 +70,26 @@ class PlanSpec extends SparkSpec {
     assert(!mh.contains("Exchange") && mh.contains("minhash_sig"), mh)
   }
 
+  test("kpi summary: distinct counts avoid the multi-distinct Expand") {
+    // one agg with N countDistincts plans an Expand that replicates
+    // every fact row N+1 times before the exchange — at 100 TB that
+    // shuffles (N+1)× the fact instead of N small key sets
+    val p = plan("q_kpi_summary")
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("copurchase: basket assembly only — no fact self-join") {
+    // pair expansion is a map-side array transform over collected
+    // baskets; a SortMergeJoin/ShuffledHashJoin would mean the
+    // lineitem self-join (3 fact shuffles) crept back in. Assert the
+    // un-reaped pipeline — the query's checkpoint hides the plan.
+    val (out, baskets) = QueriesScale.copurchaseRaw(spark, sf)
+    val p = out.queryExecution.executedPlan.toString
+    baskets.unpersist()
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("collect_set"), p)
+  }
+
   test("embedding near-dup pairs: tiled join, no cartesian / nested-loop") {
     val p = plan("q_dedup_embedding")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
