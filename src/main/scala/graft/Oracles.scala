@@ -700,6 +700,34 @@ object Oracles {
         |WHERE cosine >= 0.30""".stripMargin,
     "q_ann_topk" -> bruteTop5,
     "q_ann_ivf" -> bruteTop5,
+    // kNN probe accuracy: brute-force top-5, majority vote with
+    // smallest-label tiebreak, all-integer accuracy — every step is
+    // engine-exact, so the per-label rows hash-match
+    "q_knn_classify" ->
+      s"""WITH knn AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY $cosExpr DESC, b.vec_id) AS rank
+        |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+        |  WHERE rank <= 5
+        |), votes AS (
+        |  SELECT k.query_id, e.label AS nl, count(*) AS c
+        |  FROM knn k JOIN embeddings e ON k.neighbor_id = e.vec_id
+        |  GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT query_id, nl AS pred_label FROM (
+        |    SELECT query_id, nl, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY c DESC, nl) AS r FROM votes) v
+        |  WHERE r = 1
+        |)
+        |SELECT e.label AS label,
+        |  count(*) AS n_vectors,
+        |  CAST(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS BIGINT) * 1000 // count(*) AS accuracy_permille
+        |FROM embeddings e JOIN pred p ON e.vec_id = p.query_id
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // exact kNN SELF-join: brute force over every query vector — the
     // Spark side's tiled two-level selection is lossless, so the
     // outputs agree row-for-row

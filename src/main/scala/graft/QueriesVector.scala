@@ -74,7 +74,41 @@ object QueriesVector {
       .orderBy("query_id", "rank")
   }
 
+  /** #78 kNN probe-accuracy evaluation: predict each vector's label
+    * by majority vote of its exact top-5 neighbors (ties → smallest
+    * label) and report per-label accuracy — the standard
+    * embedding-quality eval (linear/kNN probe) of a representation
+    * pipeline. All-integer vote counts and permille math keep the
+    * result engine-exact. The neighbor-label join keys on vec_id (the
+    * label table is corpus-sized — no broadcast bet; AQE decides),
+    * votes partial-aggregate to ≤ k rows per query, and the argmax
+    * window sorts each query's ≤ k vote rows, never the corpus. */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val knn = VectorOps.knnJoinExact(emb, "vec_id", "embedding", k = 5)
+    val votes = knn
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("__nl")), "neighbor_id")
+      .groupBy("query_id", "__nl").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("query_id").orderBy(col("__c").desc, col("__nl"))
+    val pred = votes
+      .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      .select(col("query_id"), col("__nl").as("pred_label"))
+    labels.select(col("vec_id").as("query_id"), col("label"))
+      .join(pred, "query_id")
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy_permille",
+        call_function("div", col("n_correct") * 1000L, col("n_vectors")))
+      .orderBy("label")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_knn_classify" -> (knnClassify _),
     "q_ann_quantized" -> (annQuantized _),
     "q_ann_ivf" -> (annIvf _),
     "q_dedup_embedding" -> (dedupEmbedding _),

@@ -140,6 +140,17 @@ class VectorSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("knnClassify: every label row is complete and permille-bounded") {
+    val out = QueriesVector.knnClassify(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_vectors"); val c = r.getAs[Long]("n_correct")
+      val p = r.getAs[Long]("accuracy_permille")
+      assert(c >= 0 && c <= n, r.toString)
+      assert(p == c * 1000 / n, "permille must be exact integer math")
+    }
+  }
+
   test("lshTopK returns a subset of brute-force candidates with correct scores") {
     val emb = Tables.embeddings(spark, sf).limit(200)
     val q = emb.where($"vec_id" < 3)
