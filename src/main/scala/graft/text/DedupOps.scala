@@ -172,7 +172,7 @@ object DedupOps {
     * by the self-join and cross-corpus candidate generators — the
     * cross-corpus probe only works while both sides derive
     * bit-identical band keys, so there is exactly one derivation. */
-  private def minhashBanded(sigs: DataFrame, id: String, r: Int, bands: Int): DataFrame =
+  private[graft] def minhashBanded(sigs: DataFrame, id: String, r: Int, bands: Int): DataFrame =
     sigs.select(
       col(id),
       col("sig"),

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String) =
+    DedupStream.Doc(id, text, Timestamp.valueOf("2026-01-01 10:00:00"))
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while seven wizards brew strong potions at midnight"
+  private val unrelated =
+    "completely different subject matter entirely numerical tables accounting ledgers quarterly audits fiscal reports balance sheets"
+
+  test("streaming near-dup gate flags a cross-batch near-duplicate, skips unrelated docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[DedupStream.Doc]
+    val q = DedupStream.candidates(in.toDF())
+      .writeStream.format("memory").queryName("dedup_gate").outputMode("append").start()
+    try {
+      in.addData(doc(1, base), doc(2, unrelated))
+      q.processAllAvailable()
+      // batch 2: doc 11 is a near-edit of doc 1 (one word changed);
+      // the shared 3-gram minhash bands must collide ACROSS batches
+      in.addData(doc(11, base.replace("midnight", "dawn")), doc(12, unrelated.toUpperCase))
+      q.processAllAvailable()
+      val pairs = spark.table("dedup_gate")
+        .select($"doc_id", $"prior_doc_id").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((11L, 1L)), s"near-dup must be flagged, got $pairs")
+      assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 2L) },
+        s"unrelated docs must not collide: $pairs")
+    } finally q.stop()
+  }
+
+  test("bucket state is bounded: a saturated bucket stops accumulating ids") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[DedupStream.Doc]
+    // identical text → identical signature → same buckets every time
+    val q = DedupStream.candidates(in.toDF(), maxPerBucket = 2)
+      .writeStream.format("memory").queryName("dedup_gate_cap").outputMode("append").start()
+    try {
+      in.addData((1L to 5L).map(i => doc(i, base)): _*)
+      q.processAllAvailable()
+      in.addData(doc(6, base))
+      q.processAllAvailable()
+      val pairs = spark.table("dedup_gate_cap")
+        .select($"doc_id", $"prior_doc_id").distinct()
+        .as[(Long, Long)].collect().toSet
+      // doc 6 sees only the 2 retained ids (1, 2), not all 5 priors
+      assert(pairs.contains((6L, 1L)) && pairs.contains((6L, 2L)), pairs.toString)
+      assert(!pairs.exists { case (a, b) => a == 6L && b > 2L },
+        s"state must cap at maxPerBucket ids: $pairs")
+    } finally q.stop()
+  }
+}
