@@ -311,6 +311,40 @@ object Oracles {
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** hits = multiset count of tokens present in the list. */
+  /** Connected-component resolution of the n-gram Jaccard pair graph
+    * (df<=100, >=20%) as a recursive CTE — shared by q_dedup_resolve
+    * and q_dedup_keeper so both verify against the SAME group
+    * derivation. Ends with the `reach` relation (id, r). */
+  private val resolveCte: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS gram
+      |  FROM toks
+      |), kept AS (
+      |  SELECT g.doc_id, g.gram FROM grams g
+      |  JOIN (SELECT gram, count(*) AS df FROM grams GROUP BY gram) d USING (gram)
+      |  WHERE d.df <= 100
+      |), counts AS (
+      |  SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY doc_id
+      |), shared AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS s
+      |  FROM kept a JOIN kept b USING (gram)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc1, doc2 FROM shared
+      |  JOIN counts c1 ON doc1 = c1.doc_id
+      |  JOIN counts c2 ON doc2 = c2.doc_id
+      |  WHERE s*100 >= (c1.n_grams + c2.n_grams - s)*20
+      |), edges AS (
+      |  SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs
+      |), reach AS (
+      |  SELECT a AS id, b AS r FROM edges
+      |  UNION
+      |  SELECT c.id, e.b FROM reach c JOIN edges e ON c.r = e.a
+      |)""".stripMargin
+
   private def hits(ws: Seq[String]): String =
     s"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> list_contains(${wordList(ws)}, x)))"
 
@@ -460,36 +494,41 @@ object Oracles {
         |ORDER BY new_doc_id, known_doc_id""".stripMargin,
     "q_dedup_simhash" -> exactJaccardPairs(50),
     "q_dedup_resolve" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |), grams AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS gram
-        |  FROM toks
-        |), kept AS (
-        |  SELECT g.doc_id, g.gram FROM grams g
-        |  JOIN (SELECT gram, count(*) AS df FROM grams GROUP BY gram) d USING (gram)
-        |  WHERE d.df <= 100
-        |), counts AS (
-        |  SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY doc_id
-        |), shared AS (
-        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS s
-        |  FROM kept a JOIN kept b USING (gram)
-        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-        |), pairs AS (
-        |  SELECT doc1, doc2 FROM shared
-        |  JOIN counts c1 ON doc1 = c1.doc_id
-        |  JOIN counts c2 ON doc2 = c2.doc_id
-        |  WHERE s*100 >= (c1.n_grams + c2.n_grams - s)*20
-        |), edges AS (
-        |  SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs
-        |), reach AS (
-        |  SELECT a AS id, b AS r FROM edges
-        |  UNION
-        |  SELECT c.id, e.b FROM reach c JOIN edges e ON c.r = e.a
-        |)
+      s"""$resolveCte
         |SELECT id AS doc_id, least(id, min(r)) AS group_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // keeper selection: the resolve CTE + the #30 quality score + a
+    // per-group argmax window — every step integer-exact
+    "q_dedup_keeper" ->
+      s"""$resolveCte,
+        |groups AS (
+        |  SELECT id AS doc_id, least(id, min(r)) AS group_id
+        |  FROM reach GROUP BY id
+        |), qbase AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+        |    ${hits(graft.text.TextOps.StopwordsEn)} AS stop_hits,
+        |    len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS distinct_words
+        |  FROM documents
+        |), qual AS (
+        |  SELECT doc_id,
+        |    least(25, n_chars // 20)
+        |    + least(25, n_words // 4)
+        |    + least(25, (stop_hits * 100) // greatest(n_words, 1))
+        |    + least(25, ((distinct_words * 100) // greatest(n_words, 1)) // 2) AS quality_score
+        |  FROM qbase
+        |), ranked AS (
+        |  SELECT g.group_id, g.doc_id, q.quality_score,
+        |    row_number() OVER (PARTITION BY g.group_id
+        |      ORDER BY q.quality_score DESC, g.doc_id) AS r
+        |  FROM groups g JOIN qual q USING (doc_id)
+        |)
+        |SELECT group_id,
+        |  max(CASE WHEN r = 1 THEN doc_id END) AS keeper_doc_id,
+        |  max(CASE WHEN r = 1 THEN quality_score END) AS keeper_quality,
+        |  count(*) AS n_docs
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) - 2 AS n_grams,

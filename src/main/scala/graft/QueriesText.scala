@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.text.{TextOps, DedupOps, BloomDedup}
 import graft.multimodal.BinaryOps
 
@@ -183,6 +184,27 @@ object QueriesText {
     val pairs = DedupOps.ngramJaccardPairs(
       Tables.documents(s, dir), "doc_id", col("text"), n = 3, maxDf = 100, minJaccardPct = 20)
     DedupOps.resolveGroups(pairs).orderBy("doc_id")
+  }
+
+  /** #79 keeper selection — the FINAL dedup decision: for each
+    * resolved near-dup group (#38), keep the highest-quality doc
+    * (#30's integer score; ties → smallest id) and count what drops.
+    * The quality join is keyed on doc_id (group membership is
+    * candidate-bounded — no broadcast bet on group count), and the
+    * argmax window sorts within one near-dup cluster, never the
+    * corpus. */
+  def dedupKeeper(s: SparkSession, dir: String): DataFrame = {
+    val groups = dedupResolve(s, dir)
+    val quality = textQuality(s, dir).select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("group_id").orderBy(col("quality_score").desc, col("doc_id"))
+    groups.join(quality, "doc_id")
+      .withColumn("__r", row_number().over(w))
+      .groupBy("group_id")
+      .agg(
+        max(when(col("__r") === 1, col("doc_id"))).as("keeper_doc_id"),
+        max(when(col("__r") === 1, col("quality_score"))).as("keeper_quality"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("group_id")
   }
 
   /** #40 JSON field extraction from a string column (events.props). */
@@ -393,6 +415,7 @@ object QueriesText {
     "q_repetition" -> (repetition _),
     "q_corpus_filter" -> (corpusFilter _),
     "q_dedup_resolve" -> (dedupResolve _),
+    "q_dedup_keeper" -> (dedupKeeper _),
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
