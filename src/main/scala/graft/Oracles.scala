@@ -382,6 +382,16 @@ object Oracles {
       |WHERE s*100 >= (c1.n + c2.n - s)*$minPct""".stripMargin
 
   val text: Map[String, String] = Map(
+    // fixed-N stratified sample: md5-hex order is engine-identical
+    // (same lowercase hex of the same decimal string)
+    "q_group_sample" ->
+      """SELECT lang, sample_rank, doc_id, source FROM (
+        |  SELECT lang, doc_id, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= 20
+        |ORDER BY lang, sample_rank""".stripMargin,
     "q_train_split" ->
       """WITH s AS (
         |  SELECT doc_id, lang,

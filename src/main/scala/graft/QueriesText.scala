@@ -207,6 +207,27 @@ object QueriesText {
       .orderBy("group_id")
   }
 
+  /** #80 fixed-size stratified sample: exactly N docs per language,
+    * chosen by md5(doc_id) order — deterministic at any parallelism
+    * and stable under corpus growth for the retained hash range
+    * (rate-based twin: #52 mix_sample). Scale shape: `row_number <=
+    * N` over (lang | hash) plans as a WindowGroupLimit — Spark keeps
+    * only the top-N per group per map PARTITION before the exchange
+    * (spec-asserted), so the shuffle carries ≤ N·partitions rows per
+    * lang, never the corpus — the same two-level selection as the kNN
+    * join, built into the planner. */
+  def groupSample(s: SparkSession, dir: String): DataFrame = {
+    val n = 20
+    val w = Window.partitionBy("lang").orderBy(col("__h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("doc_id").cast("string")).as("__h"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= n)
+      .select(col("lang"), col("sample_rank"), col("doc_id"), col("source"))
+      .orderBy("lang", "sample_rank")
+  }
+
   /** #40 JSON field extraction from a string column (events.props). */
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
@@ -416,6 +437,7 @@ object QueriesText {
     "q_corpus_filter" -> (corpusFilter _),
     "q_dedup_resolve" -> (dedupResolve _),
     "q_dedup_keeper" -> (dedupKeeper _),
+    "q_group_sample" -> (groupSample _),
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),

@@ -59,4 +59,35 @@ class EdgeCaseSpec extends SparkSpec {
     // docs 1 and 2 have < 3 tokens -> no signature row
     assert(mh.select("doc_id").as[Long].collect().toSeq == Seq(3L))
   }
+
+  test("knnJoinExact on degenerate corpora: single vector, k > corpus") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    def emb(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // one vector: no self-match, empty result
+    val one = emb((1L, Seq(1f, 0f)))
+    assert(graft.vector.VectorOps.knnJoinExact(one, "vec_id", "embedding", k = 3).count() == 0)
+    // k exceeds corpus-1: every other vector returned, ranks contiguous
+    val three = emb((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+    val out = graft.vector.VectorOps.knnJoinExact(three, "vec_id", "embedding", k = 10)
+      .select("query_id", "rank").as[(Long, Int)].collect()
+    assert(out.length == 6) // 3 queries × 2 neighbors
+    assert(out.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2)))
+  }
+
+  test("streaming dedup gate skips docs too short to sign") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[graft.streaming.DedupStream.Doc]
+    val q = graft.streaming.DedupStream.candidates(in.toDF())
+      .writeStream.format("memory").queryName("gate_short").outputMode("append").start()
+    try {
+      in.addData(
+        graft.streaming.DedupStream.Doc(1, "", java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+        graft.streaming.DedupStream.Doc(2, "one two", java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))
+      q.processAllAvailable()
+      // sub-n-token docs produce no signature -> no state, no crash
+      assert(spark.table("gate_short").count() == 0)
+    } finally q.stop()
+  }
 }

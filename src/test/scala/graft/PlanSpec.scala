@@ -90,6 +90,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("collect_set"), p)
   }
 
+  test("group sample: rank filter plans a map-side WindowGroupLimit") {
+    // row_number <= N must push a partial group-limit below the
+    // exchange (top-N per group per map partition) — without it each
+    // lang's whole corpus slice sorts on one task
+    val p = plan("q_group_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
   test("embedding near-dup pairs: tiled join, no cartesian / nested-loop") {
     val p = plan("q_dedup_embedding")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
