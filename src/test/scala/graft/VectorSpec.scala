@@ -140,6 +140,23 @@ class VectorSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("knnJoinExact breaks cosine ties deterministically across tiles") {
+    // duplicate vectors → equal cosines to every query; the winner
+    // must be the smallest neighbor_id regardless of which tile
+    // scored it, at every block count
+    val dup = df((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(1f, 0f)),
+      (4L, Seq(1f, 0f)), (5L, Seq(0f, 1f)))
+    val expect = VectorOps.knnJoinExact(dup, "vec_id", "embedding", k = 2, blocks = 1)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    for (b <- Seq(3, 8)) {
+      val got = VectorOps.knnJoinExact(dup, "vec_id", "embedding", k = 2, blocks = b)
+        .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+      assert(got == expect, s"blocks=$b")
+    }
+    // query 2's neighbors under ties: ids 1 then 3 (smallest first)
+    assert(expect.contains((2L, 1, 1L)) && expect.contains((2L, 2, 3L)), expect.toString)
+  }
+
   test("knnClassify: every label row is complete and permille-bounded") {
     val out = QueriesVector.knnClassify(spark, sf).collect()
     assert(out.nonEmpty)
