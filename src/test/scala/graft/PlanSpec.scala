@@ -90,6 +90,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("collect_set"), p)
   }
 
+  test("gram postings: the gram chain runs once, never as a pushed filter") {
+    // regression for the InferFiltersFromGenerate trap: explode over
+    // an ALIASED gram array lets Catalyst infer `size(alias) > 0`,
+    // and pushdown then inlines the whole tokenize+hash chain into a
+    // pre-exchange scan filter (measured 10× at sf0.1). Healthy plan:
+    // exactly one occurrence of the gram expression, in the Generate.
+    val p = graft.text.DedupOps
+      .wordGramHashes(Tables.documents(spark, sf), "doc_id",
+        org.apache.spark.sql.functions.col("text"), 3)
+      .queryExecution.executedPlan.toString
+    assert("array_distinct".r.findAllIn(p).length == 1, p)
+  }
+
   test("group sample: rank filter plans a map-side WindowGroupLimit") {
     // row_number <= N must push a partial group-limit below the
     // exchange (top-N per group per map partition) — without it each
