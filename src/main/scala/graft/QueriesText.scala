@@ -195,9 +195,18 @@ object QueriesText {
     * corpus. */
   def dedupKeeper(s: SparkSession, dir: String): DataFrame = {
     val groups = dedupResolve(s, dir)
-    val quality = textQuality(s, dir).select(col("doc_id"), col("quality_score"))
+    // gate BEFORE scoring: the quality text-stats pass runs over
+    // group MEMBERS only (candidate-bounded), not the whole corpus —
+    // the inner join is the gate, so score after it, not before
+    val t = col("text")
+    val members = Tables.documents(s, dir).join(groups, "doc_id")
+    val scored = members.select(col("doc_id"), col("group_id"),
+      TextOps.qualityScore(
+        length(t).cast("long"), TextOps.wordCount(t).cast("long"),
+        TextOps.stopwordCount(t, TextOps.StopwordsEn).cast("long"),
+        TextOps.distinctWordCount(t).cast("long")).as("quality_score"))
     val w = Window.partitionBy("group_id").orderBy(col("quality_score").desc, col("doc_id"))
-    groups.join(quality, "doc_id")
+    scored
       .withColumn("__r", row_number().over(w))
       .groupBy("group_id")
       .agg(
