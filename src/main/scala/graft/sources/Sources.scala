@@ -37,6 +37,26 @@ object CsvSource {
   }
 }
 
+/** JSONL (one JSON object per line) reader — the interchange format
+  * of text/training-data corpora. Same schema-explicit PERMISSIVE
+  * posture as [[CsvSource]]: no inference pass (at 100 TB sampling
+  * reads the data twice), malformed lines quarantined in
+  * `_corrupt_record`, never a crashed job. JSONL splits by line, so
+  * a large file still fans out across tasks. */
+object JsonlSource {
+  val CorruptCol: String = CsvSource.CorruptCol
+
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** (clean, corrupt) split; same contract as [[CsvSource.split]]. */
+  def split(df: DataFrame): (DataFrame, DataFrame) = CsvSource.split(df)
+}
+
 /** Partitioned parquet sink (reference `write/write_parquet.py`,
   * `write/write_bronze.py`).
   *

@@ -54,6 +54,21 @@ class BinarySpec extends SparkSpec {
     assert(clean.count() == 2 && corrupt.count() == 1)
   }
 
+  test("jsonl source quarantines malformed lines, round-trips clean docs") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    Files.write(java.nio.file.Paths.get(dir, "d.jsonl"),
+      ("""{"doc_id": 1, "text": "hello world"}""" + "\n" +
+        """{"doc_id": "NOT A NUMBER", "text": "bad"}""" + "\n" +
+        """this is not json at all""" + "\n" +
+        """{"doc_id": 3, "text": "third"}""" + "\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (clean, corrupt) = graft.sources.JsonlSource.split(
+      graft.sources.JsonlSource.read(spark, dir, schema))
+    assert(corrupt.count() == 2)
+    assert(clean.select($"doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("parquet sink writes hive-style partitions") {
     val dir = Files.createTempDirectory("graft_sink").toString + "/out"
     val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("v", "p")
