@@ -68,6 +68,10 @@ object QueriesText {
   /** #29 heuristic language identification vs the labeled lang. */
   def langId(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
+    // hits staged as columns, prediction derived FROM them: each
+    // langHits is a tokenize+filter pass, and the naive form
+    // (langPredict(t) twice + the hit columns) evaluated every one
+    // of them 3× per row
     Tables.documents(s, dir).select(
       col("doc_id"),
       col("lang"),
@@ -75,10 +79,10 @@ object QueriesText {
       TextOps.langHits(t, "de").cast("long").as("hits_de"),
       TextOps.langHits(t, "fr").cast("long").as("hits_fr"),
       TextOps.langHits(t, "es").cast("long").as("hits_es"),
-      TextOps.cjkCount(t).cast("long").as("cjk_chars"),
-      TextOps.langPredict(t).as("predicted"),
-      (TextOps.langPredict(t) === col("lang")).as("is_match")
-    )
+      TextOps.cjkCount(t).cast("long").as("cjk_chars"))
+      .withColumn("predicted", TextOps.langPredictFromHits(
+        col("hits_en"), col("hits_de"), col("hits_fr"), col("hits_es"), col("cjk_chars")))
+      .withColumn("is_match", col("predicted") === col("lang"))
   }
 
   /** #30 quality scoring (integer-exact; see TextOps.qualityScore). */

@@ -131,14 +131,21 @@ object TextOps {
   /** Heuristic language id: CJK chars dominate, else the language
     * with the most stopword hits (fixed priority en>de>fr>es on
     * ties), else 'unknown'. */
-  def langPredict(c: Column): Column = {
-    val en = langHits(c, "en"); val de = langHits(c, "de")
-    val fr = langHits(c, "fr"); val es = langHits(c, "es")
-    when(cjkCount(c) > 0, lit("zh"))
+  def langPredict(c: Column): Column =
+    langPredictFromHits(
+      langHits(c, "en"), langHits(c, "de"), langHits(c, "fr"),
+      langHits(c, "es"), cjkCount(c))
+
+  /** Decision rule over ALREADY-COMPUTED hit counts — use this form
+    * when the hits are staged as columns (e.g. #29 emits them
+    * anyway): each `langHits` is a tokenize+filter pass, and deriving
+    * the prediction from the staged columns evaluates it once per
+    * language instead of once per reference. */
+  def langPredictFromHits(en: Column, de: Column, fr: Column, es: Column, cjk: Column): Column =
+    when(cjk > 0, lit("zh"))
       .when(en >= de && en >= fr && en >= es && en > 0, lit("en"))
       .when(de >= fr && de >= es && de > 0, lit("de"))
       .when(fr >= es && fr > 0, lit("fr"))
       .when(es > 0, lit("es"))
       .otherwise(lit("unknown"))
-  }
 }
