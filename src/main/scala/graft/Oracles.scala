@@ -843,6 +843,16 @@ object Oracles {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  count(*) AS n_events, TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // sketch_ok (the ±5% HLL envelope, including the MERGED sketch)
+    // is computed Spark-side; the oracle recomputes the exact counts
+    // and pins the contract boolean
+    "q_hll_union" ->
+      """SELECT event_type AS scope, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS sketch_ok
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
+        |ORDER BY scope""".stripMargin,
     "q_topk_words" ->
       """WITH w AS (
         |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word

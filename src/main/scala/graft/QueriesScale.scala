@@ -296,6 +296,38 @@ object QueriesScale {
           .as("approx_ok"))
       .orderBy("event_type")
 
+  /** #81 mergeable-sketch rollup: per-event-type Datasketches HLL
+    * sketches computed in ONE events pass, with the global distinct
+    * estimate derived by MERGING the per-type sketches
+    * (`hll_union_agg` over 5 sketch rows) — never a second corpus
+    * scan. Mergeability is the property that makes sketches the scale
+    * path: partial sketches roll up across aggregation levels, days,
+    * or clusters for free. The exact counts ride along as the
+    * verification twin (at 100 TB the exact path is the full shuffle
+    * the sketch exists to avoid — gate it in production); `sketch_ok`
+    * asserts the ±5% envelope per scope, including the merged one. */
+  def hllUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val perType = ev.groupBy("event_type")
+      .agg(
+        hll_sketch_agg(col("user_id")).as("__sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      abs(est - exact) * 100 <= exact * 5
+    val typeRows = perType.select(
+      col("event_type").as("scope"), col("exact_users"),
+      ok(hll_sketch_estimate(col("__sk")), col("exact_users")).as("sketch_ok"))
+    val allEst = perType.agg(
+      hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
+    val allExact = ev.select("user_id").distinct().agg(count(lit(1)).as("exact_users"))
+    val allRow = allExact.crossJoin(allEst).select(
+      lit("ALL").as("scope"), col("exact_users"),
+      ok(col("__est"), col("exact_users")).as("sketch_ok"))
+    val out = typeRows.unionByName(allRow).orderBy("scope")
+    Caching.reap(out)(perType)
+  }
+
   /** #55 Space-Saving top-k frequent words per language, verified
     * end to end: the sketch (native TypedImperativeAggregate, bounded
     * memory per group at any vocabulary size) nominates 32 candidates
@@ -552,6 +584,7 @@ object QueriesScale {
     "q_temporal_join" -> (temporalJoin _),
     "q_unicode_norm" -> (unicodeNorm _),
     "q_hll_distinct" -> (hllDistinct _),
+    "q_hll_union" -> (hllUnion _),
     "q_topk_words" -> (topkWords _)
   )
 }
