@@ -37,6 +37,9 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects;
       // read as epoch-nanos long, Tables.events converts to micros.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see tune(): object aggregates shouldn't sort-fall-back at
+      // 128 groups
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -77,6 +80,12 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.sortBeforeRepartition", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the engine leans on object aggregates (collect_set baskets,
+    // sketch TypedImperativeAggregates); the default 128-group
+    // in-memory threshold makes ObjectHashAggregate fall back to a
+    // sort-based pass on any real group count. 64k groups × small
+    // buffers is well inside executor memory at our partition sizing.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     spark
   }
 }
