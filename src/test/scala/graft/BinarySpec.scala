@@ -78,6 +78,20 @@ class BinarySpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("parquet sink clusterBy sorts rows within every output file") {
+    val dir = Files.createTempDirectory("graft_cluster").toString + "/out"
+    val df = spark.range(0, 10000).selectExpr("pmod(id * 2654435761, 10000) as v")
+      .repartition(4)
+    ParquetSink.write(df, dir, clusterBy = Seq("v"))
+    val perFile = spark.read.parquet(dir)
+      .select($"v", input_file_name().as("f"))
+      .groupBy($"f").agg(collect_list($"v").as("vs"))
+      .select($"vs").as[Seq[Long]].collect()
+    assert(perFile.nonEmpty)
+    perFile.foreach(vs => assert(vs == vs.sorted, "rows must be sorted within each file"))
+    assert(spark.read.parquet(dir).count() == 10000) // content unchanged
+  }
+
   implicit class MapOps3[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap3: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
