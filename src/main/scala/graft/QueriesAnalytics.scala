@@ -31,8 +31,10 @@ object QueriesAnalytics {
     * key sets. The 1-row results recombine with broadcast joins. */
   def kpiSummary(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
+    // count(col), not count(1): a NULL key must not count as a
+    // distinct value (countDistinct / DuckDB count(DISTINCT) exclude it)
     def nDistinct(c: String, as: String): DataFrame =
-      li.select(c).distinct().agg(count(lit(1)).as(as))
+      li.select(c).distinct().agg(count(col(c)).as(as))
     li.agg(
         revenue.as("total_revenue"),
         count(lit(1)).as("total_line_items"),

@@ -320,7 +320,8 @@ object QueriesScale {
       ok(hll_sketch_estimate(col("__sk")), col("exact_users")).as("sketch_ok"))
     val allEst = perType.agg(
       hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
-    val allExact = ev.select("user_id").distinct().agg(count(lit(1)).as("exact_users"))
+    // count(col), not count(1): NULL user_id must not count as distinct
+    val allExact = ev.select("user_id").distinct().agg(count(col("user_id")).as("exact_users"))
     val allRow = allExact.crossJoin(allEst).select(
       lit("ALL").as("scope"), col("exact_users"),
       ok(col("__est"), col("exact_users")).as("sketch_ok"))
