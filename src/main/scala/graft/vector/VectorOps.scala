@@ -111,12 +111,20 @@ object VectorOps {
     // a vector in block i drives row-side tiles (i, j≥i); one in block
     // j drives col-side tiles (i≤j, j) — every unordered block pair is
     // exactly one tile, so no pair is scored twice across tiles
+    // fixed-count repartition on the tile key (same AQE-coalesce trap
+    // as knnJoinExact: the join INPUT is 2·n·B/2 small rows, its
+    // OUTPUT the (n/B)² pair explosion — coalescing from input stats
+    // would serialize the scoring; an explicit count is exempt and
+    // matches the join keys, so no extra exchange)
+    val tileParts = blocks * blocks
     val rows = withBlock.select(
       col(idCol).as("id1"), col(vecCol).as("__v1"),
       col("__b").as("__ti"), explode(sequence(col("__b"), b - 1)).as("__tj"))
+      .repartition(tileParts, col("__ti"), col("__tj"))
     val cols = withBlock.select(
       col(idCol).as("id2"), col(vecCol).as("__v2"),
       explode(sequence(lit(0), col("__b"))).as("__ti"), col("__b").as("__tj"))
+      .repartition(tileParts, col("__ti"), col("__tj"))
     rows.join(cols, Seq("__ti", "__tj"))
       // diagonal tiles see both orderings: keep one; cross tiles see
       // exactly one ordering: keep it whatever the id order
