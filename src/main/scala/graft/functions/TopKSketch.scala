@@ -59,18 +59,7 @@ case class TopKSketchAgg(
   override def update(buf: Summary, input: InternalRow): Summary = {
     val v = child.eval(input)
     if (v == null) return buf
-    val item = v.asInstanceOf[UTF8String].toString
-    buf.map.get(item) match {
-      case Some(c) => buf.bump(item, c)
-      case None if buf.map.size < capacity => buf.add(item, Counter(1L, 0L))
-      case None =>
-        // evict the min-count counter (ties: lexicographically largest
-        // item evicted first, for deterministic merges) — O(log cap)
-        // off the head of the eviction index
-        val (mc, mk) = buf.order.head
-        buf.remove(mk)
-        buf.add(item, Counter(mc + 1, mc))
-    }
+    TopKSketchAgg.observe(buf, v.asInstanceOf[UTF8String].toString, capacity)
     buf
   }
 
@@ -142,6 +131,21 @@ case class TopKSketchAgg(
 object TopKSketchAgg {
   /** Mutable counter: observed count and max over-count. */
   final case class Counter(var count: Long, var err: Long)
+
+  /** One Space-Saving observation — the SINGLE update rule, shared by
+    * the batch aggregate and the streaming state handler so both
+    * paths carry identical bounds. Eviction takes the min-count
+    * counter (ties: lexicographically largest item first, for
+    * deterministic merges), O(log cap) off the eviction index. */
+  def observe(buf: Summary, item: String, capacity: Int): Unit =
+    buf.map.get(item) match {
+      case Some(c) => buf.bump(item, c)
+      case None if buf.map.size < capacity => buf.add(item, Counter(1L, 0L))
+      case None =>
+        val (mc, mk) = buf.order.head
+        buf.remove(mk)
+        buf.add(item, Counter(mc + 1, mc))
+    }
 
   /** Item→counter map plus the eviction index: a tree of (count, key)
     * ordered by count asc then key DESC, so `order.head` is always

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.TopKSketchAgg
+import graft.functions.TopKSketchAgg.{Counter, Summary}
+
+/** Streaming heavy hitters: a per-key Space-Saving sketch maintained
+  * as `flatMapGroupsWithState` state — the streaming twin of the
+  * batch `topk_sketch` aggregate (#55), sharing its single
+  * [[TopKSketchAgg.observe]] update rule so both paths carry the same
+  * guarantees: count never under-estimates, count−err never
+  * over-estimates, every item with true frequency > N/capacity is
+  * present.
+  *
+  * Scale shape: state is EXACTLY `capacity` counters per key — fixed
+  * bytes however fast the stream runs or however wide the item
+  * vocabulary grows; keys spread across partitions by the groupByKey
+  * shuffle. Each micro-batch emits the key's current top-k (Update
+  * mode), so downstream sees a continuously-refreshed leaderboard. */
+object TopKStream {
+  final case class Item(key: String, item: String, ts: Timestamp)
+  final case class TopRow(key: String, rank: Int, item: String, count: Long, err: Long)
+  /** Serializable state snapshot of a Summary. */
+  final case class SketchState(entries: List[(String, Long, Long)])
+
+  def topK(items: Dataset[Item], capacity: Int, k: Int): Dataset[TopRow] = {
+    import items.sparkSession.implicits._
+    items
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SketchState, TopRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Item], state: GroupState[SketchState]) =>
+          val buf = new Summary
+          state.getOption.foreach(_.entries.foreach { case (i, c, e) =>
+            buf.add(i, Counter(c, e))
+          })
+          // batch-internal order is not defined by the source: fix it
+          // so a replayed batch yields identical counters
+          rows.map(_.item).toSeq.sorted.foreach(TopKSketchAgg.observe(buf, _, capacity))
+          state.update(SketchState(
+            buf.map.iterator.map { case (i, c) => (i, c.count, c.err) }.toList))
+          buf.map.toSeq
+            .sortBy { case (i, c) => (-c.count, i) }
+            .take(k).zipWithIndex
+            .map { case ((i, c), r) => TopRow(key, r + 1, i, c.count, c.err) }
+            .iterator
+      }
+  }
+
+  /** DataFrame convenience: expects (key, item, ts) columns. */
+  def topKFrame(items: DataFrame, capacity: Int, k: Int): Dataset[TopRow] = {
+    import items.sparkSession.implicits._
+    topK(items.selectExpr("key", "item", "ts").as[Item], capacity, k)
+  }
+}
