@@ -38,6 +38,26 @@ object EventStream {
         col("event_type"), col("n_events"), col("total_value")
       )
 
+  /** Windowed distinct-user cardinality on a stream: exact
+    * `countDistinct` is not incrementally maintainable under
+    * watermark eviction (the full key set per open window would be
+    * state), so the streaming twin of #54/#81 uses the mergeable HLL
+    * estimate — fixed sketch bytes per (window, type) group however
+    * many users appear. Same watermark-bounded state story as
+    * [[windowedCounts]]. */
+  def windowedDistinctUsers(
+      events: DataFrame, watermark: String = "1 hour", window_ : String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("approx_users"), col("n_events"))
+
   /** Stream-stream interval join: pair rows of two streams sharing
     * `keys` whose event times lie within `within` of each other. Both
     * sides carry watermarks, and the time bound is part of the join

@@ -31,6 +31,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming windowed distinct users equals the batch HLL estimate") {
+    val dir = Files.createTempDirectory("graft_stream_du").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir + "/in")
+    val src = EventStream.readEvents(spark, dir + "/in", spark.read.parquet(dir + "/in"))
+    val q = EventStream.windowedDistinctUsers(src)
+      .writeStream.format("memory").queryName("win_users")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // same sketch params on the same rows → identical estimates, and
+    // the estimate stays inside the 2%-rsd envelope of the exact count
+    val batch = Tables.events(spark, sf)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
+        countDistinct($"user_id").as("exact_users"))
+      .select($"window.start".as("window_start"), $"event_type", $"approx_users", $"exact_users")
+    val joined = spark.table("win_users")
+      .join(batch.withColumnRenamed("approx_users", "batch_approx"),
+        Seq("window_start", "event_type"))
+    assert(joined.where($"approx_users" =!= $"batch_approx").count() == 0)
+    assert(joined.where(abs($"approx_users" - $"exact_users") * 100 > $"exact_users" * 10).count() == 0)
+  }
+
   test("flatMapGroupsWithState sessionizer matches batch session count on a replay") {
     // run the stateful function over a batch Dataset (same code path
     // Structured Streaming invokes per micro-batch across all groups)
