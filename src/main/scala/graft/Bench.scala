@@ -56,8 +56,13 @@ object Bench {
     // fixed name order: per-round BENCH numbers stay comparable and
     // cold-cache costs land on the same queries every run
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    // dev-only subset filter (driver leaves it unset → all queries)
+    // dev-only subset filter (driver leaves it unset → all queries).
+    // Loud on stderr and flagged in the JSON line itself: a partial
+    // bench artifact must be self-describing.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { set =>
+      System.err.println(s"\n${"!" * 72}\n[bench] SPARK_GRAFT_ONLY active — PARTIAL bench of ${set.size} queries: ${set.toSeq.sorted.mkString(",")}\n${"!" * 72}\n")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -89,7 +94,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val partial = if (only.isDefined) s""","partial":true""" else ""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$partial}""")
     spark.stop()
   }
 }

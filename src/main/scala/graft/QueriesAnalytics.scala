@@ -28,7 +28,16 @@ object QueriesAnalytics {
     * `countDistinct`s — Spark plans multi-distinct via an Expand that
     * replicates every fact row once per distinct column BEFORE the
     * exchange, which at 100 TB shuffles 4× the fact instead of three
-    * key sets. The 1-row results recombine with broadcast joins. */
+    * key sets. The 1-row results recombine with broadcast joins.
+    *
+    * Trade-off: this formulation scans lineitem four times (base agg
+    * plus one column-pruned scan per distinct), betting that shuffle
+    * dominates — true on warm/columnar storage where each extra pass
+    * reads ONE dictionary-encoded integer column (~2% of the table
+    * bytes), which is why it wins here. On a cluster that is
+    * scan-bound on cold object storage, flip the bet: cache one
+    * narrow projection of the three key columns and run the distincts
+    * over it, or accept the Expand's 4× shuffle for its single scan. */
   def kpiSummary(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     // count(col), not count(1): a NULL key must not count as a

@@ -513,8 +513,11 @@ object QueriesScale {
       .select(col("o_custkey"), col("cohort_month"),
         (months_between(col("m"), col("cohort_month"))).cast("long").as("months_since"))
       .distinct()
+      // rows are unique per (cohort_month, months_since, o_custkey)
+      // after the distinct, so a plain count equals the distinct
+      // count without planning a second distinct aggregate
       .groupBy("cohort_month", "months_since")
-      .agg(countDistinct(col("o_custkey")).as("active_customers"))
+      .agg(count(lit(1)).as("active_customers"))
       .orderBy("cohort_month", "months_since")
   }
 
@@ -536,6 +539,15 @@ object QueriesScale {
       .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+      // fact-scale persist: at 100 TB this spills the 3-column joined
+      // fact to executor disk. Deliberate — THREE consumers (sketch,
+      // envelope stats, exact twin) each need the broadcast-joined
+      // projection, and recomputing means three fact scans + three
+      // broadcast joins vs one scan + two spill-reads of a narrow
+      // projection. If the verification twin is dropped in production
+      // (sketch-only path), drop the persist with it — a 2-consumer
+      // narrow pipeline can prefer recompute when executor disk is
+      // scarce. Reaped before return.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ap = o.groupBy("c_mktsegment")
       .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(acc)).as("__ap"))

@@ -392,6 +392,13 @@ object QueriesText {
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // corpus-scale persist: at 100 TB this spills (doc, term, tf) to
+      // executor disk. Deliberate — both consumers (df rollup, scored
+      // join) need the SAME shuffled aggregate, and recomputing it
+      // means re-tokenizing + re-shuffling the whole corpus, which
+      // costs more than one spill-read. The trade flips only if
+      // executor disk is the scarce resource; then drop the persist
+      // and eat the second shuffle. Reaped before return.
       .persist()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val score = col("tf").cast("double") / col("df")

@@ -15,8 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev-only subset filter (driver leaves it unset → all queries)
+    // dev-only subset filter (driver leaves it unset → all queries).
+    // Loud on stderr AND recorded in the output dir: a partial dump
+    // must be self-describing, or a leaked env var silently turns the
+    // round's correctness artifact into a subset check.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { set =>
+      val banner = s"SPARK_GRAFT_ONLY active — PARTIAL verify of ${set.size} queries: ${set.toSeq.sorted.mkString(",")}"
+      System.err.println(s"\n${"!" * 72}\n[verify] $banner\n${"!" * 72}\n")
+      Files.writeString(Paths.get(s"$outDir/PARTIAL_RUN.txt"), banner + "\n")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -36,7 +36,21 @@ object DedupStream {
   final case class BucketState(ids: List[Long])
 
   /** Candidate pairs from a stream of docs. `n`/`k`/`bands` must
-    * match the batch index's parameters. */
+    * match the batch index's parameters.
+    *
+    * CONTRACT: the output is a candidate MULTISET, not a set — a pair
+    * colliding in several bands is emitted once per band (bucket
+    * groups are processed independently, so cross-band dedup would
+    * itself need another stateful shuffle), and a doc_id that lands in
+    * a saturated bucket is not recorded in state, so the same doc
+    * re-arriving in a later batch re-emits its pairs. Both are safe by
+    * design: the pipeline contract is generate-then-verify, and
+    * [[graft.text.DedupOps.verifyPairsExact]] callers must `.distinct()`
+    * the (doc_id, prior_doc_id) projection first — exactly what the
+    * batch band-join does with its post-join distinct. Deduplicating
+    * here would buy nothing: the verify input is distinct-ed anyway,
+    * and an unbounded seen-pairs state would break the bounded-state
+    * guarantee that makes the gate deployable. */
   def candidates(
       docs: DataFrame, n: Int = 3, k: Int = 48, bands: Int = 24,
       maxPerBucket: Int = 8

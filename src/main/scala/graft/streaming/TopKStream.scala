@@ -16,7 +16,9 @@ import graft.functions.TopKSketchAgg.{Counter, Summary}
   * over-estimates, every item with true frequency > N/capacity is
   * present.
   *
-  * Scale shape: state is EXACTLY `capacity` counters per key — fixed
+  * Scale shape: state AND the per-batch update path are both
+  * O(capacity) per key — the update folds the batch iterator straight
+  * into the sketch without materializing it, so a hot key costs fixed
   * bytes however fast the stream runs or however wide the item
   * vocabulary grows; keys spread across partitions by the groupByKey
   * shuffle. Each micro-batch emits the key's current top-k (Update
@@ -38,9 +40,15 @@ object TopKStream {
           state.getOption.foreach(_.entries.foreach { case (i, c, e) =>
             buf.add(i, Counter(c, e))
           })
-          // batch-internal order is not defined by the source: fix it
-          // so a replayed batch yields identical counters
-          rows.map(_.item).toSeq.sorted.foreach(TopKSketchAgg.observe(buf, _, capacity))
+          // fold the iterator straight into the sketch: per-key memory
+          // stays O(capacity) however large the micro-batch (a hot key
+          // must not buffer its whole batch). The price: which counter
+          // a tie evicts depends on batch-internal arrival order, so a
+          // replayed batch may assign err to different LOW-frequency
+          // items — the Space-Saving bounds asserted by the spec
+          // (count ≥ truth ≥ count − err, heavy hitters present) hold
+          // under ANY order, so nothing downstream may assume more
+          rows.foreach(r => TopKSketchAgg.observe(buf, r.item, capacity))
           state.update(SketchState(
             buf.map.iterator.map { case (i, c) => (i, c.count, c.err) }.toList))
           buf.map.toSeq

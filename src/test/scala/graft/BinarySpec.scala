@@ -83,13 +83,34 @@ class BinarySpec extends SparkSpec {
     val df = spark.range(0, 10000).selectExpr("pmod(id * 2654435761, 10000) as v")
       .repartition(4)
     ParquetSink.write(df, dir, clusterBy = Seq("v"))
-    val perFile = spark.read.parquet(dir)
-      .select($"v", input_file_name().as("f"))
-      .groupBy($"f").agg(collect_list($"v").as("vs"))
-      .select($"vs").as[Seq[Long]].collect()
-    assert(perFile.nonEmpty)
-    perFile.foreach(vs => assert(vs == vs.sorted, "rows must be sorted within each file"))
-    assert(spark.read.parquet(dir).count() == 10000) // content unchanged
+    // pin the split confs so each file maps to exactly ONE input
+    // partition (and verify it per-partition below) — then in-file row
+    // order IS iterator order inside mapPartitions, with no reliance
+    // on collect_list's order surviving a shuffle or on files being
+    // small enough not to split
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", s"${1024L * 1024 * 1024}")
+    spark.conf.set("spark.sql.files.openCostInBytes", s"${512L * 1024 * 1024}")
+    try {
+      val parts = spark.read.parquet(dir)
+        .select($"v", input_file_name().as("f")).as[(Long, String)]
+        .mapPartitions { it =>
+          val rows = it.toVector
+          if (rows.isEmpty) Iterator.empty
+          else Iterator.single(
+            (rows.map(_._2).distinct.size, rows.map(_._1) == rows.map(_._1).sorted, rows.size))
+        }.collect()
+      assert(parts.nonEmpty)
+      parts.foreach { case (filesInPart, sorted, _) =>
+        assert(filesInPart == 1, "split confs must map each file to exactly one partition")
+        assert(sorted, "rows must be sorted within each file")
+      }
+      assert(parts.map(_._3).sum == 10000) // content unchanged
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+    }
   }
 
   implicit class MapOps3[A, B, C, D](rows: Array[(A, B, C, D)]) {

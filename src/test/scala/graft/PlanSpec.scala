@@ -28,6 +28,20 @@ class PlanSpec extends SparkSpec {
     assert(broadcasts >= 5, s"expected >=5 broadcast joins, got $broadcasts")
   }
 
+  test("gold star join: AQE final plan keeps all five dims broadcast") {
+    // the static assertion above can pass while AQE re-plans a dim to
+    // SortMergeJoin at runtime (stat drift, broadcast-threshold flip);
+    // assert the executed adaptive plan so that can never land silently
+    val df = Queries.all("q_gold_enriched")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(finalPlan).length
+    assert(broadcasts >= 5, s"expected >=5 broadcast joins post-AQE, got $broadcasts\n$finalPlan")
+    // the only sort-merge the plan may contain is the fact-fact join
+    val smj = "SortMergeJoin".r.findAllIn(finalPlan).length
+    assert(smj <= 1, s"a dimension fell out of broadcast: $smj SortMergeJoins\n$finalPlan")
+  }
+
   test("top products: dimension joined broadcast after fact pre-aggregation") {
     val p = plan("q_top_products")
     assert(p.contains("BroadcastHashJoin"))
