@@ -196,7 +196,15 @@ object QueriesText {
     * The quality join is keyed on doc_id (group membership is
     * candidate-bounded — no broadcast bet on group count), and the
     * argmax window sorts within one near-dup cluster, never the
-    * corpus. */
+    * corpus.
+    *
+    * Deliberately RECOMPUTES the #38 resolve instead of sharing its
+    * result: every registered query must stand alone (the driver runs
+    * each against its own oracle), and a Bench-level cache would
+    * report a keeper time no stand-alone run can reproduce. In a real
+    * pipeline resolve→keeper is one job and the resolve output is
+    * persisted once — the ~1.4 s overlap here is measurement honesty,
+    * not a scale cost. */
   def dedupKeeper(s: SparkSession, dir: String): DataFrame = {
     val groups = dedupResolve(s, dir)
     // gate BEFORE scoring: the quality text-stats pass runs over

@@ -45,15 +45,29 @@ object ScdStream {
   ): DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val existing = currentState(spark, stateDir)
-        .getOrElse(Scd2.initialize(batch.limit(0), asOfForBatch(batchId)))
-      val merged = Scd2.merge(existing, batch, key, tracked, asOfForBatch(batchId))
       val versionPath = s"$stateDir/state_v$batchId"
-      merged.write.mode("overwrite").parquet(versionPath)
-      Files.createDirectories(Paths.get(stateDir))
-      Files.write(pointerFile(stateDir), versionPath.getBytes,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-        StandardOpenOption.WRITE)
+      // Crash-recovery idempotence. foreachBatch replays a batch if a
+      // crash landed anywhere before the checkpoint's epoch commit.
+      // Two windows:
+      //  - crash BEFORE the pointer swap: the pointer still names the
+      //    previous version, so the replay re-merges from it and the
+      //    overwrite below heals any torn state_v{b} files;
+      //  - crash AFTER the pointer swap: the pointer already names
+      //    THIS batch's output — re-merging would read state_v{b} and
+      //    overwrite the same path mid-read (parquet self-overwrite
+      //    corruption). The pointer is written only after the state
+      //    commit, so pointer==versionPath proves the merge finished:
+      //    skip the replay entirely.
+      if (!currentStatePath(stateDir).contains(versionPath)) {
+        val existing = currentState(spark, stateDir)
+          .getOrElse(Scd2.initialize(batch.limit(0), asOfForBatch(batchId)))
+        val merged = Scd2.merge(existing, batch, key, tracked, asOfForBatch(batchId))
+        merged.write.mode("overwrite").parquet(versionPath)
+        Files.createDirectories(Paths.get(stateDir))
+        Files.write(pointerFile(stateDir), versionPath.getBytes,
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+          StandardOpenOption.WRITE)
+      }
       ()
     }
 }

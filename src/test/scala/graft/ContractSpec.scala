@@ -21,4 +21,30 @@ class ContractSpec extends SparkSpec {
         s"$name: oracle must be one statement")
     }
   }
+
+  test("oracle SQL reads only testdata tables (never a Spark-side view)") {
+    // the driver's DuckDB session defines exactly these views over the
+    // sf parquet; an oracle that names anything else (a Spark temp
+    // view, a typo'd table) would error — or worse, silently resolve
+    // against something the oracle engine happens to define. Every
+    // FROM/JOIN target must be a testdata table, a CTE defined in the
+    // same statement, or a parenthesized subquery.
+    val testdata = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val cte = """(?is)(?:with(?:\s+recursive)?|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s*as\s*\(""".r
+    val rel = """(?is)\b(?:from|join)\s+([a-z_][a-z0-9_]*)""".r
+    // SQL constructs that legally follow FROM/JOIN without naming a
+    // stored relation: lateral subqueries and table functions
+    val keywords = Set("lateral", "unnest", "values", "generate_series", "range")
+    Oracles.all.foreach { case (name, sql) =>
+      val ctes = cte.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val rels = rel.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = rels.diff(testdata).diff(ctes).diff(keywords)
+      assert(unknown.isEmpty,
+        s"$name: oracle references non-testdata relations: ${unknown.toSeq.sorted}")
+      // DuckDB-side file access would bypass the driver's view setup
+      assert(!sql.toLowerCase.contains("read_parquet"),
+        s"$name: oracle must use the driver-defined views, not read_parquet")
+    }
+  }
 }
