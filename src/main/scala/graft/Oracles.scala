@@ -382,6 +382,77 @@ object Oracles {
       |WHERE s*100 >= (c1.n + c2.n - s)*$minPct""".stripMargin
 
   val text: Map[String, String] = Map(
+    // Zipf head: exact counts, integer-permille cumulative coverage
+    "q_vocab_coverage" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents
+        |), c AS (
+        |  SELECT word, count(*) AS n_tokens FROM w GROUP BY 1
+        |), t AS (
+        |  SELECT sum(n_tokens) AS total FROM c
+        |), r AS (
+        |  SELECT word, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens DESC, word) AS rank,
+        |    sum(n_tokens) OVER (ORDER BY n_tokens DESC, word
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, word, n_tokens,
+        |  (cum*2000 + total) // (total*2) AS cum_permille
+        |FROM r, t WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // boilerplate = grams in >= max(5, 1% of docs) documents; per-doc
+    // POSITION coverage (multiset), half-up integer permille
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), pos AS (
+        |  SELECT doc_id, unnest(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS gram
+        |  FROM toks
+        |), dfq AS (
+        |  SELECT gram, count(DISTINCT doc_id) AS df FROM pos GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), boiler AS (
+        |  SELECT gram FROM dfq, n WHERE df >= greatest(5, (n_docs + 99) // 100)
+        |), base AS (
+        |  SELECT doc_id, CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_positions FROM toks
+        |), bc AS (
+        |  SELECT doc_id, count(*) AS n_boiler FROM pos JOIN boiler USING (gram) GROUP BY 1
+        |)
+        |SELECT b.doc_id, b.n_positions,
+        |  coalesce(bc.n_boiler, 0) AS n_boiler,
+        |  CASE WHEN b.n_positions = 0 THEN 0
+        |       ELSE (coalesce(bc.n_boiler, 0)*2000 + b.n_positions) // (b.n_positions*2)
+        |  END AS boiler_permille
+        |FROM base b LEFT JOIN bc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // asymmetric containment over the SAME df-capped distinct-gram
+    // postings as the resolve CTE; half-up integer percentage
+    "q_gram_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS gram
+        |  FROM toks
+        |), kept AS (
+        |  SELECT g.doc_id, g.gram FROM grams g
+        |  JOIN (SELECT gram, count(*) AS df FROM grams GROUP BY gram) d USING (gram)
+        |  WHERE d.df <= 100
+        |), counts AS (
+        |  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+        |), shared AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS s
+        |  FROM kept a JOIN kept b USING (gram)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT doc1, doc2, s AS shared_grams, c1.n AS grams1, c2.n AS grams2,
+        |  (s*200 + least(c1.n, c2.n)) // (least(c1.n, c2.n)*2) AS containment_pct
+        |FROM shared
+        |JOIN counts c1 ON doc1 = c1.doc_id
+        |JOIN counts c2 ON doc2 = c2.doc_id
+        |WHERE s*100 >= least(c1.n, c2.n)*80
+        |ORDER BY doc1, doc2""".stripMargin,
     // fixed-N stratified sample: md5-hex order is engine-identical
     // (same lowercase hex of the same decimal string)
     "q_group_sample" ->
@@ -742,6 +813,42 @@ object Oracles {
   }
 
   val vector: Map[String, String] = Map(
+    // connected components over the #26 pair graph (same rounded
+    // threshold), majority-label vote and min-id keeper — all integer
+    "q_semantic_resolve" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS p, b.vec_id AS q
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round($cosExpr, 4) >= 0.40
+        |), edges AS (
+        |  SELECT p AS a, q AS b FROM pairs UNION SELECT q, p FROM pairs
+        |), reach AS (
+        |  SELECT a AS id, b AS r FROM edges
+        |  UNION
+        |  SELECT c.id, e.b FROM reach c JOIN edges e ON c.r = e.a
+        |), groups AS (
+        |  SELECT id AS vec_id, least(id, min(r)) AS group_id FROM reach GROUP BY id
+        |), labeled AS (
+        |  SELECT g.group_id, g.vec_id, e.label
+        |  FROM groups g JOIN embeddings e USING (vec_id)
+        |), votes AS (
+        |  SELECT group_id, label, count(*) AS c FROM labeled GROUP BY 1, 2
+        |), maj AS (
+        |  SELECT group_id, label AS majority_label, c AS n_majority FROM (
+        |    SELECT group_id, label, c, row_number() OVER (PARTITION BY group_id
+        |      ORDER BY c DESC, label) AS r FROM votes) v
+        |  WHERE r = 1
+        |), sizes AS (
+        |  SELECT group_id, count(*) AS n_vecs FROM labeled GROUP BY 1
+        |), keep AS (
+        |  SELECT l.group_id, min(l.vec_id) AS keeper_vec_id
+        |  FROM labeled l JOIN maj m
+        |    ON l.group_id = m.group_id AND l.label = m.majority_label
+        |  GROUP BY 1
+        |)
+        |SELECT s.group_id, s.n_vecs, m.majority_label, m.n_majority, k.keeper_vec_id
+        |FROM sizes s JOIN maj m USING (group_id) JOIN keep k USING (group_id)
+        |ORDER BY group_id""".stripMargin,
     "q_dedup_embedding" ->
       s"""SELECT id1, id2, cosine FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2, round($cosExpr, 4) AS cosine

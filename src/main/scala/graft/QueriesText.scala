@@ -453,7 +453,89 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  /** #82 Zipf vocabulary coverage: the top-50 corpus words by exact
+    * frequency with each rank's CUMULATIVE share of all tokens
+    * (half-up integer permille) — the curve that sizes a tokenizer
+    * vocabulary (how many entries until the head covers X% of the
+    * stream). Scale shape: token counts partial-aggregate map-side,
+    * the top-50 is a distributed TakeOrdered (per-partition top-k,
+    * never a vocabulary-wide sort), and the cumulative window runs
+    * over exactly 50 rows — the single-partition window is bounded by
+    * the LIMIT, not the data. The total-token count joins in as a
+    * broadcast 1-row frame. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    vocabCoverageOn(Tables.documents(s, dir))
+
+  /** Frame-level #82: works over any (text) frame (spec-driven). */
+  def vocabCoverageOn(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_tokens"))
+    val total = counts.agg(sum(col("n_tokens")).as("__total"))
+    val byFreq = Window.orderBy(col("n_tokens").desc, col("word"))
+    val top = counts.orderBy(col("n_tokens").desc, col("word")).limit(50)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("__cum",
+        sum(col("n_tokens")).over(byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("word"), col("n_tokens"),
+        call_function("div", col("__cum") * 2000L + col("__total"), col("__total") * 2L)
+          .as("cum_permille"))
+      .orderBy("rank")
+  }
+
+  /** #83 boilerplate span accounting: a 3-gram is "boilerplate" when
+    * its document frequency reaches max(5, 1% of the corpus) — the
+    * repeated-span signal (headers, templates, navigation chrome)
+    * that corpus cleaning strips before training. Per doc: total gram
+    * POSITIONS (multiset — coverage, not identity), positions whose
+    * gram is boilerplate, and the half-up permille covered.
+    *
+    * Scale shape: df comes from the distinct-per-doc gram view
+    * (partial-aggregated); the boilerplate set is by construction
+    * small (high-df survivors only) and broadcasts to the positional
+    * stream — the corpus-sized position explode never shuffles, its
+    * per-doc count partial-aggregates behind the broadcast join. */
+  def boilerplate(s: SparkSession, dir: String): DataFrame =
+    boilerplateOn(Tables.documents(s, dir))
+
+  /** Frame-level #83: works over any (doc_id, text) frame. */
+  def boilerplateOn(docs: DataFrame): DataFrame = {
+    val grams = DedupOps.wordGramHashes(docs, "doc_id", col("text"), 3)
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val boiler = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("__df") >= greatest(lit(5L), call_function("div", col("__n") + 99L, lit(100L))))
+      .select("gram")
+    val positions = DedupOps.wordGramHashesAll(docs, "doc_id", col("text"), 3)
+    val boilerCounts = positions.join(broadcast(boiler), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("__nb"))
+    val toks = TextOps.tokens(col("text"))
+    docs.select(col("doc_id"),
+        greatest(size(toks) - 2, lit(0)).cast("long").as("n_positions"))
+      .join(boilerCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_positions"),
+        coalesce(col("__nb"), lit(0L)).as("n_boiler"),
+        when(col("n_positions") === 0L, lit(0L)).otherwise(
+          call_function("div",
+            coalesce(col("__nb"), lit(0L)) * 2000L + col("n_positions"),
+            col("n_positions") * 2L)).as("boiler_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** #84 asymmetric containment pairs: shared / min-gram-set ≥ 80% on
+    * df-capped 3-grams — catches doc-contains-doc near-dups whose
+    * Jaccard stays low (see [[DedupOps.ngramContainmentPairs]]). */
+  def gramContainment(s: SparkSession, dir: String): DataFrame =
+    DedupOps.ngramContainmentPairs(
+      Tables.documents(s, dir), "doc_id", col("text"),
+      n = 3, maxDf = 100, minContainPct = 80)
+      .orderBy("doc1", "doc2")
+
   def all: Map[String, Q] = Map(
+    "q_vocab_coverage" -> (vocabCoverage _),
+    "q_boilerplate" -> (boilerplate _),
+    "q_gram_containment" -> (gramContainment _),
     "q_bloom_dedup" -> (bloomMembership _),
     "q_train_split" -> (trainSplit _),
     "q_rare_tokens" -> (rareTokens _),

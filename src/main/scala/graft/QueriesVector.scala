@@ -107,7 +107,53 @@ object QueriesVector {
       .orderBy("label")
   }
 
+  /** #85 semantic dedup resolution (SemDeDup-shaped): connected
+    * components over the exact cosine ≥ 0.40 pair graph (same tiled
+    * generator as #26, tighter threshold — 0.30 percolates this
+    * corpus into one giant component; 0.40 yields real clusters), each group
+    * annotated with size, majority label (ties → smallest) and the
+    * keeper — the smallest vec_id carrying the majority label. The
+    * cluster-then-keep step of embedding-space dedup, with every
+    * decision integer-exact (vote counts, min ids) so DuckDB
+    * reproduces it bit-for-bit. Scale shape: pairs from the tiled
+    * exact join (no corpus broadcast), label propagation is
+    * O(component diameter) keyed shuffles, votes partial-aggregate to
+    * ≤ |labels| rows per group, and the argmax window sorts within
+    * one group's label votes — never the corpus. */
+  def semanticResolve(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val pairs = VectorOps.cosinePairs(emb, "vec_id", "embedding", minCos = 0.40)
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+    val groups = graft.text.DedupOps.resolveGroups(pairs)
+      .select(col("doc_id").as("vec_id"), col("group_id"))
+    resolveSummary(groups, emb.select("vec_id", "label")).orderBy("group_id")
+  }
+
+  /** Group summary for #85 (spec-driven): majority label (ties →
+    * smallest), group size, and min-id keeper within the majority
+    * label, from a (vec_id, group_id) membership frame and a
+    * (vec_id, label) frame. */
+  def resolveSummary(groups: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = groups.join(labels, "vec_id")
+    val votes = labeled.groupBy("group_id", "label").agg(count(lit(1)).as("__c"))
+    val wv = Window.partitionBy("group_id").orderBy(col("__c").desc, col("label"))
+    val majority = votes
+      .withColumn("__r", row_number().over(wv)).where(col("__r") === 1)
+      .select(col("group_id"), col("label").as("majority_label"), col("__c").as("n_majority"))
+    val sizes = labeled.groupBy("group_id").agg(count(lit(1)).as("n_vecs"))
+    val keeper = labeled.join(majority.select("group_id", "majority_label"), "group_id")
+      .where(col("label") === col("majority_label"))
+      .groupBy("group_id").agg(min(col("vec_id")).as("keeper_vec_id"))
+    sizes.join(majority, "group_id").join(keeper, "group_id")
+      .select(col("group_id"), col("n_vecs"), col("majority_label"),
+        col("n_majority"), col("keeper_vec_id"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q_semantic_resolve" -> (semanticResolve _),
     "q_knn_classify" -> (knnClassify _),
     "q_ann_quantized" -> (annQuantized _),
     "q_ann_ivf" -> (annIvf _),

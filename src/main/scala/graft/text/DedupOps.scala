@@ -74,6 +74,15 @@ object DedupOps {
       .select(col(id), transform(TextOps.tokens(text), t => xxhash64(t)).as("__th"))
       .select(col(id), array_distinct(gramArray(col("__th"), n)).as("__grams"))
 
+  /** Positional (multiset) word n-gram hashes: one row per gram
+    * POSITION, duplicates kept — the span-coverage view boilerplate
+    * accounting needs (how much of each doc is covered by repeated
+    * spans), vs the distinct-set view similarity dedup needs. */
+  def wordGramHashesAll(docs: DataFrame, id: String, text: Column, n: Int): DataFrame =
+    docs
+      .select(col(id), transform(TextOps.tokens(text), t => xxhash64(t)).as("__th"))
+      .select(col(id), explode(gramArray(col("__th"), n)).as("gram"))
+
   /** n-gram hash array over a token-hash array `th` — `th` MUST be a
     * materialized column (not an inline transform): referencing a
     * transform() from every element_at lets the optimizer inline it
@@ -94,6 +103,61 @@ object DedupOps {
       docs: DataFrame, id: String, text: Column,
       n: Int, maxDf: Int, minJaccardPct: Int
   ): DataFrame = {
+    val (withCounts, kept) = sharedGramCounts(docs, id, text, n, maxDf)
+    val union = col("grams1") + col("grams2") - col("shared_grams")
+    val pairs = withCounts
+      .withColumn("union_grams", union)
+      .where(col("shared_grams") * 100 >= col("union_grams") * minJaccardPct)
+      .select(
+        col("doc1"), col("doc2"), col("shared_grams"),
+        col("grams1"), col("grams2"),
+        call_function("div",
+          col("shared_grams") * 200L + col("union_grams"),
+          col("union_grams") * 2L
+        ).as("jaccard_pct")
+      )
+    // the pair set is orders of magnitude smaller than the postings:
+    // materialize it and release the postings storage (leaked caches
+    // tax every later query in the session)
+    graft.Caching.reap(pairs)(kept)
+  }
+
+  /** Exact n-gram CONTAINMENT pairs: shared / min(|A|, |B|) — the
+    * asymmetric near-dup measure Jaccard misses. A 40-gram doc
+    * embedded verbatim in a 400-gram doc has Jaccard ≈ 0.1 (never
+    * crosses a dedup threshold) but containment 1.0 — the standard
+    * shape for quote inclusion, template wrapping, and train/eval
+    * leakage. Same df-capped postings machinery as
+    * [[ngramJaccardPairs]]; the threshold and the emitted percentage
+    * use exact integer arithmetic (half-up). */
+  def ngramContainmentPairs(
+      docs: DataFrame, id: String, text: Column,
+      n: Int, maxDf: Int, minContainPct: Int
+  ): DataFrame = {
+    val (withCounts, kept) = sharedGramCounts(docs, id, text, n, maxDf)
+    val minc = least(col("grams1"), col("grams2"))
+    val pairs = withCounts
+      .where(col("shared_grams") * 100 >= minc * minContainPct)
+      .select(
+        col("doc1"), col("doc2"), col("shared_grams"),
+        col("grams1"), col("grams2"),
+        call_function("div",
+          col("shared_grams") * 200L + minc,
+          minc * 2L
+        ).as("containment_pct")
+      )
+    graft.Caching.reap(pairs)(kept)
+  }
+
+  /** Shared core of the exact pair generators: df-gated postings
+    * (persisted — consumed by the doc counts and both join sides),
+    * per-doc gram counts, and shared-gram counts per candidate pair.
+    * Returns (pair frame with grams1/grams2/shared_grams, postings
+    * handle) — callers apply their similarity filter and MUST release
+    * the postings via [[graft.Caching.reap]]. */
+  private def sharedGramCounts(
+      docs: DataFrame, id: String, text: Column, n: Int, maxDf: Int
+  ): (DataFrame, DataFrame) = {
     // postings carry the 64-bit gram hash, not the string: cheaper to
     // build, and the self-join shuffles and compares longs
     val grams = wordGramHashes(docs, id, text, n)
@@ -121,22 +185,7 @@ object DedupOps {
     val withCounts = shared
       .join(counts.select(col(id).as("doc1"), col("n_grams").as("grams1")), "doc1")
       .join(counts.select(col(id).as("doc2"), col("n_grams").as("grams2")), "doc2")
-      .withColumn("union_grams", col("grams1") + col("grams2") - col("shared_grams"))
-
-    val pairs = withCounts
-      .where(col("shared_grams") * 100 >= col("union_grams") * minJaccardPct)
-      .select(
-        col("doc1"), col("doc2"), col("shared_grams"),
-        col("grams1"), col("grams2"),
-        call_function("div",
-          col("shared_grams") * 200L + col("union_grams"),
-          col("union_grams") * 2L
-        ).as("jaccard_pct")
-      )
-    // the pair set is orders of magnitude smaller than the postings:
-    // materialize it and release the postings storage (leaked caches
-    // tax every later query in the session)
-    graft.Caching.reap(pairs)(kept)
+    (withCounts, kept)
   }
 
   /** MinHash signatures: k min-hashes per doc via seeded xxhash64
@@ -390,18 +439,43 @@ object DedupOps {
   /** Resolve near-dup candidate pairs into groups and pick a
     * canonical keeper per group: iterative min-label propagation
     * (each doc adopts the smallest id reachable through the pair
-    * graph). Near-dup graphs are unions of small cliques-ish
-    * components, so label propagation converges in O(component
-    * diameter) rounds — `maxIter` bounds pathological chains.
+    * graph) ACCELERATED by pointer jumping — after the neighbor step,
+    * each node also adopts its label's current label (path doubling),
+    * so reachable distance roughly doubles per round and convergence
+    * is O(log diameter) instead of O(diameter). Cliquish dedup graphs
+    * still converge in 2-3 rounds; chainy similarity graphs (an
+    * embedding threshold graph percolating near its critical value
+    * can have diameter in the hundreds) no longer hit the iteration
+    * cap — measured at sf0.1: the cosine≥0.40 graph needs >10
+    * plain-propagation rounds but 5 doubled rounds.
     *
     * Output: (id, group_id) where group_id = min doc id of the
     * component; docs not in any pair are absent (they are their own
-    * keeper). Fully distributed: each round is one keyed shuffle.
+    * keeper). Fully distributed: each round is two keyed joins
+    * (neighbor min + jump), one materialization.
     */
-  def resolveGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def resolveGroups(
+      pairs: DataFrame, maxIter: Int = 20,
+      localEdgeBudget: Long = 5L * 1000 * 1000
+  ): DataFrame = {
+    // ADAPTIVE: candidate generation leaves a pair graph orders of
+    // magnitude smaller than the corpus (bands/buckets bound it), so
+    // the common case fits one task — resolve it there with a
+    // union-find instead of K global rounds, each of which costs a
+    // full scheduling cycle. Same decision shape as AQE's
+    // broadcast-vs-shuffle: measure the actual size, pick the
+    // strategy. 5M edges ≈ 80 MB in the task — comfortably under
+    // executor memory; a graph past the budget takes the iterative
+    // path below, whose per-round cost is data-bound at that size.
+    val directed = pairs
+      .select(col("doc1").cast("long").as("a"), col("doc2").cast("long").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = directed.count()
+    if (nEdges <= localEdgeBudget) return resolveLocal(directed)
+
     // undirected edge list, both directions
-    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
-      .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+    val edges = directed
+      .unionByName(directed.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // localCheckpoint (not persist) each round: iterative plans nest
@@ -420,14 +494,35 @@ object DedupOps {
         .join(labels.withColumnRenamed("id", "b"), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("label")).as("nl"))
+      // pointer jump THROUGH THE PREVIOUS round's labels: a node's
+      // label is always the id of a node in its own component (labels
+      // only travel along edges), so that node's label is a valid —
+      // and monotonically smaller-or-equal — label. Jumping via the
+      // already-checkpointed `labels` instead of the neighbor-stepped
+      // frame keeps ONE materialization per round (the stepped frame
+      // would otherwise be read twice and need its own checkpoint);
+      // the jump reaches one round less far, which costs at most one
+      // extra O(log d) round.
+      val byId = labels.select(col("id").as("__jid"), col("label").as("__jlabel"))
       // convergence is observed as a side effect of the checkpoint
       // materialization (one job per round) instead of a separate
       // join+count job: the old label is already in the plan, so the
-      // changed-row count rides along for free
+      // changed-row count rides along for free. `__old` is the label
+      // BEFORE the neighbor step: converged = the full combined round
+      // moved nothing, which implies the classic fixpoint.
       val obs = new org.apache.spark.sql.Observation()
-      val next = labels.join(neighborLabels, Seq("id"), "left")
+      val stepped = labels.join(neighborLabels, Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // round 1 skips the jump: labels have only traveled one hop, so
+      // label-of-label ≈ label and cliquish graphs (the common dedup
+      // case) would pay the extra join for nothing; from round 2 the
+      // doubling is what keeps chainy graphs off the iteration cap
+      val jumped = if (iter == 0) stepped else stepped
+        .join(byId, col("label") === col("__jid"), "left")
+        .select(col("id"), col("__old"),
+          least(col("label"), coalesce(col("__jlabel"), col("label"))).as("label"))
+      val next = jumped
         .observe(obs, sum(when(col("label") =!= col("__old"), 1L).otherwise(0L)).as("changed"))
         .select(col("id"), col("label"))
         .localCheckpoint()
@@ -442,7 +537,38 @@ object DedupOps {
       graft.Caching.release(prev)
     }
     edges.unpersist()
+    directed.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+  }
+
+  /** Single-task component resolution for a bounded pair graph:
+    * union-find with min-root union (the smaller root always becomes
+    * parent, so every final root IS its component's minimum id) and
+    * path compression. Deterministic for any edge order; the emitted
+    * labels are identical to the iterative path's fixpoint. */
+  private def resolveLocal(directed: DataFrame): DataFrame = {
+    val spark = directed.sparkSession
+    import spark.implicits._
+    val out = directed.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = parent.getOrElseUpdate(x, x)
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      // snapshot the keys first: find() path-compresses (mutates) and
+      // LongMap iteration is not mutation-safe
+      val keys = parent.keysIterator.toArray
+      keys.iterator.map(x => (x, find(x)))
+    }.toDF("doc_id", "group_id")
+    // materialize before releasing the edge cache (reap checkpoints)
+    graft.Caching.reap(out)(directed)
   }
 
   /** Winnowing fingerprints (rolling Karp–Rabin sketch): hash word

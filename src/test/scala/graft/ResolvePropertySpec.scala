@@ -45,11 +45,26 @@ class ResolvePropertySpec extends SparkSpec {
     edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
   }
 
-  test("resolveGroups equals union-find on arbitrary pair graphs") {
+  test("resolveGroups (single-task union-find path) equals union-find") {
     for ((edges, i) <- samples(graphGen, 12, 0x600D).zipWithIndex) {
       if (edges.nonEmpty) {
         val pairs = edges.toDF("doc1", "doc2").repartition(1 + i % 3)
         val got = graft.text.DedupOps.resolveGroups(pairs, maxIter = 30)
+          .select($"doc_id", $"group_id").as[(Long, Long)].collect().toMap
+        val want = unionFind(edges)
+        assert(got == want, s"graph $i (${edges.size} edges): got $got, want $want")
+      }
+    }
+  }
+
+  test("resolveGroups (distributed iterative path) equals union-find") {
+    // localEdgeBudget = 0 forces the label-propagation + pointer-jump
+    // path every small graph would otherwise bypass
+    for ((edges, i) <- samples(graphGen, 12, 0xD157).zipWithIndex) {
+      if (edges.nonEmpty) {
+        val pairs = edges.toDF("doc1", "doc2").repartition(1 + i % 3)
+        val got = graft.text.DedupOps
+          .resolveGroups(pairs, maxIter = 30, localEdgeBudget = 0L)
           .select($"doc_id", $"group_id").as[(Long, Long)].collect().toMap
         val want = unionFind(edges)
         assert(got == want, s"graph $i (${edges.size} edges): got $got, want $want")
