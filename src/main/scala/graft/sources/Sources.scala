@@ -82,6 +82,26 @@ object ParquetSink {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Same write contract over Spark's native ORC datasource — for
+    * lakes whose standard is ORC (Hive heritage). The machinery is
+    * format-symmetric: hive-style partition dirs, predicate pushdown
+    * to the scan (`PushedFilters`, spec-asserted), and the clusterBy
+    * layout trick lands in ORC stripe statistics exactly as it lands
+    * in parquet row-group min/max. */
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite",
+               partitionCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val clustered =
+      if (clusterBy.nonEmpty) df.sortWithinPartitions(clusterBy.map(col): _*) else df
+    val w = clustered.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
+  /** Schema-explicit ORC read (no inference pass; ORC is typed, so
+    * the schema acts as a projection/compat contract, not a parser). */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Compact a parquet directory to ≈`targetBytes` files: streaming
     * micro-batches and per-partition writes accrete small files, and
     * at 100 TB the file count (driver listing, task scheduling, open

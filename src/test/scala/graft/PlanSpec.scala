@@ -142,4 +142,23 @@ class PlanSpec extends SparkSpec {
     val s = scanLine("q_pricing_summary")
     assert(!s.contains("l_orderkey"), "spread must not widen the scan")
   }
+
+  test("vocab coverage: head selection is a distributed TakeOrdered, not a global sort") {
+    // the top-50 must plan as per-partition top-k + merge; a plain
+    // Sort+Limit would sort the whole vocabulary on one task chain
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("boilerplate: the boiler gram set broadcasts to the position stream") {
+    // the high-df survivor set is small by construction; if it ever
+    // plans as a shuffle join the corpus-sized position explode gets
+    // shuffled on the gram key — the exact cost the broadcast avoids
+    val p = plan("q_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // (the plan legitimately contains ONE BroadcastNestedLoopJoin: the
+    // 1-row doc-count scalar attaching via crossJoin(broadcast(...)))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+  }
 }

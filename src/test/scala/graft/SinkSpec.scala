@@ -22,6 +22,34 @@ class SinkSpec extends SparkSpec {
     assert(read.count() == expect && expect > 0)
   }
 
+  test("ORC sink: partition pruning and predicate pushdown reach the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/orders_orc"
+    val o = Tables.orders(spark, sf)
+      .withColumn("order_year", year(col("o_orderdate")))
+    ParquetSink.writeOrc(o, dir, partitionCols = Seq("order_year"))
+
+    val schema = spark.read.orc(dir).schema
+    val read = graft.sources.ParquetSink.readOrc(spark, dir, schema)
+      .where(col("order_year") === 1995 && col("o_totalprice") > 1000.0)
+    val scan = read.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Scan orc")).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("order_year"), scan)
+    assert(scan.contains("PushedFilters") && scan.contains("o_totalprice"), scan)
+    val expect = o.where(col("order_year") === 1995 && col("o_totalprice") > 1000.0).count()
+    assert(read.count() == expect && expect > 0)
+  }
+
+  test("ORC round-trips the same frame parquet writes (format symmetry)") {
+    val root = Files.createTempDirectory("graft_fmt").toString
+    val df = Tables.customer(spark, sf).limit(200)
+    ParquetSink.write(df, s"$root/p")
+    ParquetSink.writeOrc(df, s"$root/o")
+    val p = spark.read.parquet(s"$root/p")
+    val orc = spark.read.orc(s"$root/o")
+    assert(p.schema == orc.schema, s"${p.schema} vs ${orc.schema}")
+    assert(p.exceptAll(orc).isEmpty && orc.exceptAll(p).isEmpty)
+  }
+
   test("compact rewrites a fragmented directory to the sized file count") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/frag"
     // simulate micro-batch accretion: 64 tiny files

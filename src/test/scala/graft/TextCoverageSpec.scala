@@ -88,6 +88,25 @@ class TextCoverageSpec extends SparkSpec {
     assert(rows.last._4 == 1000L, "full head must cover the whole stream")
   }
 
+  test("new operators tolerate empty and single-token documents") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "word"), (4L, "two words here okay fine")).toDF("doc_id", "text")
+    // boilerplate: no doc reaches 3 grams except #4; zero boiler set
+    val b = QueriesText.boilerplateOn(docs)
+      .select($"doc_id", $"n_positions", $"n_boiler", $"boiler_permille")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(b(1L) == ((1L, 0L, 0L, 0L)) && b(2L) == ((2L, 0L, 0L, 0L)))
+    assert(b(4L)._2 == 3L && b(4L)._3 == 0L)
+    // vocab coverage: empty-split tokens ("") count like any token —
+    // same contract as the oracle's string_split_regex
+    val v = QueriesText.vocabCoverageOn(docs)
+      .select($"word", $"n_tokens").as[(String, Long)].collect().toMap
+    assert(v("") == 2L, v.toString)
+    // containment over a corpus with no 3-gram docs: empty, not a crash
+    val c = DedupOps.ngramContainmentPairs(
+      docs.where($"doc_id" < 4), "doc_id", $"text", 3, 100, 1).count()
+    assert(c == 0L)
+  }
+
   test("semantic resolve: majority label wins, keeper is min id with that label") {
     import graft.text.DedupOps
     // two components: {1,2,3} labels (0,0,1) -> majority 0, keeper 1;
