@@ -67,10 +67,15 @@ object GraftFunctions {
   }
 }
 
-/** Session extension: `spark.sql.extensions=graft.GraftExtensions`. */
+/** Session extension: `spark.sql.extensions=graft.GraftExtensions`.
+  * Injects the function table plus the Expand-free multi-distinct
+  * optimizer rule ([[graft.plans.ExpandFreeDistinct]]; disable with
+  * `spark.graft.expandFreeDistinct.enabled=false`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, i, b) =>
       ext.injectFunction((FunctionIdentifier(name), i, b))
     }
+    ext.injectOptimizerRule(_ => graft.plans.ExpandFreeDistinct)
+  }
 }

@@ -37,7 +37,11 @@ object QueriesAnalytics {
     * bytes), which is why it wins here. On a cluster that is
     * scan-bound on cold object storage, flip the bet: cache one
     * narrow projection of the three key columns and run the distincts
-    * over it, or accept the Expand's 4× shuffle for its single scan. */
+    * over it, or accept the Expand's 4× shuffle for its single scan.
+    *
+    * Pure-SQL users get this rewrite automatically: the injected
+    * optimizer rule [[graft.plans.ExpandFreeDistinct]] generalizes
+    * exactly this shape to any eligible global multi-distinct. */
   def kpiSummary(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     // count(col), not count(1): a NULL key must not count as a
