@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.Cross
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -22,11 +22,16 @@ import org.apache.spark.sql.internal.SQLConf
   * shuffle-bound clusters (see the kpiSummary scaladoc for when it
   * flips); disable with `spark.graft.expandFreeDistinct.enabled=false`.
   *
+  * Grouped aggregates rewrite too: each distinct becomes a
+  * (groups :+ col) pre-aggregate re-counted per group, and the parts
+  * recombine with a NULL-SAFE inner equi-join on the group keys —
+  * lossless because every part derives from the same child with the
+  * same grouping, so all parts expose exactly the same group-key set.
+  *
   * Scope (deliberately tight — eligibility is correctness):
-  *  - global aggregates only (no grouping keys): the grouped variant
-  *    needs the join keyed on the groups and NULL-safe key equality;
+  *  - grouping keys are plain attributes (no grouping expressions);
   *  - each distinct is exactly `count(DISTINCT attr)` — single
-  *    attribute, no FILTER clause;
+  *    attribute, no FILTER clause, and not itself a grouping key;
   *  - remaining aggregates contain no distinct anywhere;
   *  - the child plan is fully deterministic (it is duplicated per
   *    distinct — a nondeterministic child would diverge between
@@ -46,12 +51,14 @@ object ExpandFreeDistinct extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
-      case agg @ Aggregate(groupings, aggExprs, child, _) if groupings.isEmpty =>
-        rewriteOrKeep(agg, aggExprs, child)
+      case agg @ Aggregate(groupings, aggExprs, child, _)
+          if groupings.forall(_.isInstanceOf[Attribute]) =>
+        rewriteOrKeep(agg, groupings.map(_.asInstanceOf[Attribute]), aggExprs, child)
     }
 
   private def rewriteOrKeep(
-      agg: Aggregate, aggExprs: Seq[NamedExpression], child: LogicalPlan): LogicalPlan = {
+      agg: Aggregate, groupKeys: Seq[Attribute],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan): LogicalPlan = {
     val distincts = aggExprs.collect {
       case a @ Alias(AggregateExpression(Count(Seq(att: Attribute)), _, true, None, _), _) =>
         (a, att)
@@ -65,22 +72,47 @@ object ExpandFreeDistinct extends Rule[LogicalPlan] {
     val childDeterministic = child.collectFirst {
       case p if p.expressions.exists(!_.deterministic) => p
     }.isEmpty
-    if (distincts.size < 2 || !othersClean || !childDeterministic) agg
+    // count(DISTINCT g) for a grouping key g is degenerate (0 or 1 per
+    // group) and would put a duplicate attribute in the inner
+    // aggregate — leave it to Spark
+    val distinctKeysDisjoint =
+      distincts.forall { case (_, att) => !groupKeys.exists(_.exprId == att.exprId) }
+    if (distincts.size < 2 || !othersClean || !childDeterministic || !distinctKeysDisjoint) agg
     else {
-      // count(att) over the groupBy(att) distinct: the NULL group row
-      // survives the inner aggregate but count(attr) skips it — the
-      // same NULL exclusion count(DISTINCT attr) defines
+      // the BASE part carries the ORIGINAL grouping attr ids (plus the
+      // non-distinct aggregates); grouping outputs already in `others`
+      // are not duplicated
+      val otherIds = others.map(_.exprId).toSet
+      val baseOut = others ++ groupKeys.filterNot(g => otherIds.contains(g.exprId))
+      val base: LogicalPlan =
+        if (baseOut.nonEmpty) Aggregate(groupKeys, baseOut, child)
+        else OneRowRelation() // global, distincts only: join seeds from a single row
+      // count(att) over the groupBy(groups :+ att) distinct: a NULL
+      // att survives the inner aggregate as its own group but
+      // count(attr) skips it — the same NULL exclusion that
+      // count(DISTINCT attr) defines. Group keys re-alias to FRESH
+      // exprIds so the join's two sides never share attribute ids.
       val perDistinct = distincts.map { case (alias, att) =>
-        Aggregate(
-          Nil,
-          Seq(Alias(Count(Seq[Expression](att)).toAggregateExpression(), alias.name)(alias.exprId)),
-          Aggregate(Seq(att), Seq(att), child))
+        val inner = Aggregate(groupKeys :+ att, groupKeys :+ att, child)
+        val freshKeys = groupKeys.map(g => Alias(g, g.name)())
+        val outer = Aggregate(
+          groupKeys,
+          freshKeys :+ Alias(Count(Seq[Expression](att)).toAggregateExpression(), alias.name)(alias.exprId),
+          inner)
+        (outer, freshKeys.map(_.toAttribute))
       }
-      val parts: Seq[LogicalPlan] =
-        (if (others.nonEmpty) Seq(Aggregate(Nil, others, child)) else Nil) ++ perDistinct
-      val joined = parts.reduce((l, r) => Join(l, r, Cross, None, JoinHint.NONE))
-      // every part carries the ORIGINAL exprIds, so parents resolve
-      // unchanged; the Project restores the original column order
+      // every part derives from the SAME child with the SAME grouping,
+      // so all parts contain exactly the same group key set — the
+      // null-safe inner equi-join is lossless (groups can be NULL)
+      val joined = perDistinct.foldLeft(base) { case (acc, (part, partKeys)) =>
+        val cond = groupKeys.zip(partKeys)
+          .map { case (g, p) => EqualNullSafe(g, p) }
+          .reduceOption[Expression](And)
+        Join(acc, part, if (cond.isEmpty) Cross else Inner, cond, JoinHint.NONE)
+      }
+      // every aggregate output carries its ORIGINAL exprId, so parents
+      // resolve unchanged; the Project restores the original column
+      // order and drops the per-part fresh join keys
       Project(aggExprs.map(_.toAttribute), joined)
     }
   }

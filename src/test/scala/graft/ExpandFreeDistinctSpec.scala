@@ -53,17 +53,46 @@ class ExpandFreeDistinctSpec extends SparkSpec {
     assert(out.collect().toSeq == df.collect().toSeq) // one row: (0, 0, null)
   }
 
-  test("eligibility guards: grouped / single-distinct / filtered / nondeterministic stay untouched") {
+  test("grouped multi-distinct rewrites with NULL groups intact") {
+    Seq(
+      (Some("a"), Some(1L), 10L), (Some("a"), Some(2L), 10L), (Some("a"), None, 11L),
+      (None, Some(1L), 10L), (None, Some(1L), 12L), (Some("b"), Some(3L), 13L))
+      .toDF("g", "x", "y").createOrReplaceTempView("efd_grp")
+    val df = spark.sql(
+      """SELECT g, count(DISTINCT x) AS dx, count(DISTINCT y) AS dy, count(1) AS n
+        |FROM efd_grp GROUP BY g""".stripMargin)
+    assert(df.queryExecution.executedPlan.toString.contains("Expand"))
+    val rewritten = ExpandFreeDistinct(df.queryExecution.analyzed)
+    assert(rewritten != df.queryExecution.analyzed, "grouped rule must fire")
+    val out = GraftTestBridge.ofRows(spark, rewritten)
+    assert(!out.queryExecution.executedPlan.toString.contains("Expand"),
+      out.queryExecution.executedPlan.toString)
+    val expect = df.collect().map(_.toSeq).toSet
+    val got = out.collect().map(_.toSeq).toSet
+    assert(got == expect, s"got $got want $expect")
+    // the NULL group row must survive the null-safe join: (null,1,2,2)
+    assert(got.exists(r => r.head == null && r(1) == 1L && r(2) == 2L && r(3) == 2L), got)
+  }
+
+  test("grouped: keys absent from the projection still join correctly") {
+    view
+    val df = spark.sql(
+      "SELECT count(DISTINCT k1) AS d1, count(DISTINCT k2) AS d2 FROM efd_t GROUP BY tag")
+    val out = GraftTestBridge.ofRows(spark, ExpandFreeDistinct(df.queryExecution.analyzed))
+    assert(out.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+
+  test("eligibility guards: single-distinct / filtered / nondeterministic / distinct-on-key stay untouched") {
     view
     val untouched = Seq(
-      // grouped: the join would need NULL-safe group keys — out of scope
-      "SELECT tag, count(DISTINCT k1) AS d1, count(DISTINCT k2) AS d2 FROM efd_t GROUP BY tag",
       // single distinct: Spark already plans it without Expand
       "SELECT count(DISTINCT k1) AS d1, sum(v) AS s FROM efd_t",
       // FILTER clause: excluded from the narrow match
       "SELECT count(DISTINCT k1) FILTER (WHERE v > 6) AS d1, count(DISTINCT k2) AS d2 FROM efd_t",
       // nondeterministic child: duplicating it would diverge
-      "SELECT count(DISTINCT k1) AS d1, count(DISTINCT k2) AS d2 FROM (SELECT *, rand() r FROM efd_t)")
+      "SELECT count(DISTINCT k1) AS d1, count(DISTINCT k2) AS d2 FROM (SELECT *, rand() r FROM efd_t)",
+      // distinct over a grouping key: degenerate, left to Spark
+      "SELECT count(DISTINCT tag) AS dt, count(DISTINCT k1) AS d1 FROM efd_t GROUP BY tag")
     untouched.foreach { q =>
       val analyzed = spark.sql(q).queryExecution.analyzed
       assert(ExpandFreeDistinct(analyzed) == analyzed, s"must not rewrite: $q")
