@@ -30,8 +30,11 @@ import org.apache.spark.sql.internal.SQLConf
   *
   * Scope (deliberately tight — eligibility is correctness):
   *  - grouping keys are plain attributes (no grouping expressions);
-  *  - each distinct is exactly `count(DISTINCT attr)` — single
-  *    attribute, no FILTER clause, and not itself a grouping key;
+  *  - each distinct is `f(DISTINCT attr)` for f in {count, sum, min,
+  *    max, avg} — single attribute, no FILTER clause, and not itself
+  *    a grouping key (f over the inner-deduped column is f-DISTINCT
+  *    by definition; the whitelist keeps order-sensitive or exotic
+  *    aggregates out);
   *  - remaining aggregates contain no distinct anywhere;
   *  - the child plan is fully deterministic (it is duplicated per
   *    distinct — a nondeterministic child would diverge between
@@ -48,6 +51,11 @@ object ExpandFreeDistinct extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "true").toBoolean
 
+  private def rewritable(f: AggregateFunction): Boolean = f match {
+    case _: Count | _: Sum | _: Min | _: Max | _: Average => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
@@ -59,9 +67,16 @@ object ExpandFreeDistinct extends Rule[LogicalPlan] {
   private def rewriteOrKeep(
       agg: Aggregate, groupKeys: Seq[Attribute],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): LogicalPlan = {
+    // f(DISTINCT col) ≡ f over the deduped column for any aggregate
+    // function — the inner aggregate produces exactly the distinct
+    // multiset f would see. Whitelisted to the order-insensitive
+    // standard five; each also shares count's NULL handling (the NULL
+    // group survives the inner aggregate, the function skips it).
     val distincts = aggExprs.collect {
-      case a @ Alias(AggregateExpression(Count(Seq(att: Attribute)), _, true, None, _), _) =>
-        (a, att)
+      case a @ Alias(AggregateExpression(f, _, true, None, _), _)
+          if f.references.size == 1 && f.children.forall(_.isInstanceOf[Attribute]) &&
+            rewritable(f) =>
+        (a, f.references.head, f)
     }
     val distinctIds = distincts.map(_._1.exprId).toSet
     val others = aggExprs.filterNot(e => distinctIds.contains(e.exprId))
@@ -72,12 +87,17 @@ object ExpandFreeDistinct extends Rule[LogicalPlan] {
     val childDeterministic = child.collectFirst {
       case p if p.expressions.exists(!_.deterministic) => p
     }.isEmpty
-    // count(DISTINCT g) for a grouping key g is degenerate (0 or 1 per
+    // f(DISTINCT g) for a grouping key g is degenerate (one value per
     // group) and would put a duplicate attribute in the inner
     // aggregate — leave it to Spark
     val distinctKeysDisjoint =
-      distincts.forall { case (_, att) => !groupKeys.exists(_.exprId == att.exprId) }
-    if (distincts.size < 2 || !othersClean || !childDeterministic || !distinctKeysDisjoint) agg
+      distincts.forall { case (_, att, _) => !groupKeys.exists(_.exprId == att.exprId) }
+    // several distincts over the SAME column share one distinct group
+    // in Spark's own planning (no Expand) — rewriting them would trade
+    // one scan for several. Fire only when ≥2 DIFFERENT columns are
+    // distinct-aggregated, which is the Expand trigger.
+    val spansColumns = distincts.map(_._2.exprId).distinct.size >= 2
+    if (!spansColumns || !othersClean || !childDeterministic || !distinctKeysDisjoint) agg
     else {
       // the BASE part carries the ORIGINAL grouping attr ids (plus the
       // non-distinct aggregates); grouping outputs already in `others`
@@ -87,17 +107,15 @@ object ExpandFreeDistinct extends Rule[LogicalPlan] {
       val base: LogicalPlan =
         if (baseOut.nonEmpty) Aggregate(groupKeys, baseOut, child)
         else OneRowRelation() // global, distincts only: join seeds from a single row
-      // count(att) over the groupBy(groups :+ att) distinct: a NULL
-      // att survives the inner aggregate as its own group but
-      // count(attr) skips it — the same NULL exclusion that
-      // count(DISTINCT attr) defines. Group keys re-alias to FRESH
-      // exprIds so the join's two sides never share attribute ids.
-      val perDistinct = distincts.map { case (alias, att) =>
+      // f(att) over the groupBy(groups :+ att) distinct. Group keys
+      // re-alias to FRESH exprIds so the join's two sides never share
+      // attribute ids.
+      val perDistinct = distincts.map { case (alias, att, f) =>
         val inner = Aggregate(groupKeys :+ att, groupKeys :+ att, child)
         val freshKeys = groupKeys.map(g => Alias(g, g.name)())
         val outer = Aggregate(
           groupKeys,
-          freshKeys :+ Alias(Count(Seq[Expression](att)).toAggregateExpression(), alias.name)(alias.exprId),
+          freshKeys :+ Alias(f.toAggregateExpression(), alias.name)(alias.exprId),
           inner)
         (outer, freshKeys.map(_.toAttribute))
       }

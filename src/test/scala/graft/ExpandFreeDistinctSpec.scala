@@ -92,11 +92,27 @@ class ExpandFreeDistinctSpec extends SparkSpec {
       // nondeterministic child: duplicating it would diverge
       "SELECT count(DISTINCT k1) AS d1, count(DISTINCT k2) AS d2 FROM (SELECT *, rand() r FROM efd_t)",
       // distinct over a grouping key: degenerate, left to Spark
-      "SELECT count(DISTINCT tag) AS dt, count(DISTINCT k1) AS d1 FROM efd_t GROUP BY tag")
+      "SELECT count(DISTINCT tag) AS dt, count(DISTINCT k1) AS d1 FROM efd_t GROUP BY tag",
+      // several distincts over ONE column: Spark shares the distinct
+      // group without Expand — rewriting would add scans for nothing
+      "SELECT count(DISTINCT k1) AS c1, sum(DISTINCT k1) AS s1 FROM efd_t")
     untouched.foreach { q =>
       val analyzed = spark.sql(q).queryExecution.analyzed
       assert(ExpandFreeDistinct(analyzed) == analyzed, s"must not rewrite: $q")
     }
+  }
+
+  test("mixed distinct functions (sum/avg/min) rewrite with identical results") {
+    view
+    val df = spark.sql(
+      """SELECT tag, sum(DISTINCT k1) AS sd, avg(DISTINCT k2) AS ad,
+        |       min(DISTINCT v) AS md, count(1) AS n
+        |FROM efd_t GROUP BY tag""".stripMargin)
+    val rewritten = ExpandFreeDistinct(df.queryExecution.analyzed)
+    assert(rewritten != df.queryExecution.analyzed, "mixed-function rule must fire")
+    val out = GraftTestBridge.ofRows(spark, rewritten)
+    assert(!out.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(out.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
   test("conf gate disables the rule") {
