@@ -102,6 +102,26 @@ object ParquetSink {
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Retention pruning for a hive-partitioned table (the data-plane
+    * form of the reference's file delete/move shells): drop every
+    * `col=value` partition directory whose VALUE sorts strictly below
+    * `keepFrom`. Comparison is lexicographic on the directory value —
+    * correct for ISO dates (`ingestion_date=2026-08-01`) and
+    * zero-padded numbers, the layouts the sink writes. Returns the
+    * dropped values.
+    *
+    * Same exclusivity contract as [[compact]]: partition removal is
+    * not atomic across directories, so run it in the table's
+    * maintenance slot, never against a live-read path. */
+  def pruneRetention(path: String, partitionCol: String, keepFrom: String): Seq[String] = {
+    val prefix = partitionCol + "="
+    val dirs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    val dropped = dirs.filter(_.getName.stripPrefix(prefix) < keepFrom)
+    dropped.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(d))
+    dropped.map(_.getName.stripPrefix(prefix)).toSeq.sorted
+  }
+
   /** Compact a parquet directory to ≈`targetBytes` files: streaming
     * micro-batches and per-partition writes accrete small files, and
     * at 100 TB the file count (driver listing, task scheduling, open

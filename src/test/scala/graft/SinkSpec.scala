@@ -50,6 +50,23 @@ class SinkSpec extends SparkSpec {
     assert(p.exceptAll(orc).isEmpty && orc.exceptAll(p).isEmpty)
   }
 
+  test("retention pruning drops partitions below the cutoff, keeps the rest readable") {
+    val dir = Files.createTempDirectory("graft_retain").toString + "/events_daily"
+    val df = Seq(
+      ("2026-07-30", 1L), ("2026-07-31", 2L), ("2026-08-01", 3L), ("2026-08-02", 4L))
+      .toDF("ingestion_date", "v")
+    ParquetSink.write(df, dir, partitionCols = Seq("ingestion_date"))
+
+    val dropped = ParquetSink.pruneRetention(dir, "ingestion_date", keepFrom = "2026-08-01")
+    assert(dropped == Seq("2026-07-30", "2026-07-31"), dropped)
+    val left = spark.read.parquet(dir)
+    assert(left.select("ingestion_date").distinct().as[String].collect().sorted.toSeq ==
+      Seq("2026-08-01", "2026-08-02"))
+    assert(left.count() == 2)
+    // idempotent: nothing below the cutoff remains
+    assert(ParquetSink.pruneRetention(dir, "ingestion_date", "2026-08-01").isEmpty)
+  }
+
   test("compact rewrites a fragmented directory to the sized file count") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/frag"
     // simulate micro-batch accretion: 64 tiny files
