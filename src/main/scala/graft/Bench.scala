@@ -17,6 +17,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // same extension the production session factory injects — the
+      // bench measures the engine as it actually ships
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")

@@ -23,6 +23,11 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      // the engine runs WITH its own extension (SQL function surface +
+      // the ExpandFreeDistinct optimizer rule) — the correctness gate
+      // and every spec therefore continuously prove the injected
+      // rule's non-interference with the whole query surface
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

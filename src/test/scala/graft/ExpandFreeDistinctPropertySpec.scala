@@ -2,13 +2,13 @@ package graft
 
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import org.apache.spark.sql.classic.GraftTestBridge
 import graft.plans.ExpandFreeDistinct
 
 /** Property test: on arbitrary small datasets (with NULLs in both
   * group keys and distinct columns) and arbitrary eligible aggregate
-  * shapes, the Expand-free rewrite fires and returns exactly the rows
-  * Spark's own Expand path returns. */
+  * shapes, the Expand-free rewrite fires (through the session's real
+  * injection) and returns exactly the rows Spark's own Expand path
+  * (rule conf'd off) returns. */
 class ExpandFreeDistinctPropertySpec extends SparkSpec {
   import spark.implicits._
 
@@ -50,17 +50,17 @@ class ExpandFreeDistinctPropertySpec extends SparkSpec {
         val sel = (if (grouped) Seq("g") else Nil) ++ distincts ++ others
         val sql = s"SELECT ${sel.mkString(", ")} FROM efdp_$i" +
           (if (grouped) " GROUP BY g" else "")
-        val df = spark.sql(sql)
-        val analyzed = df.queryExecution.analyzed
-        val rewritten = ExpandFreeDistinct(analyzed)
-        assert(rewritten != analyzed, s"case $i must fire: $sql")
+        // baseline: Spark's own planning (rule disabled)
+        spark.conf.set(ExpandFreeDistinct.ConfKey, "false")
+        val expect =
+          try spark.sql(sql).collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")).toList
+          finally spark.conf.unset(ExpandFreeDistinct.ConfKey)
+        // active: through the session's injected rule
+        val out = spark.sql(sql)
+        assert(!out.queryExecution.executedPlan.toString.contains("Expand"),
+          s"case $i must rewrite: $sql")
         fired += 1
-        val out = GraftTestBridge.ofRows(spark, rewritten)
-        assert(!out.queryExecution.executedPlan.toString.contains("Expand"), sql)
-        val expect = df.collect().map(_.toSeq).toSeq
-          .sortBy(_.mkString("|")).toList
-        val got = out.collect().map(_.toSeq).toSeq
-          .sortBy(_.mkString("|")).toList
+        val got = out.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")).toList
         assert(got == expect, s"case $i: $sql\n got    $got\n expect $expect")
       }
     }

@@ -1,11 +1,12 @@
 package graft
 
-import org.apache.spark.sql.classic.GraftTestBridge
 import graft.plans.ExpandFreeDistinct
 
-/** The injected optimizer rule: global multi-distinct aggregates
-  * rewritten to the Expand-free cross-join shape, with identical
-  * results and the eligibility guards holding the line. */
+/** The injected optimizer rule, exercised through the SHARED session's
+  * real injection path (GraftSession builds every session
+  * `withExtensions`): toggling the conf compares Spark's own Expand
+  * plan against the rewritten shape on identical queries. Guard tests
+  * apply the rule directly to analyzed plans (no execution needed). */
 class ExpandFreeDistinctSpec extends SparkSpec {
   import spark.implicits._
 
@@ -17,40 +18,46 @@ class ExpandFreeDistinctSpec extends SparkSpec {
       .createOrReplaceTempView("efd_t")
   }
 
+  /** Run `sql` with the rule disabled (Spark's own planning) and
+    * enabled, returning (baselinePlan, activePlan, baselineRows,
+    * activeRows). */
+  private def compare(sql: String) = {
+    spark.conf.set(ExpandFreeDistinct.ConfKey, "false")
+    val (bPlan, bRows) =
+      try {
+        val df = spark.sql(sql)
+        (df.queryExecution.executedPlan.toString, df.collect().map(_.toSeq).toSet)
+      } finally spark.conf.unset(ExpandFreeDistinct.ConfKey)
+    val df = spark.sql(sql)
+    (bPlan, df.queryExecution.executedPlan.toString, bRows, df.collect().map(_.toSeq).toSet)
+  }
+
   test("multi-distinct rewrites Expand-free with identical results") {
     view
-    val df = spark.sql(
+    val (base, active, bRows, aRows) = compare(
       """SELECT count(DISTINCT k1) AS d1, count(DISTINCT k2) AS d2,
         |       count(DISTINCT tag) AS d3, sum(v) AS s, count(1) AS n
         |FROM efd_t""".stripMargin)
-    // baseline (no rule on the shared session): Spark's Expand path
-    assert(df.queryExecution.executedPlan.toString.contains("Expand"),
-      "baseline must exercise the Expand path for the comparison to mean anything")
-    val rewritten = ExpandFreeDistinct(df.queryExecution.analyzed)
-    assert(rewritten != df.queryExecution.analyzed, "rule must fire")
-    val out = GraftTestBridge.ofRows(spark, rewritten)
-    assert(!out.queryExecution.executedPlan.toString.contains("Expand"),
-      out.queryExecution.executedPlan.toString)
-    assert(out.columns.toSeq == df.columns.toSeq)
-    assert(out.collect().toSeq == df.collect().toSeq)
+    assert(base.contains("Expand"), "baseline must exercise the Expand path")
+    assert(!active.contains("Expand"), active)
+    assert(aRows == bRows)
   }
 
   test("null keys: count(DISTINCT) excludes NULL in both shapes") {
     Seq((Some(1L), "x"), (None, "y"), (Some(2L), "x"), (None, "z"))
       .toDF("k", "tag").createOrReplaceTempView("efd_nulls")
-    val df = spark.sql(
+    val (_, active, bRows, aRows) = compare(
       "SELECT count(DISTINCT k) AS dk, count(DISTINCT tag) AS dt FROM efd_nulls")
-    val out = GraftTestBridge.ofRows(spark, ExpandFreeDistinct(df.queryExecution.analyzed))
-    assert(out.collect().toSeq == df.collect().toSeq) // (2, 3)
-    assert(out.head().getLong(0) == 2L)
+    assert(!active.contains("Expand"), active)
+    assert(aRows == bRows && aRows.head == Seq(2L, 3L))
   }
 
   test("empty input still yields the single global-aggregate row") {
     spark.range(0).selectExpr("id AS a", "id AS b").createOrReplaceTempView("efd_empty")
-    val df = spark.sql(
+    val (_, active, bRows, aRows) = compare(
       "SELECT count(DISTINCT a) AS da, count(DISTINCT b) AS db, sum(a) AS s FROM efd_empty")
-    val out = GraftTestBridge.ofRows(spark, ExpandFreeDistinct(df.queryExecution.analyzed))
-    assert(out.collect().toSeq == df.collect().toSeq) // one row: (0, 0, null)
+    assert(!active.contains("Expand"), active)
+    assert(aRows == bRows && aRows.size == 1) // one row: (0, 0, null)
   }
 
   test("grouped multi-distinct rewrites with NULL groups intact") {
@@ -58,31 +65,35 @@ class ExpandFreeDistinctSpec extends SparkSpec {
       (Some("a"), Some(1L), 10L), (Some("a"), Some(2L), 10L), (Some("a"), None, 11L),
       (None, Some(1L), 10L), (None, Some(1L), 12L), (Some("b"), Some(3L), 13L))
       .toDF("g", "x", "y").createOrReplaceTempView("efd_grp")
-    val df = spark.sql(
+    val (base, active, bRows, aRows) = compare(
       """SELECT g, count(DISTINCT x) AS dx, count(DISTINCT y) AS dy, count(1) AS n
         |FROM efd_grp GROUP BY g""".stripMargin)
-    assert(df.queryExecution.executedPlan.toString.contains("Expand"))
-    val rewritten = ExpandFreeDistinct(df.queryExecution.analyzed)
-    assert(rewritten != df.queryExecution.analyzed, "grouped rule must fire")
-    val out = GraftTestBridge.ofRows(spark, rewritten)
-    assert(!out.queryExecution.executedPlan.toString.contains("Expand"),
-      out.queryExecution.executedPlan.toString)
-    val expect = df.collect().map(_.toSeq).toSet
-    val got = out.collect().map(_.toSeq).toSet
-    assert(got == expect, s"got $got want $expect")
+    assert(base.contains("Expand"))
+    assert(!active.contains("Expand"), active)
+    assert(aRows == bRows)
     // the NULL group row must survive the null-safe join: (null,1,2,2)
-    assert(got.exists(r => r.head == null && r(1) == 1L && r(2) == 2L && r(3) == 2L), got)
+    assert(aRows.exists(r => r.head == null && r(1) == 1L && r(2) == 2L && r(3) == 2L), aRows)
   }
 
   test("grouped: keys absent from the projection still join correctly") {
     view
-    val df = spark.sql(
+    val (_, active, bRows, aRows) = compare(
       "SELECT count(DISTINCT k1) AS d1, count(DISTINCT k2) AS d2 FROM efd_t GROUP BY tag")
-    val out = GraftTestBridge.ofRows(spark, ExpandFreeDistinct(df.queryExecution.analyzed))
-    assert(out.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    assert(!active.contains("Expand"), active)
+    assert(aRows == bRows)
   }
 
-  test("eligibility guards: single-distinct / filtered / nondeterministic / distinct-on-key stay untouched") {
+  test("mixed distinct functions (sum/avg/min) rewrite with identical results") {
+    view
+    val (_, active, bRows, aRows) = compare(
+      """SELECT tag, sum(DISTINCT k1) AS sd, avg(DISTINCT k2) AS ad,
+        |       min(DISTINCT v) AS md, count(1) AS n
+        |FROM efd_t GROUP BY tag""".stripMargin)
+    assert(!active.contains("Expand"), active)
+    assert(aRows == bRows)
+  }
+
+  test("eligibility guards: single-distinct / filtered / nondeterministic / distinct-on-key / same-column stay untouched") {
     view
     val untouched = Seq(
       // single distinct: Spark already plans it without Expand
@@ -100,19 +111,6 @@ class ExpandFreeDistinctSpec extends SparkSpec {
       val analyzed = spark.sql(q).queryExecution.analyzed
       assert(ExpandFreeDistinct(analyzed) == analyzed, s"must not rewrite: $q")
     }
-  }
-
-  test("mixed distinct functions (sum/avg/min) rewrite with identical results") {
-    view
-    val df = spark.sql(
-      """SELECT tag, sum(DISTINCT k1) AS sd, avg(DISTINCT k2) AS ad,
-        |       min(DISTINCT v) AS md, count(1) AS n
-        |FROM efd_t GROUP BY tag""".stripMargin)
-    val rewritten = ExpandFreeDistinct(df.queryExecution.analyzed)
-    assert(rewritten != df.queryExecution.analyzed, "mixed-function rule must fire")
-    val out = GraftTestBridge.ofRows(spark, rewritten)
-    assert(!out.queryExecution.executedPlan.toString.contains("Expand"))
-    assert(out.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
   test("conf gate disables the rule") {

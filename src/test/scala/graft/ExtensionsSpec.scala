@@ -6,10 +6,10 @@ import org.apache.spark.sql.SparkSession
   * `spark.sql.extensions=graft.GraftExtensions` can use every graft
   * function from pure SQL — no Scala-side register calls. */
 class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
-  // spark.sql.extensions is a static conf honored only at first
-  // session creation, so the extension class itself can't be applied
-  // to the suite's shared context; GraftFunctions.install registers
-  // the SAME function table (the extension is a thin wrapper over it).
+  // the shared session is built `withExtensions(new GraftExtensions)`
+  // (GraftSession.local), so every injected function already resolves;
+  // install() exercises the SAME table's live-session registration
+  // route on top (idempotent by construction).
   private lazy val spark: SparkSession = {
     val s = SparkSpec.session
     GraftFunctions.install(s)
