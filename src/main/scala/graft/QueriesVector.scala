@@ -122,7 +122,6 @@ object QueriesVector {
     * one group's label votes — never the corpus. */
   def semanticResolve(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir)
     val pairs = VectorOps.cosinePairs(emb, "vec_id", "embedding", minCos = 0.40)
       .select(col("id1").as("doc1"), col("id2").as("doc2"))

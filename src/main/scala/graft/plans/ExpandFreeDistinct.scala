@@ -84,8 +84,15 @@ object ExpandFreeDistinct extends Rule[LogicalPlan] {
       case ae: AggregateExpression => ae.isDistinct
       case _ => false
     })
+    // two determinism hazards, both fatal to child duplication:
+    // nondeterministic EXPRESSIONS (rand()), and nondeterministic ROW
+    // SETS — Limit/Offset/Tail without a total order and Sample pick
+    // arbitrary rows per execution, so each duplicated child could
+    // aggregate a DIFFERENT subset (an inconsistency no single run of
+    // the original plan can produce; Spark's Expand never duplicates)
     val childDeterministic = child.collectFirst {
       case p if p.expressions.exists(!_.deterministic) => p
+      case p @ (_: GlobalLimit | _: LocalLimit | _: Offset | _: Tail | _: Sample) => p
     }.isEmpty
     // f(DISTINCT g) for a grouping key g is degenerate (one value per
     // group) and would put a duplicate attribute in the inner
@@ -104,25 +111,31 @@ object ExpandFreeDistinct extends Rule[LogicalPlan] {
       // are not duplicated
       val otherIds = others.map(_.exprId).toSet
       val baseOut = others ++ groupKeys.filterNot(g => otherIds.contains(g.exprId))
-      val base: LogicalPlan =
-        if (baseOut.nonEmpty) Aggregate(groupKeys, baseOut, child)
-        else OneRowRelation() // global, distincts only: join seeds from a single row
-      // f(att) over the groupBy(groups :+ att) distinct. Group keys
-      // re-alias to FRESH exprIds so the join's two sides never share
-      // attribute ids.
-      val perDistinct = distincts.map { case (alias, att, f) =>
+      // ONE part per distinct COLUMN (not per aggregate): every f over
+      // the same column shares a single inner dedup — mixing
+      // count(DISTINCT a) + sum(DISTINCT a) must not duplicate the
+      // child twice for column a. Group keys re-alias to FRESH exprIds
+      // so the join's two sides never share attribute ids.
+      val perDistinct = distincts.map(_._2).distinctBy(_.exprId).map { att =>
+        val fns = distincts.filter(_._2.exprId == att.exprId)
         val inner = Aggregate(groupKeys :+ att, groupKeys :+ att, child)
         val freshKeys = groupKeys.map(g => Alias(g, g.name)())
-        val outer = Aggregate(
-          groupKeys,
-          freshKeys :+ Alias(f.toAggregateExpression(), alias.name)(alias.exprId),
-          inner)
+        val outs = fns.map { case (alias, _, f) =>
+          Alias(f.toAggregateExpression(), alias.name)(alias.exprId)
+        }
+        val outer = Aggregate(groupKeys, freshKeys ++ outs, inner)
         (outer, freshKeys.map(_.toAttribute))
       }
       // every part derives from the SAME child with the SAME grouping,
       // so all parts contain exactly the same group key set — the
-      // null-safe inner equi-join is lossless (groups can be NULL)
-      val joined = perDistinct.foldLeft(base) { case (acc, (part, partKeys)) =>
+      // null-safe inner equi-join is lossless (groups can be NULL).
+      // When there are no plain aggregates the first distinct part
+      // seeds the fold (baseOut is only empty in the global case:
+      // grouped baseOut always carries the keys) — no filler relation.
+      val (seed: LogicalPlan, rest) =
+        if (baseOut.nonEmpty) (Aggregate(groupKeys, baseOut, child), perDistinct)
+        else (perDistinct.head._1, perDistinct.tail)
+      val joined = rest.foldLeft(seed) { case (acc, (part, partKeys)) =>
         val cond = groupKeys.zip(partKeys)
           .map { case (g, p) => EqualNullSafe(g, p) }
           .reduceOption[Expression](And)

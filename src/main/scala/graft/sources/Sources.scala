@@ -113,13 +113,22 @@ object ParquetSink {
     * Same exclusivity contract as [[compact]]: partition removal is
     * not atomic across directories, so run it in the table's
     * maintenance slot, never against a live-read path. */
-  def pruneRetention(path: String, partitionCol: String, keepFrom: String): Seq[String] = {
+  def pruneRetention(
+      spark: SparkSession, path: String, partitionCol: String, keepFrom: String): Seq[String] = {
+    // Hadoop FileSystem, not java.io.File: a retention job must work
+    // against whatever filesystem the lake lives on (hdfs://, s3a://) —
+    // java.io listing silently returns nothing for non-local schemes,
+    // which would read as "nothing to drop" forever
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prefix = partitionCol + "="
-    val dirs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-    val dropped = dirs.filter(_.getName.stripPrefix(prefix) < keepFrom)
-    dropped.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(d))
-    dropped.map(_.getName.stripPrefix(prefix)).toSeq.sorted
+    val dirs =
+      if (fs.exists(hPath))
+        fs.listStatus(hPath).filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val dropped = dirs.filter(_.getPath.getName.stripPrefix(prefix) < keepFrom)
+    dropped.foreach(d => fs.delete(d.getPath, true))
+    dropped.map(_.getPath.getName.stripPrefix(prefix)).toSeq.sorted
   }
 
   /** Compact a parquet directory to ≈`targetBytes` files: streaming

@@ -19,6 +19,15 @@ import graft.operators.Scd2
   * cluster this pattern is what table formats (Delta/Iceberg)
   * productize; with plain parquet the version-swap keeps it atomic
   * enough for a single writer.
+  *
+  * OPERATIONAL CONTRACT: the checkpoint directory and `stateDir` are
+  * one unit — retire or restore them TOGETHER. The replay guard below
+  * identifies a committed merge by its version path, which is derived
+  * from the batch id; resetting the checkpoint (batch ids restart at
+  * 0) while keeping an old stateDir would make a fresh batch look
+  * already-committed and silently skip its merge. Table formats pin
+  * this with a stored (checkpointId, version) pair; with plain
+  * parquet it is a deployment rule.
   */
 object ScdStream {
   private def pointerFile(dir: String) = Paths.get(dir, "_CURRENT")
@@ -64,9 +73,18 @@ object ScdStream {
         val merged = Scd2.merge(existing, batch, key, tracked, asOfForBatch(batchId))
         merged.write.mode("overwrite").parquet(versionPath)
         Files.createDirectories(Paths.get(stateDir))
-        Files.write(pointerFile(stateDir), versionPath.getBytes,
+        // the pointer swap must itself be atomic: an in-place
+        // truncate-then-write crashed mid-flush would leave an EMPTY
+        // pointer, which reads as "no state" and silently reinitializes
+        // the dimension from scratch on replay. Write-temp + ATOMIC_MOVE
+        // means readers see either the old pointer or the new one.
+        val tmp = Paths.get(stateDir, "_CURRENT.tmp")
+        Files.write(tmp, versionPath.getBytes,
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
           StandardOpenOption.WRITE)
+        Files.move(tmp, pointerFile(stateDir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
       ()
     }

@@ -467,11 +467,23 @@ object DedupOps {
     // strategy. 5M edges ≈ 80 MB in the task — comfortably under
     // executor memory; a graph past the budget takes the iterative
     // path below, whose per-round cost is data-bound at that size.
-    val directed = pairs
-      .select(col("doc1").cast("long").as("a"), col("doc2").cast("long").as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the single-task path needs long ids; restrict it to integral id
+    // types (casting a string/uuid id would NULL out silently). Any
+    // other ordered type keeps the fully generic iterative path.
+    val integralIds = Seq("doc1", "doc2").forall { c =>
+      pairs.schema(pairs.schema.fieldIndex(c)).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    }
+    val directed = (
+      if (integralIds)
+        pairs.select(col("doc1").cast("long").as("a"), col("doc2").cast("long").as("b"))
+      else pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = directed.count()
-    if (nEdges <= localEdgeBudget) return resolveLocal(directed)
+    if (integralIds && nEdges <= localEdgeBudget) return resolveLocal(directed)
 
     // undirected edge list, both directions
     val edges = directed

@@ -32,13 +32,17 @@ class ContractSpec extends SparkSpec {
     val testdata = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     val cte = """(?is)(?:with(?:\s+recursive)?|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s*as\s*\(""".r
-    val rel = """(?is)\b(?:from|join)\s+([a-z_][a-z0-9_]*)""".r
+    // capture comma-separated FROM lists too ("FROM r, t") — a
+    // first-relation-only match would let the trailing relations
+    // escape validation entirely
+    val rel = """(?is)\b(?:from|join)\s+([a-z_][a-z0-9_]*(?:\s*,\s*[a-z_][a-z0-9_]*)*)""".r
     // SQL constructs that legally follow FROM/JOIN without naming a
     // stored relation: lateral subqueries and table functions
     val keywords = Set("lateral", "unnest", "values", "generate_series", "range")
     Oracles.all.foreach { case (name, sql) =>
       val ctes = cte.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val rels = rel.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val rels = rel.findAllMatchIn(sql)
+        .flatMap(_.group(1).toLowerCase.split(',').map(_.trim)).toSet
       val unknown = rels.diff(testdata).diff(ctes).diff(keywords)
       assert(unknown.isEmpty,
         s"$name: oracle references non-testdata relations: ${unknown.toSeq.sorted}")

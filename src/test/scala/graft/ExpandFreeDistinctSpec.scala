@@ -106,11 +106,35 @@ class ExpandFreeDistinctSpec extends SparkSpec {
       "SELECT count(DISTINCT tag) AS dt, count(DISTINCT k1) AS d1 FROM efd_t GROUP BY tag",
       // several distincts over ONE column: Spark shares the distinct
       // group without Expand — rewriting would add scans for nothing
-      "SELECT count(DISTINCT k1) AS c1, sum(DISTINCT k1) AS s1 FROM efd_t")
+      "SELECT count(DISTINCT k1) AS c1, sum(DISTINCT k1) AS s1 FROM efd_t",
+      // nondeterministic ROW SET: each duplicated child could see a
+      // different subset — LIMIT and TABLESAMPLE must block the rewrite
+      "SELECT count(DISTINCT k1) AS d1, count(DISTINCT k2) AS d2 FROM (SELECT * FROM efd_t LIMIT 3)",
+      "SELECT count(DISTINCT k1) AS d1, count(DISTINCT k2) AS d2 FROM efd_t TABLESAMPLE (50 PERCENT)")
     untouched.foreach { q =>
       val analyzed = spark.sql(q).queryExecution.analyzed
       assert(ExpandFreeDistinct(analyzed) == analyzed, s"must not rewrite: $q")
     }
+  }
+
+  test("several functions over one column share a single inner dedup part") {
+    view
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val analyzed = spark.sql(
+      """SELECT count(DISTINCT k1) AS c1, sum(DISTINCT k1) AS s1,
+        |       count(DISTINCT k2) AS c2 FROM efd_t""".stripMargin)
+      .queryExecution.analyzed
+    val rewritten = ExpandFreeDistinct(analyzed)
+    assert(rewritten != analyzed)
+    // 2 distinct COLUMNS → 2 parts → 1 join (no base: no plain aggs);
+    // a per-AGGREGATE split would build 3 parts → 2 joins
+    val joins = rewritten.collect { case j: Join => j }
+    assert(joins.size == 1, s"expected 1 join for 2 column parts, got ${joins.size}\n$rewritten")
+    // results still correct through the real session path
+    val (_, active, bRows, aRows) = compare(
+      """SELECT count(DISTINCT k1) AS c1, sum(DISTINCT k1) AS s1,
+        |       count(DISTINCT k2) AS c2 FROM efd_t""".stripMargin)
+    assert(!active.contains("Expand") && aRows == bRows)
   }
 
   test("conf gate disables the rule") {

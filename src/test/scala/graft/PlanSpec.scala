@@ -31,10 +31,14 @@ class PlanSpec extends SparkSpec {
   test("gold star join: AQE final plan keeps all five dims broadcast") {
     // the static assertion above can pass while AQE re-plans a dim to
     // SortMergeJoin at runtime (stat drift, broadcast-threshold flip);
-    // assert the executed adaptive plan so that can never land silently
+    // assert the executed adaptive plan so that can never land silently.
+    // NB: the action must run THIS df's QueryExecution — a writer
+    // (noop sink) wraps the logical plan in a NEW QueryExecution and
+    // leaves df's own plan un-finalized (isFinalPlan=false)
     val df = Queries.all("q_gold_enriched")(spark, sf)
-    df.write.format("noop").mode("overwrite").save()
+    df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.linesIterator.next())
     val broadcasts = "BroadcastHashJoin".r.findAllIn(finalPlan).length
     assert(broadcasts >= 5, s"expected >=5 broadcast joins post-AQE, got $broadcasts\n$finalPlan")
     // the only sort-merge the plan may contain is the fact-fact join

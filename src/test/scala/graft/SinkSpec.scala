@@ -57,14 +57,14 @@ class SinkSpec extends SparkSpec {
       .toDF("ingestion_date", "v")
     ParquetSink.write(df, dir, partitionCols = Seq("ingestion_date"))
 
-    val dropped = ParquetSink.pruneRetention(dir, "ingestion_date", keepFrom = "2026-08-01")
+    val dropped = ParquetSink.pruneRetention(spark, dir, "ingestion_date", keepFrom = "2026-08-01")
     assert(dropped == Seq("2026-07-30", "2026-07-31"), dropped)
     val left = spark.read.parquet(dir)
     assert(left.select("ingestion_date").distinct().as[String].collect().sorted.toSeq ==
       Seq("2026-08-01", "2026-08-02"))
     assert(left.count() == 2)
     // idempotent: nothing below the cutoff remains
-    assert(ParquetSink.pruneRetention(dir, "ingestion_date", "2026-08-01").isEmpty)
+    assert(ParquetSink.pruneRetention(spark, dir, "ingestion_date", "2026-08-01").isEmpty)
   }
 
   test("compact rewrites a fragmented directory to the sized file count") {
