@@ -550,6 +550,15 @@ object DedupOps {
     }
     edges.unpersist()
     directed.unpersist()
+    // a cap-hit without convergence means the labels are NOT component
+    // minima — exactly the silent-wrongness class the round-7 oracle
+    // caught (a chainy threshold graph outran the old cap). With
+    // pointer jumping, maxIter=20 covers diameter ~2^20, so tripping
+    // this means something is genuinely wrong: fail loud, never emit
+    // almost-resolved groups.
+    require(converged,
+      s"resolveGroups did not converge within $maxIter doubled rounds — " +
+        "raise maxIter only after confirming the pair graph is sane")
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 

@@ -57,6 +57,17 @@ class ResolvePropertySpec extends SparkSpec {
     }
   }
 
+  test("a capped non-converged resolve fails loudly instead of emitting wrong groups") {
+    // a 12-node chain cannot converge in 1 round; the old behavior
+    // silently returned almost-resolved labels (caught by the
+    // q_semantic_resolve oracle at sf0.1) — now it must throw
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.DedupOps.resolveGroups(chain, maxIter = 1, localEdgeBudget = 0L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
+
   test("resolveGroups (distributed iterative path) equals union-find") {
     // localEdgeBudget = 0 forces the label-propagation + pointer-jump
     // path every small graph would otherwise bypass
