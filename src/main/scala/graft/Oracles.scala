@@ -849,6 +849,38 @@ object Oracles {
         |SELECT s.group_id, s.n_vecs, m.majority_label, m.n_majority, k.keeper_vec_id
         |FROM sizes s JOIN maj m USING (group_id) JOIN keep k USING (group_id)
         |ORDER BY group_id""".stripMargin,
+    // embedding QA gate: anomaly counters + norm distribution. The
+    // norm replays Spark's sequential element-order double loop with
+    // list_reduce (seeded by list_prepend(0.0) so empty lists are
+    // total), then the shared round(·,4); the sum is exact DECIMAL
+    "q_embedding_qa" ->
+      """WITH base AS (
+        |  SELECT label,
+        |    embedding IS NULL AS nv,
+        |    CASE WHEN embedding IS NULL THEN FALSE ELSE len(embedding) <> 64 END AS bd,
+        |    CASE WHEN embedding IS NULL THEN FALSE
+        |         ELSE len(list_filter(embedding, x -> x IS NULL)) > 0 END AS ne,
+        |    embedding
+        |  FROM embeddings
+        |), normed AS (
+        |  SELECT label, nv, bd, ne,
+        |    CASE WHEN nv OR bd OR ne THEN NULL
+        |         ELSE round(sqrt(list_reduce(
+        |           list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |           (a, b) -> a + b)), 4) END AS norm
+        |  FROM base
+        |)
+        |SELECT label,
+        |  count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN nv THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec,
+        |  CAST(sum(CASE WHEN bd THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+        |  CAST(sum(CASE WHEN ne THEN 1 ELSE 0 END) AS BIGINT) AS n_null_elem,
+        |  CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |  min(norm) AS min_norm,
+        |  max(norm) AS max_norm,
+        |  CAST(sum(CAST(norm AS DECIMAL(18,4))) AS DOUBLE) AS sum_norm
+        |FROM normed GROUP BY label ORDER BY label""".stripMargin,
     "q_dedup_embedding" ->
       s"""SELECT id1, id2, cosine FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2, round($cosExpr, 4) AS cosine

@@ -223,6 +223,51 @@ object VectorOps {
     call_function("hyperplane_bucket", vec)
   }
 
+  /** Embedding-corpus QA gate: per-`label` health report over a
+    * vector column — the validation every ANN/index build runs BEFORE
+    * trusting its embeddings (a null vector NPEs a kernel, a
+    * wrong-dim vector corrupts a GEMM tile, an all-zero or collapsed
+    * norm distribution means the encoder broke upstream).
+    *
+    * Anomaly counters (null vector / wrong dim / null element / zero
+    * norm) plus the norm distribution (min/max and an EXACT decimal
+    * sum of round(‖v‖,4) — a float mean would be partition-order-
+    * dependent and unverifiable, SURVEY §3) over the valid rows.
+    * Per-vector norms are sequential element-order loops (Spark
+    * `aggregate`, DuckDB `list_reduce`), so both engines produce the
+    * identical IEEE double before the shared round.
+    *
+    * Scale shape: ONE corpus scan, every counter a conditional
+    * partial aggregate (map-side combine), shuffle = |labels| rows.
+    */
+  def embeddingQa(emb: DataFrame, vecCol: String, labelCol: String, dim: Int): DataFrame = {
+    val v = col(vecCol)
+    val isNullVec = v.isNull
+    val badDim = v.isNotNull && size(v) =!= dim
+    val nullElem = v.isNotNull && exists(v, _.isNull)
+    val valid = !isNullVec && !badDim && !nullElem
+    val norm = round(sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+    val one = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    emb
+      .select(col(labelCol).as("label"),
+        isNullVec.as("__nv"), badDim.as("__bd"), nullElem.as("__ne"),
+        when(valid, norm).as("__norm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        one(col("__nv")).as("n_null_vec"),
+        one(col("__bd")).as("n_bad_dim"),
+        one(col("__ne")).as("n_null_elem"),
+        one(col("__norm") === 0.0).as("n_zero_norm"),
+        min(col("__norm")).as("min_norm"),
+        max(col("__norm")).as("max_norm"),
+        // exact decimal accumulation, double only at emission — the
+        // sum is order-independent, the final cast deterministic
+        sum(col("__norm").cast("decimal(18,4)")).cast("double").as("sum_norm"))
+      .orderBy("label")
+  }
+
   /** ANN via LSH buckets: score queries only against corpus vectors
     * in the same bucket, take top-k per query. Recall < 1 by design;
     * increase planes/probes for precision, this is the 100 TB path. */
