@@ -610,6 +610,34 @@ object Oracles {
         |  max(CASE WHEN r = 1 THEN quality_score END) AS keeper_quality,
         |  count(*) AS n_docs
         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-source duplication profile: the resolve CTE for near-dup
+    // membership + corpus-wide text-hash multiplicity for exact dups
+    // (zero on this corpus — the zero IS the verified contract) +
+    // integer-permille rates
+    "q_dup_profile" ->
+      s"""$resolveCte,
+        |near AS (
+        |  SELECT DISTINCT id FROM reach
+        |), cells AS (
+        |  SELECT md5(lower(trim(text))) AS h, source, count(*) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT h, sum(c) AS t FROM cells GROUP BY h
+        |), exact AS (
+        |  SELECT source,
+        |    CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN t > 1 THEN c ELSE 0 END) AS BIGINT) AS n_exact_dup
+        |  FROM cells JOIN tot USING (h) GROUP BY source
+        |), nearsrc AS (
+        |  SELECT d.source, count(*) AS n_near_dup
+        |  FROM documents d JOIN near ON d.doc_id = near.id GROUP BY 1
+        |)
+        |SELECT e.source, e.n_docs, e.n_exact_dup,
+        |  COALESCE(n.n_near_dup, 0) AS n_near_dup,
+        |  e.n_exact_dup * 1000 // e.n_docs AS exact_dup_permille,
+        |  COALESCE(n.n_near_dup, 0) * 1000 // e.n_docs AS near_dup_permille
+        |FROM exact e LEFT JOIN nearsrc n USING (source)
+        |ORDER BY e.source""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) - 2 AS n_grams,

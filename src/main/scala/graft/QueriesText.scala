@@ -228,6 +228,23 @@ object QueriesText {
       .orderBy("group_id")
   }
 
+  /** #87 per-source duplication profile — the corpus-health report of
+    * a data release: per source, doc count, exact-duplicate members
+    * (normalized text seen ≥2× corpus-wide; this corpus has none, and
+    * ZERO verifying against the oracle is the point), near-dup group
+    * members (same resolve derivation as #38), and integer-permille
+    * rates. Recomputes the resolve like #79 — stand-alone
+    * measurement honesty; a real pipeline runs profile and resolve
+    * off one persisted pair graph. */
+  def dupProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = DedupOps.ngramJaccardPairs(
+      docs, "doc_id", col("text"), n = 3, maxDf = 100, minJaccardPct = 20)
+    DedupOps.dupProfile(
+      docs, "doc_id", lower(trim(col("text"))), col("source"),
+      DedupOps.resolveGroups(pairs))
+  }
+
   /** #80 fixed-size stratified sample: exactly N docs per language,
     * chosen by md5(doc_id) order — deterministic at any parallelism
     * and stable under corpus growth for the retained hash range
@@ -547,6 +564,7 @@ object QueriesText {
     "q_corpus_filter" -> (corpusFilter _),
     "q_dedup_resolve" -> (dedupResolve _),
     "q_dedup_keeper" -> (dedupKeeper _),
+    "q_dup_profile" -> (dupProfile _),
     "q_group_sample" -> (groupSample _),
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard" -> (ngramJaccard _),

@@ -33,6 +33,46 @@ object DedupOps {
         min(length(text)).cast("long").as("n_chars")
       )
 
+  /** Per-`source` corpus duplication profile — the dedup report a
+    * data release ships: how many docs each source contributes, how
+    * many are exact duplicates (their normalized text appears ≥2
+    * times CORPUS-wide, not merely within the source), how many sit
+    * in a resolved near-dup group, and the integer-permille rates.
+    *
+    * `nearMembers`: the (id)-column membership frame from
+    * [[resolveGroups]] (docs in ≥1 candidate pair).
+    *
+    * Scale shape: ONE corpus text scan producing (md5, source, count)
+    * cells with map-side combine — after it, nothing is corpus-scale:
+    * the corpus-wide multiplicity is a window over the 32-byte hash
+    * key (one shuffle of the CELLS, each row ~40 B — never the
+    * texts), the near membership joins keyed on the doc id with the
+    * candidate-bounded side small, and the rollup output is
+    * ≤ |sources| rows. */
+  def dupProfile(
+      docs: DataFrame, id: String, text: Column, source: Column,
+      nearMembers: DataFrame): DataFrame = {
+    val cells = docs
+      .select(source.as("source"), md5(text).as("__h"))
+      .groupBy("__h", "source").agg(count(lit(1)).as("__c"))
+    val withTot = cells
+      .withColumn("__t", sum(col("__c")).over(Window.partitionBy("__h")))
+    val exact = withTot.groupBy("source").agg(
+      sum(col("__c")).as("n_docs"),
+      sum(when(col("__t") > 1, col("__c")).otherwise(0L)).as("n_exact_dup"))
+    val near = docs.select(col(id).as("__did"), source.as("source"))
+      .join(nearMembers.select(col(id).as("__did")).distinct(), Seq("__did"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_near_dup"))
+    exact.join(near, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_exact_dup"),
+        coalesce(col("n_near_dup"), lit(0L)).as("n_near_dup"))
+      .withColumn("exact_dup_permille",
+        call_function("div", col("n_exact_dup") * 1000L, col("n_docs")))
+      .withColumn("near_dup_permille",
+        call_function("div", col("n_near_dup") * 1000L, col("n_docs")))
+      .orderBy("source")
+  }
+
   /** Word n-grams (distinct per doc) of `text`, as (id, gram). */
   def wordGrams(docs: DataFrame, id: String, text: Column, n: Int): DataFrame = {
     val toks = TextOps.tokens(text)

@@ -165,4 +165,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
   }
+
+  test("dup profile: text leaves the plan at the hash aggregate, never shuffles") {
+    // the corpus text must be reduced to (md5, source, count) cells by
+    // a PARTIAL aggregate before any exchange — if text ever rides a
+    // shuffle the query ships the corpus over the wire. Two checks:
+    // text as a shuffle KEY (the realistic regression: groupBy(text)
+    // or a window over the raw text) would appear in the Exchange
+    // lines' hashpartitioning(...); text riding along as a non-key
+    // column is precluded by the partial aggregate, whose output —
+    // the only thing that crosses — is (__h, source, partial_count).
+    val p = plan("q_dup_profile")
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty, "profile must aggregate across partitions")
+    exchangeLines.foreach { l =>
+      assert(!l.contains("text#"), s"text used as a shuffle key:\n$l")
+    }
+    // map-side combine below the first exchange
+    assert(p.contains("partial_count"), p)
+  }
 }
