@@ -613,7 +613,11 @@ object Oracles {
     // per-source duplication profile: the resolve CTE for near-dup
     // membership + corpus-wide text-hash multiplicity for exact dups
     // (zero on this corpus — the zero IS the verified contract) +
-    // integer-permille rates
+    // integer-permille rates. The multiplicity join is LEFT: a NULL
+    // text hash never matches USING(h), and an inner join silently
+    // drops those docs from n_docs — NULL-hash docs count but are
+    // never exact-dup members. (Rationale lives HERE, not as SQL
+    // comments: ContractSpec's relation guard reads raw SQL text.)
     "q_dup_profile" ->
       s"""$resolveCte,
         |near AS (
@@ -626,8 +630,8 @@ object Oracles {
         |), exact AS (
         |  SELECT source,
         |    CAST(sum(c) AS BIGINT) AS n_docs,
-        |    CAST(sum(CASE WHEN t > 1 THEN c ELSE 0 END) AS BIGINT) AS n_exact_dup
-        |  FROM cells JOIN tot USING (h) GROUP BY source
+        |    CAST(sum(CASE WHEN h IS NOT NULL AND t > 1 THEN c ELSE 0 END) AS BIGINT) AS n_exact_dup
+        |  FROM cells LEFT JOIN tot USING (h) GROUP BY source
         |), nearsrc AS (
         |  SELECT d.source, count(*) AS n_near_dup
         |  FROM documents d JOIN near ON d.doc_id = near.id GROUP BY 1
@@ -888,26 +892,36 @@ object Oracles {
         |    CASE WHEN embedding IS NULL THEN FALSE ELSE len(embedding) <> 64 END AS bd,
         |    CASE WHEN embedding IS NULL THEN FALSE
         |         ELSE len(list_filter(embedding, x -> x IS NULL)) > 0 END AS ne,
+        |    CASE WHEN embedding IS NULL THEN FALSE
+        |         ELSE len(list_filter(embedding, x ->
+        |           isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0 END AS nf,
         |    embedding
         |  FROM embeddings
-        |), normed AS (
-        |  SELECT label, nv, bd, ne,
-        |    CASE WHEN nv OR bd OR ne THEN NULL
-        |         ELSE round(sqrt(list_reduce(
+        |), rawn AS (
+        |  SELECT label, nv, bd, ne, nf,
+        |    CASE WHEN nv OR bd OR ne OR nf THEN NULL
+        |         ELSE sqrt(list_reduce(
         |           list_prepend(CAST(0 AS DOUBLE),
         |             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-        |           (a, b) -> a + b)), 4) END AS norm
+        |           (a, b) -> a + b)) END AS nraw
         |  FROM base
+        |), normed AS (
+        |  SELECT label, nv, bd, ne, nf,
+        |    nraw >= 1e12 AS huge,
+        |    CASE WHEN nraw < 1e12 THEN round(nraw, 4) END AS norm
+        |  FROM rawn
         |)
         |SELECT label,
         |  count(*) AS n_vecs,
         |  CAST(sum(CASE WHEN nv THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec,
         |  CAST(sum(CASE WHEN bd THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
         |  CAST(sum(CASE WHEN ne THEN 1 ELSE 0 END) AS BIGINT) AS n_null_elem,
+        |  CAST(sum(CASE WHEN nf THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+        |  CAST(sum(CASE WHEN huge THEN 1 ELSE 0 END) AS BIGINT) AS n_huge_norm,
         |  CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
         |  min(norm) AS min_norm,
         |  max(norm) AS max_norm,
-        |  CAST(sum(CAST(norm AS DECIMAL(18,4))) AS DOUBLE) AS sum_norm
+        |  CAST(sum(CAST(norm AS DECIMAL(28,4))) AS DOUBLE) AS sum_norm
         |FROM normed GROUP BY label ORDER BY label""".stripMargin,
     "q_dedup_embedding" ->
       s"""SELECT id1, id2, cosine FROM (

@@ -232,17 +232,20 @@ object QueriesText {
     * a data release: per source, doc count, exact-duplicate members
     * (normalized text seen ≥2× corpus-wide; this corpus has none, and
     * ZERO verifying against the oracle is the point), near-dup group
-    * members (same resolve derivation as #38), and integer-permille
-    * rates. Recomputes the resolve like #79 — stand-alone
-    * measurement honesty; a real pipeline runs profile and resolve
-    * off one persisted pair graph. */
+    * members, and integer-permille rates. Membership needs only the
+    * pair-graph ENDPOINTS — a doc is in a group of size ≥ 2 iff it
+    * appears in ≥ 1 candidate pair — so the profile deliberately
+    * skips #38's component resolution (identical member set, none of
+    * the label-propagation cost); candidate generation is the shared,
+    * and dominant, work. */
   def dupProfile(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val pairs = DedupOps.ngramJaccardPairs(
       docs, "doc_id", col("text"), n = 3, maxDf = 100, minJaccardPct = 20)
+    val near = pairs.select(col("doc1").as("doc_id"))
+      .unionByName(pairs.select(col("doc2").as("doc_id")))
     DedupOps.dupProfile(
-      docs, "doc_id", lower(trim(col("text"))), col("source"),
-      DedupOps.resolveGroups(pairs))
+      docs, "doc_id", lower(trim(col("text"))), col("source"), near)
   }
 
   /** #80 fixed-size stratified sample: exactly N docs per language,

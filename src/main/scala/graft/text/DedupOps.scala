@@ -59,7 +59,12 @@ object DedupOps {
       .withColumn("__t", sum(col("__c")).over(Window.partitionBy("__h")))
     val exact = withTot.groupBy("source").agg(
       sum(col("__c")).as("n_docs"),
-      sum(when(col("__t") > 1, col("__c")).otherwise(0L)).as("n_exact_dup"))
+      // null text is absent content, not duplicated content: NULL-hash
+      // docs count in n_docs but can never be exact-dup members (the
+      // window groups all NULL hashes into one frame, so without the
+      // isNotNull gate two null-text docs would read as duplicates)
+      sum(when(col("__h").isNotNull && col("__t") > 1, col("__c")).otherwise(0L))
+        .as("n_exact_dup"))
     val near = docs.select(col(id).as("__did"), source.as("source"))
       .join(nearMembers.select(col(id).as("__did")).distinct(), Seq("__did"), "left_semi")
       .groupBy("source").agg(count(lit(1)).as("n_near_dup"))

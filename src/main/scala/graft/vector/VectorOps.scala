@@ -229,13 +229,23 @@ object VectorOps {
     * wrong-dim vector corrupts a GEMM tile, an all-zero or collapsed
     * norm distribution means the encoder broke upstream).
     *
-    * Anomaly counters (null vector / wrong dim / null element / zero
-    * norm) plus the norm distribution (min/max and an EXACT decimal
-    * sum of round(‖v‖,4) — a float mean would be partition-order-
-    * dependent and unverifiable, SURVEY §3) over the valid rows.
-    * Per-vector norms are sequential element-order loops (Spark
-    * `aggregate`, DuckDB `list_reduce`), so both engines produce the
-    * identical IEEE double before the shared round.
+    * Anomaly counters (null vector / wrong dim / null element /
+    * NaN-or-Inf element / absurd norm / zero norm) plus the norm
+    * distribution (min/max and an EXACT decimal sum of round(‖v‖,4)
+    * — a float mean would be partition-order-dependent and
+    * unverifiable, SURVEY §3) over the valid rows. Per-vector norms
+    * are sequential element-order loops (Spark `aggregate`, DuckDB
+    * `list_reduce`), so both engines produce the identical IEEE
+    * double before the shared round.
+    *
+    * The gate must be TOTAL over dirty corpora — that is its job. A
+    * NaN/Inf element is counted, not summed (under ANSI a NaN
+    * reaching the decimal cast would abort the whole report — the
+    * gate crashing on exactly the broken-encoder vectors it exists
+    * to flag). Finite norms ≥ 1e12 (twelve orders past any real
+    * embedding family) are likewise counted as `n_huge_norm` and
+    * kept out of the stats, so the decimal sum cannot overflow
+    * before ~1e22 rows.
     *
     * Scale shape: ONE corpus scan, every counter a conditional
     * partial aggregate (map-side combine), shuffle = |labels| rows.
@@ -245,26 +255,34 @@ object VectorOps {
     val isNullVec = v.isNull
     val badDim = v.isNotNull && size(v) =!= dim
     val nullElem = v.isNotNull && exists(v, _.isNull)
-    val valid = !isNullVec && !badDim && !nullElem
-    val norm = round(sqrt(aggregate(v, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+    val nonFinite = v.isNotNull && exists(v, x =>
+      x.cast("double").isNaN || abs(x.cast("double")) === lit(Double.PositiveInfinity))
+    val structuralOk = !isNullVec && !badDim && !nullElem && !nonFinite
+    val nraw = sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
     val one = (c: Column) => sum(when(c, 1L).otherwise(0L))
     emb
       .select(col(labelCol).as("label"),
         isNullVec.as("__nv"), badDim.as("__bd"), nullElem.as("__ne"),
-        when(valid, norm).as("__norm"))
+        nonFinite.as("__nf"),
+        when(structuralOk, nraw).as("__nraw"))
+      .select(col("label"), col("__nv"), col("__bd"), col("__ne"), col("__nf"),
+        (col("__nraw") >= 1e12).as("__huge"),
+        when(col("__nraw") < 1e12, round(col("__nraw"), 4)).as("__norm"))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vecs"),
         one(col("__nv")).as("n_null_vec"),
         one(col("__bd")).as("n_bad_dim"),
         one(col("__ne")).as("n_null_elem"),
+        one(col("__nf")).as("n_nonfinite"),
+        one(col("__huge")).as("n_huge_norm"),
         one(col("__norm") === 0.0).as("n_zero_norm"),
         min(col("__norm")).as("min_norm"),
         max(col("__norm")).as("max_norm"),
         // exact decimal accumulation, double only at emission — the
         // sum is order-independent, the final cast deterministic
-        sum(col("__norm").cast("decimal(18,4)")).cast("double").as("sum_norm"))
+        sum(col("__norm").cast("decimal(28,4)")).cast("double").as("sum_norm"))
       .orderBy("label")
   }
 

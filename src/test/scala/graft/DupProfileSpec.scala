@@ -48,4 +48,22 @@ class DupProfileSpec extends SparkSpec {
     val out = profile(near = Seq(4L, 4L, 4L))
     assert(out("a").getLong(3) == 1L)
   }
+
+  test("null text is absent content: counted in n_docs, never an exact dup") {
+    // two null-text docs in one source share a NULL hash — without the
+    // null gate the corpus-wide multiplicity window would read them as
+    // a duplicate group (and the oracle's USING(h) join would instead
+    // DROP them, a silent engine/oracle divergence)
+    val withNulls = Seq(
+      (1L, Option("real text"), "a"),
+      (2L, None, "a"),
+      (3L, None, "a")
+    ).toDF("doc_id", "text", "source")
+    val out = DedupOps.dupProfile(
+      withNulls, "doc_id", lower(trim(col("text"))), col("source"),
+      Seq.empty[Long].toDF("doc_id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) == 3L, "n_docs counts null-text docs")
+    assert(out("a").getLong(2) == 0L, "null text never exact-dups")
+  }
 }

@@ -166,22 +166,26 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
   }
 
-  test("dup profile: text leaves the plan at the hash aggregate, never shuffles") {
+  test("dup profile: the aggregation shuffles hash cells, text is never a key") {
     // the corpus text must be reduced to (md5, source, count) cells by
-    // a PARTIAL aggregate before any exchange — if text ever rides a
-    // shuffle the query ships the corpus over the wire. Two checks:
-    // text as a shuffle KEY (the realistic regression: groupBy(text)
-    // or a window over the raw text) would appear in the Exchange
-    // lines' hashpartitioning(...); text riding along as a non-key
-    // column is precluded by the partial aggregate, whose output —
-    // the only thing that crosses — is (__h, source, partial_count).
+    // a PARTIAL aggregate before the aggregation exchange — at scale
+    // only ~40-byte cells cross the wire. What this pins: text as a
+    // shuffle KEY (the realistic regression: groupBy(text) or a
+    // window over the raw text) would appear in an Exchange line's
+    // hashpartitioning(...), and the cells aggregate must stay
+    // partial (map-side combine). NOT claimed: that no exchange
+    // carries text at THIS scale — Tables.documents applies the
+    // testdata-only fact-spread repartition (which ships whole rows,
+    // and disappears once scanPartitions >= shuffle.partitions, see
+    // Tables.spreadKeyed).
     val p = plan("q_dup_profile")
     val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(exchangeLines.nonEmpty, "profile must aggregate across partitions")
     exchangeLines.foreach { l =>
       assert(!l.contains("text#"), s"text used as a shuffle key:\n$l")
     }
-    // map-side combine below the first exchange
+    // the cells aggregate shuffles on the hash, with map-side combine
+    assert(exchangeLines.exists(_.contains("__h#")), exchangeLines.mkString("\n"))
     assert(p.contains("partial_count"), p)
   }
 }
