@@ -98,7 +98,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val partial = if (only.isDefined) s""","partial":true""" else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$partial}""")
+    // runs is part of the artifact: a 1-run and a 3-run-min total are
+    // not comparable, and the methodology must not live only in notes
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$partial}""")
     spark.stop()
   }
 }
