@@ -1,0 +1,46 @@
+package graft
+
+/** SURVEY.md §2 is the coverage checklist the build is judged
+  * against — pin its table to the actual query registry so a new
+  * query without a survey row (or a renamed/removed query leaving a
+  * stale row) fails the build instead of silently skewing the
+  * inventory. */
+class SurveySpec extends SparkSpec {
+  // explicit UTF-8: the forked test JVM's default charset garbles the
+  // § section markers otherwise
+  private def surveyText: String = new String(
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+    java.nio.charset.StandardCharsets.UTF_8)
+
+  test("SURVEY §2 table rows match the query registry exactly") {
+    val survey = surveyText
+    val begin = survey.indexOf("## §2")
+    assert(begin >= 0, "SURVEY must contain a §2 section")
+    val end = survey.indexOf("\n## §", begin + 1)
+    assert(end > begin, "§2 must be followed by another section")
+    val section = survey.substring(begin, end)
+    // only TABLE rows carry inventory entries; prose references
+    // elsewhere (changelogs, scale notes) are not rows
+    val listed = section.linesIterator
+      .filter(_.trim.startsWith("|"))
+      .flatMap("""`(q_\w+)`""".r.findAllMatchIn(_).map(_.group(1)))
+      .toSeq
+    assert(listed.size == listed.distinct.size,
+      s"duplicate §2 rows: ${listed.diff(listed.distinct).distinct}")
+    val registry = Queries.all.keySet
+    assert(listed.toSet == registry,
+      s"§2 out of sync — missing rows: ${registry.diff(listed.toSet).toSeq.sorted}, " +
+        s"stale rows: ${listed.toSet.diff(registry).toSeq.sorted}")
+  }
+
+  test("§2 row numbers are unique") {
+    val survey = surveyText
+    val begin = survey.indexOf("## §2")
+    val end = survey.indexOf("\n## §", begin + 1)
+    val nums = survey.substring(begin, end).linesIterator
+      .flatMap("""^\| (\d+) \|""".r.findAllMatchIn(_).map(_.group(1).toInt))
+      .toSeq
+    assert(nums.size == nums.distinct.size,
+      s"duplicate row numbers: ${nums.diff(nums.distinct).distinct}")
+  }
+}
