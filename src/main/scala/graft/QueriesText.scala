@@ -242,10 +242,9 @@ object QueriesText {
     val docs = Tables.documents(s, dir)
     val pairs = DedupOps.ngramJaccardPairs(
       docs, "doc_id", col("text"), n = 3, maxDf = 100, minJaccardPct = 20)
-    val near = pairs.select(col("doc1").as("doc_id"))
-      .unionByName(pairs.select(col("doc2").as("doc_id")))
     DedupOps.dupProfile(
-      docs, "doc_id", lower(trim(col("text"))), col("source"), near)
+      docs, "doc_id", lower(trim(col("text"))), col("source"),
+      DedupOps.pairEndpoints(pairs, "doc_id"))
   }
 
   /** #80 fixed-size stratified sample: exactly N docs per language,

@@ -152,13 +152,14 @@ object QueriesVector {
   }
 
   /** #86 embedding-corpus QA gate: per-label anomaly counters (null
-    * vector / wrong dim / null element / zero norm) + the norm
-    * distribution (min/max/exact-decimal sum of round(‖v‖,4)) — the
-    * validation pass before any index build or ANN job trusts its
-    * vectors (see [[VectorOps.embeddingQa]]). The testdata corpus is
-    * clean, so the counters verifying as ZERO against the oracle is
-    * the point — a non-zero count IS the alarm; the counter
-    * mechanics fire on injected anomalies in `EmbeddingQaSpec`. */
+    * vector / wrong dim / null element / NaN-or-Inf element / absurd
+    * norm / zero norm) + the norm distribution (min/max/exact-decimal
+    * sum of round(‖v‖,4)) — the validation pass before any index
+    * build or ANN job trusts its vectors (see
+    * [[VectorOps.embeddingQa]]). The testdata corpus is clean, so the
+    * counters verifying as ZERO against the oracle is the point — a
+    * non-zero count IS the alarm; the counter mechanics fire on
+    * injected anomalies in `EmbeddingQaSpec`. */
   def embeddingQa(s: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingQa(Tables.embeddings(s, dir), "embedding", "label", dim = 64)
 

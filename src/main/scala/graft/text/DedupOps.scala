@@ -33,6 +33,14 @@ object DedupOps {
         min(length(text)).cast("long").as("n_chars")
       )
 
+  /** Distinct endpoint ids of a (doc1, doc2) pair frame, emitted as
+    * column `out` — the docs that participate in ≥ 1 candidate pair,
+    * which for an undirected pair graph is exactly the set of members
+    * of groups of size ≥ 2 (no component resolution needed). */
+  def pairEndpoints(pairs: DataFrame, out: String): DataFrame =
+    pairs.select(col("doc1").as(out))
+      .unionByName(pairs.select(col("doc2").as(out))).distinct()
+
   /** Per-`source` corpus duplication profile — the dedup report a
     * data release ships: how many docs each source contributes, how
     * many are exact duplicates (their normalized text appears ≥2
@@ -400,8 +408,7 @@ object DedupOps {
       candidates: DataFrame, docs: DataFrame, id: String, text: Column,
       n: Int, minJaccardPct: Int
   ): DataFrame = {
-    val inPairs = candidates.select(col("doc1").as("__d"))
-      .unionByName(candidates.select(col("doc2").as("__d"))).distinct()
+    val inPairs = pairEndpoints(candidates, "__d")
     // gate BEFORE the gram work: the expensive tokenize + hash pass
     // touches candidate docs only. Gram sets stay as one array row per
     // doc (wordGramHashSets), so verification is two doc-id hash joins

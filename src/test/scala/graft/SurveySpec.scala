@@ -12,13 +12,19 @@ class SurveySpec extends SparkSpec {
     java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
     java.nio.charset.StandardCharsets.UTF_8)
 
-  test("SURVEY §2 table rows match the query registry exactly") {
+  /** §2's text, with both bounds asserted so a renamed/moved section
+    * fails as a clear assertion, not a StringIndexOutOfBounds. */
+  private def section2: String = {
     val survey = surveyText
     val begin = survey.indexOf("## §2")
     assert(begin >= 0, "SURVEY must contain a §2 section")
     val end = survey.indexOf("\n## §", begin + 1)
     assert(end > begin, "§2 must be followed by another section")
-    val section = survey.substring(begin, end)
+    survey.substring(begin, end)
+  }
+
+  test("SURVEY §2 table rows match the query registry exactly") {
+    val section = section2
     // only TABLE rows carry inventory entries; prose references
     // elsewhere (changelogs, scale notes) are not rows
     val listed = section.linesIterator
@@ -34,10 +40,7 @@ class SurveySpec extends SparkSpec {
   }
 
   test("§2 row numbers are unique") {
-    val survey = surveyText
-    val begin = survey.indexOf("## §2")
-    val end = survey.indexOf("\n## §", begin + 1)
-    val nums = survey.substring(begin, end).linesIterator
+    val nums = section2.linesIterator
       .flatMap("""^\| (\d+) \|""".r.findAllMatchIn(_).map(_.group(1).toInt))
       .toSeq
     assert(nums.size == nums.distinct.size,
