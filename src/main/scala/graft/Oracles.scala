@@ -25,6 +25,23 @@ object Oracles {
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
 
   val etl: Map[String, String] = Map(
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice > 0
+        |), g AS (
+        |  SELECT digit, count(*) AS n FROM c GROUP BY 1
+        |)
+        |SELECT digit, n,
+        |  (n * 1000) // sum(n) OVER () AS share_permille,
+        |  CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+        |    WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
+        |    WHEN 8 THEN 51 WHEN 9 THEN 46 END AS BIGINT) AS expected_permille,
+        |  (n * 1000) // sum(n) OVER () -
+        |  CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+        |    WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
+        |    WHEN 8 THEN 51 WHEN 9 THEN 46 END AS BIGINT) AS dev_permille
+        |FROM g ORDER BY digit""".stripMargin,
     "q_asof_join" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
@@ -189,6 +206,26 @@ object Oracles {
   )
 
   val analytics: Map[String, String] = Map(
+    "q_daily_trend" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS c,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1
+        |), w AS (
+        |  SELECT day, n_orders, c,
+        |    sum(c) OVER (ORDER BY date_diff('day', DATE '1992-01-01', day)
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS t,
+        |    count(*) OVER (ORDER BY date_diff('day', DATE '1992-01-01', day)
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS window_days,
+        |    lag(c, 1) OVER (ORDER BY date_diff('day', DATE '1992-01-01', day)) AS prev
+        |  FROM d)
+        |SELECT day, n_orders,
+        |  CAST(c AS DOUBLE)/100.0 AS revenue,
+        |  CAST(t AS DOUBLE)/100.0 AS trailing_7d,
+        |  window_days,
+        |  CAST(c - prev AS DOUBLE)/100.0 AS dod_delta
+        |FROM w ORDER BY day""".stripMargin,
     "q_median_order_value" ->
       """SELECT c_mktsegment, o_totalprice AS median_order_value FROM (
         |  SELECT c_mktsegment, o_totalprice,

@@ -216,7 +216,46 @@ object QueriesAnalytics {
       .agg(count(lit(1)).as("n_lines"))
       .orderBy("bucket_10k")
 
+  /** #88 daily revenue trend: day-grain totals with a 7-day TRAILING
+    * window and day-over-day delta — the monitoring query behind any
+    * ingest-volume or revenue dashboard. RANGE over the day INDEX
+    * (not ROWS) so calendar gaps genuinely shrink the window instead
+    * of silently pulling in older days; `window_days` exposes how
+    * many days actually contributed. All arithmetic is exact integer
+    * cents until one final double division per column.
+    *
+    * Scale shape: the windows run on the AGGREGATED day grain —
+    * |calendar days| rows regardless of fact size — so the
+    * unpartitioned sort is bounded by years×365, never by the data.
+    * The heavy work (fact → day totals) is one map-side-combined
+    * aggregation. */
+  def dailyTrend(s: SparkSession, dir: String): DataFrame =
+    dailyTrendOn(Tables.orders(s, dir))
+
+  private[graft] def dailyTrendOn(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(
+        Money.scaledSum(col("o_totalprice"), 2).as("__c"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("__d", datediff(col("day"), lit("1992-01-01").cast("date")))
+    val range7 = Window.orderBy("__d").rangeBetween(-6, 0)
+    val byDay = Window.orderBy("__d")
+    daily
+      .withColumn("__t", sum(col("__c")).over(range7))
+      .withColumn("window_days", count(lit(1)).over(range7))
+      .withColumn("__prev", lag(col("__c"), 1).over(byDay))
+      .select(
+        col("day"), col("n_orders"),
+        (col("__c").cast("double") / lit(100.0)).as("revenue"),
+        (col("__t").cast("double") / lit(100.0)).as("trailing_7d"),
+        col("window_days"),
+        ((col("__c") - col("__prev")).cast("double") / lit(100.0)).as("dod_delta"))
+      .orderBy("day")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_daily_trend" -> (dailyTrend _),
     "q_median_order_value" -> (medianOrderValue _),
     "q_revenue_histogram" -> (revenueHistogram _),
     "q_sales_rollup" -> (salesRollup _),

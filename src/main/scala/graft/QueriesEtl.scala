@@ -259,7 +259,44 @@ object QueriesEtl {
       )
   }
 
+  /** #89 Benford first-digit DQ profile: distribution of the first
+    * significant digit of order totals vs Benford's law — the classic
+    * fabricated-/truncated-data smell test for a monetary fact
+    * (complements the rule-based gates of #13: Benford catches
+    * distributional anomalies no row-level rule can). The digit is
+    * read from exact integer cents (never from a double's string
+    * form), shares are integer permille, and the Benford expectation
+    * is a fixed permille literal per digit — fully engine-portable.
+    *
+    * Scale shape: one fact scan pruned to one column, partial
+    * aggregation to ≤9 digit cells; the total re-derives from those
+    * cells with a 9-row window, so no second scan. */
+  def benford(s: SparkSession, dir: String): DataFrame =
+    benfordOn(Tables.orders(s, dir))
+
+  private[graft] def benfordOn(orders: DataFrame): DataFrame = {
+    // round(log10(1 + 1/d) * 1000) for d = 1..9
+    val expected = Seq(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L,
+      5 -> 79L, 6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+    val expCol = expected.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    val cents = (Money.dec(col("o_totalprice")) * lit(100)).cast("long")
+    orders
+      .filter(col("o_totalprice") > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_permille", call_function("div",
+        col("n") * lit(1000L),
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy())))
+      .withColumn("expected_permille", expCol)
+      .withColumn("dev_permille", col("share_permille") - col("expected_permille"))
+      .orderBy("digit")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_benford" -> (benford _),
     "q_asof_join" -> (asofJoin _),
     "q_pii_protect" -> (piiProtect _),
     "q_pricing_summary" -> (pricingSummary _),
