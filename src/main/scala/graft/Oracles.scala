@@ -419,6 +419,50 @@ object Oracles {
       |WHERE s*100 >= (c1.n + c2.n - s)*$minPct""".stripMargin
 
   val text: Map[String, String] = Map(
+    "q_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), uni AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni
+        |), bi AS (
+        |  SELECT word1, word2, count(*) AS c_xy FROM (
+        |    SELECT unnest(w[1:len(w)-1]) AS word1, unnest(w[2:len(w)]) AS word2
+        |    FROM toks WHERE len(w) >= 2) GROUP BY 1, 2
+        |)
+        |SELECT b.word1, b.word2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+        |  CAST(b.c_xy AS DOUBLE) * t.n_total / u1.c / u2.c AS lift
+        |FROM bi b
+        |JOIN uni u1 ON b.word1 = u1.tok
+        |JOIN uni u2 ON b.word2 = u2.tok
+        |CROSS JOIN tot t
+        |WHERE b.c_xy >= 5
+        |ORDER BY lift DESC, b.word1, b.word2 LIMIT 50""".stripMargin,
+    "q_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), g0 AS (
+        |  SELECT source, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS gram
+        |  FROM toks
+        |), grams AS (
+        |  SELECT DISTINCT source, gram FROM g0
+        |), sz AS (
+        |  SELECT source, count(*) AS n FROM grams GROUP BY 1
+        |), ix AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+        |  sa.n + sb.n - n_inter AS n_union,
+        |  (n_inter * 1000) // (sa.n + sb.n - n_inter) AS jaccard_permille
+        |FROM ix
+        |JOIN sz sa ON ix.source_a = sa.source
+        |JOIN sz sb ON ix.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
     // Zipf head: exact counts, integer-permille cumulative coverage
     "q_vocab_coverage" ->
       """WITH w AS (

@@ -551,7 +551,76 @@ object QueriesText {
       n = 3, maxDf = 100, minContainPct = 80)
       .orderBy("doc1", "doc2")
 
+  /** #90 PMI collocations: top bigrams by lift = P(xy)/(P(x)P(y)) —
+    * the association-mining pass behind tokenizer-merge candidates
+    * and phrase detection. `lift` is the PMI exponent (monotone in
+    * PMI, no log — one deterministic double expression per row);
+    * min-support `c_xy ≥ 5` kills the noise tail, ties break on the
+    * bigram itself.
+    *
+    * Scale shape: bigram counts shuffle keyed by the bigram (partial
+    * aggs absorb repeats map-side), unigram counts are vocab-sized —
+    * the joins are vocab×vocab-support, never corpus-scale; the
+    * 1-row total broadcasts; the head is a distributed TakeOrdered
+    * bounded by the LIMIT, not a global sort. */
+  def pmiBigrams(s: SparkSession, dir: String): DataFrame =
+    pmiBigramsOn(Tables.documents(s, dir))
+
+  private[graft] def pmiBigramsOn(docs: DataFrame): DataFrame = {
+    val w = docs.select(TextOps.tokens(col("text")).as("__w"))
+    val n = size(col("__w"))
+    val bi = w.where(n >= 2)
+      .withColumn("__a", slice(col("__w"), lit(1), n - 1))
+      .withColumn("__b", slice(col("__w"), lit(2), n - 1))
+      .select(explode(arrays_zip(col("__a"), col("__b"))).as("g"))
+      .select(col("g.__a").as("word1"), col("g.__b").as("word2"))
+    val uni = w.select(explode(col("__w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("n_total"))
+    bi.groupBy("word1", "word2").agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= 5)
+      .join(uni.toDF("word1", "c_x"), "word1")
+      .join(uni.toDF("word2", "c_y"), "word2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        col("c_xy").cast("double") * col("n_total") / col("c_x") / col("c_y"))
+      .select("word1", "word2", "c_xy", "c_x", "c_y", "lift")
+      .orderBy(col("lift").desc, col("word1"), col("word2"))
+      .limit(50)
+  }
+
+  /** #91 pairwise source overlap: exact 3-gram Jaccard between every
+    * source pair — the corpus-mixing diagnostic that tells a data
+    * release which sources are near-mirrors (crawl overlap, syndication)
+    * before mixing weights are chosen. Integer permille, inner-join
+    * semantics (pairs with zero shared grams don't appear).
+    *
+    * Scale shape: the postings self-join is keyed by gram, and a gram
+    * contributes at most #sources² join rows however big the corpus —
+    * the source grain bounds the blow-up the way doc-grain pair joins
+    * can't; set sizes are #sources rows and broadcast. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOn(Tables.documents(s, dir))
+
+  private[graft] def sourceOverlapOn(docs: DataFrame): DataFrame = {
+    val grams = DedupOps.wordGrams(docs, "source", col("text"), 3).distinct()
+    val sz = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    val b = grams.toDF("source_b", "gram2")
+    grams.toDF("source_a", "gram")
+      .join(b, col("gram") === col("gram2") && col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sz.toDF("source_a", "n_a")), "source_a")
+      .join(broadcast(sz.toDF("source_b", "n_b")), "source_b")
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jaccard_permille",
+        call_function("div", col("n_inter") * lit(1000L), col("n_union")))
+      .select("source_a", "source_b", "n_a", "n_b", "n_inter", "n_union", "jaccard_permille")
+      .orderBy("source_a", "source_b")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_pmi_bigrams" -> (pmiBigrams _),
+    "q_source_overlap" -> (sourceOverlap _),
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_boilerplate" -> (boilerplate _),
     "q_gram_containment" -> (gramContainment _),
