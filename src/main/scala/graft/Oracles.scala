@@ -419,6 +419,48 @@ object Oracles {
       |WHERE s*100 >= (c1.n + c2.n - s)*$minPct""".stripMargin
 
   val text: Map[String, String] = Map(
+    "q_source_diversity" ->
+      """WITH tc AS (
+        |  SELECT source, tok, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_terms,
+        |  (count(*) * 1000) // CAST(sum(c) AS BIGINT) AS type_token_permille,
+        |  (CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000) // count(*) AS hapax_permille,
+        |  CASE WHEN CAST(sum(c) AS BIGINT) < 2 THEN NULL
+        |    ELSE CAST(sum(c * (c - 1)) AS DOUBLE) /
+        |      (CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(c) AS BIGINT) - 1 AS DOUBLE))
+        |  END AS simpson
+        |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_split_drift" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+        |              ELSE 'test' END AS sp,
+        |    n_chars // 100 AS bucket
+        |  FROM documents
+        |), g AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN sp = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN sp = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        |    CAST(sum(CASE WHEN sp = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |  FROM s GROUP BY 1
+        |), p AS (
+        |  SELECT bucket, n_train, n_val, n_test,
+        |    (n_train * 1000) // CAST(sum(n_train) OVER () AS BIGINT) AS train_permille,
+        |    (n_val * 1000) // CAST(sum(n_val) OVER () AS BIGINT) AS val_permille,
+        |    (n_test * 1000) // CAST(sum(n_test) OVER () AS BIGINT) AS test_permille
+        |  FROM g)
+        |SELECT bucket, n_train, n_val, n_test,
+        |  train_permille, val_permille, test_permille,
+        |  greatest(abs(train_permille - val_permille),
+        |    abs(train_permille - test_permille),
+        |    abs(val_permille - test_permille)) AS drift_permille
+        |FROM p ORDER BY bucket""".stripMargin,
     "q_pmi_bigrams" ->
       """WITH toks AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents

@@ -618,7 +618,82 @@ object QueriesText {
       .orderBy("source_a", "source_b")
   }
 
+  /** #92 per-source lexical diversity: type-token ratio, hapax share
+    * and the Simpson repeat-probability — the gibberish/templating
+    * profile a corpus report carries per source (a template farm has
+    * low TTR and high Simpson; OCR noise has hapax ≈ 1000‰). All
+    * ratios are integer permille; `simpson` = Σc(c−1)/(N(N−1)) keeps
+    * an EXACT integer numerator (decimal sum, overflow-proof) and
+    * becomes double only in the final expression, NULL when N < 2.
+    *
+    * Scale shape: one (source, term)-keyed shuffle with map-side
+    * combine, then a #sources×vocab → #sources re-aggregation —
+    * never a corpus-scale sort, never a float accumulation. */
+  def sourceDiversity(s: SparkSession, dir: String): DataFrame =
+    sourceDiversityOn(Tables.documents(s, dir))
+
+  private[graft] def sourceDiversityOn(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    tc.groupBy("source").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("__hapax"),
+        sum((col("c") * (col("c") - lit(1L))).cast("decimal(38,0)")).as("__num"))
+      .select(
+        col("source"), col("n_tokens"), col("n_terms"),
+        call_function("div", col("n_terms") * lit(1000L), col("n_tokens"))
+          .as("type_token_permille"),
+        call_function("div", col("__hapax") * lit(1000L), col("n_terms"))
+          .as("hapax_permille"),
+        when(col("n_tokens") < 2, lit(null).cast("double"))
+          .otherwise(col("__num").cast("double") /
+            (col("n_tokens").cast("double") * (col("n_tokens") - lit(1L)).cast("double")))
+          .as("simpson"))
+      .orderBy("source")
+  }
+
+  /** #93 split drift check: the n_chars distribution of the
+    * train/val/test md5 split (#72's rule), bucketed at 100 chars,
+    * with per-split integer-permille shares and the max pairwise
+    * share gap per bucket — the split-skew gate a pipeline runs
+    * before trusting held-out metrics (a hash split SHOULD show ~0
+    * drift; a time- or source-correlated id would not). Conditional
+    * aggregation keeps one pass and one bucket-grain window — no
+    * pivot, no join, absent-in-split buckets count 0 naturally.
+    *
+    * Scale shape: one pruned scan (doc_id, n_chars) → ≤ |buckets|
+    * cells; the permille windows run on the bucket grain. */
+  def splitDrift(s: SparkSession, dir: String): DataFrame =
+    splitDriftOn(Tables.documents(s, dir))
+
+  private[graft] def splitDriftOn(docs: DataFrame): DataFrame = {
+    val nibble = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val split = when(nibble < "d", "train").when(nibble < "f", "val").otherwise("test")
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    def share(n: org.apache.spark.sql.Column) =
+      call_function("div", n * lit(1000L), sum(n).over(all))
+    val shares = docs
+      .select(split.as("__s"), call_function("div", col("n_chars"), lit(100L)).as("bucket"))
+      .groupBy("bucket").agg(
+        sum(when(col("__s") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("__s") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("__s") === "test", 1L).otherwise(0L)).as("n_test"))
+      .withColumn("train_permille", share(col("n_train")))
+      .withColumn("val_permille", share(col("n_val")))
+      .withColumn("test_permille", share(col("n_test")))
+    shares
+      .withColumn("drift_permille", greatest(
+        abs(col("train_permille") - col("val_permille")),
+        abs(col("train_permille") - col("test_permille")),
+        abs(col("val_permille") - col("test_permille"))))
+      .orderBy("bucket")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_source_diversity" -> (sourceDiversity _),
+    "q_split_drift" -> (splitDrift _),
     "q_pmi_bigrams" -> (pmiBigrams _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_vocab_coverage" -> (vocabCoverage _),
