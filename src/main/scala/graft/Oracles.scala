@@ -1143,6 +1143,29 @@ object Oracles {
     * emit exact-recomputable columns plus contract booleans (error
     * envelope / Space-Saving bracket), so they hash-verify too. */
   val scale: Map[String, String] = Map(
+    "q_revenue_gini" ->
+      """WITH x AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT o_custkey, cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) AS i,
+        |    count(*) OVER () AS n,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS s0
+        |  FROM x
+        |), t AS (
+        |  SELECT max(n) AS n, max(s0) AS s0,
+        |    CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS s1,
+        |    CAST(sum(CASE WHEN i > n - n // 10 THEN cents ELSE 0 END) AS BIGINT) AS top
+        |  FROM r
+        |)
+        |SELECT n AS n_customers,
+        |  CAST(s0 AS DOUBLE) / 100.0 AS total_revenue,
+        |  CAST(2 * s1 - (CAST(n AS HUGEINT) + 1) * s0 AS DOUBLE) /
+        |    CAST(CAST(n AS HUGEINT) * s0 AS DOUBLE) AS gini,
+        |  (top * 1000) // s0 AS top_decile_permille
+        |FROM t""".stripMargin,
     "q_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  count(*) AS n_events, TRUE AS approx_ok

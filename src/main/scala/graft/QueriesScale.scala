@@ -574,7 +574,53 @@ object QueriesScale {
     graft.Caching.reap(out)(o)
   }
 
+  /** #94 revenue concentration: the Gini coefficient and top-decile
+    * share of per-customer revenue — the inequality profile that
+    * answers "how much of the business is ten percent of customers"
+    * (and, run over per-source token counts, "is the corpus a
+    * monoculture"). Everything is exact integer/decimal math until
+    * ONE double division: gini = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over
+    * cents xᵢ sorted ascending (tie order provably cancels in Σi·xᵢ).
+    *
+    * Scale shape: the global rank comes from
+    * [[graft.operators.ScanOps.exclusivePrefixSum]] — the two-level
+    * bucket scan — NOT a single-task `Window.orderBy`, so the sort
+    * stays bounded by bucket size at any customer count. The
+    * customer-grain frame persists for its two consumers (moments +
+    * decile gate) and is reaped before return; the fact is scanned
+    * once. */
+  def revenueGini(s: SparkSession, dir: String): DataFrame =
+    revenueGiniOn(Tables.orders(s, dir))
+
+  private[graft] def revenueGiniOn(orders: DataFrame): DataFrame = {
+    val x = orders.groupBy("o_custkey")
+      .agg(Money.scaledSum(col("o_totalprice"), 2).as("cents"))
+    val ranked = graft.operators.ScanOps
+      .exclusivePrefixSum(x, Seq.empty, Seq("cents", "o_custkey"), lit(1L), "n_before")
+      .withColumn("__i", col("n_before") + lit(1L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val moments = ranked.agg(
+      count(lit(1)).as("n_customers"),
+      sum(col("cents")).as("__s0"),
+      sum((col("__i").cast("decimal(38,0)") * col("cents"))).as("__s1"))
+    val dec38 = "decimal(38,0)"
+    val top = ranked
+      .crossJoin(broadcast(moments.select(col("n_customers").as("__n"))))
+      .agg(sum(when(col("__i") > col("__n") - call_function("div", col("__n"), lit(10L)),
+        col("cents")).otherwise(0L)).as("__top"))
+    val out = moments.crossJoin(broadcast(top))
+      .select(
+        col("n_customers"),
+        (col("__s0").cast("double") / lit(100.0)).as("total_revenue"),
+        ((lit(2).cast(dec38) * col("__s1") -
+            (col("n_customers") + lit(1L)).cast(dec38) * col("__s0").cast(dec38)).cast("double") /
+          (col("n_customers").cast(dec38) * col("__s0").cast(dec38)).cast("double")).as("gini"),
+        call_function("div", col("__top") * lit(1000L), col("__s0")).as("top_decile_permille"))
+    Caching.reap(out)(ranked)
+  }
+
   def all: Map[String, Q] = Map(
+    "q_revenue_gini" -> (revenueGini _),
     "q_approx_quantiles" -> (approxQuantiles _),
     "q_event_funnel" -> (eventFunnel _),
     "q_retention_cohort" -> (retentionCohort _),
