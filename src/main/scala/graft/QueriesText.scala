@@ -603,10 +603,17 @@ object QueriesText {
     sourceOverlapOn(Tables.documents(s, dir))
 
   private[graft] def sourceOverlapOn(docs: DataFrame): DataFrame = {
-    val grams = DedupOps.wordGrams(docs, "source", col("text"), 3).distinct()
+    // 64-bit gram hashes, not gram strings: the postings shuffle and
+    // the self-join key drop to 8 bytes, and set counts on hashes
+    // equal counts on strings absent a ~2⁻⁶⁴ collision (the same
+    // trade every sketch-dedup query here already makes). The
+    // distinct postings persist for their THREE consumers (sizes +
+    // both join sides) — postings-scale, reaped before return.
+    val grams = DedupOps.wordGramHashes(docs, "source", col("text"), 3).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = grams.groupBy("source").agg(count(lit(1)).as("n"))
     val b = grams.toDF("source_b", "gram2")
-    grams.toDF("source_a", "gram")
+    val out = grams.toDF("source_a", "gram")
       .join(b, col("gram") === col("gram2") && col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_inter"))
       .join(broadcast(sz.toDF("source_a", "n_a")), "source_a")
@@ -616,6 +623,7 @@ object QueriesText {
         call_function("div", col("n_inter") * lit(1000L), col("n_union")))
       .select("source_a", "source_b", "n_a", "n_b", "n_inter", "n_union", "jaccard_permille")
       .orderBy("source_a", "source_b")
+    Caching.reap(out)(grams)
   }
 
   /** #92 per-source lexical diversity: type-token ratio, hapax share
