@@ -206,6 +206,31 @@ object Oracles {
   )
 
   val analytics: Map[String, String] = Map(
+    "q_event_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+        |  FROM events
+        |), g AS (
+        |  SELECT date_diff('second',
+        |    lag(ts_s, 1) OVER (PARTITION BY user_id ORDER BY ts_s, event_id), ts_s) AS gap_s
+        |  FROM e
+        |), b AS (
+        |  SELECT CASE WHEN gap_s = 0 THEN 0 WHEN gap_s <= 10 THEN 1
+        |    WHEN gap_s <= 60 THEN 2 WHEN gap_s <= 600 THEN 3
+        |    WHEN gap_s <= 1800 THEN 4 WHEN gap_s <= 3600 THEN 5
+        |    ELSE 6 END AS bucket
+        |  FROM g WHERE gap_s IS NOT NULL
+        |), c AS (
+        |  SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_gaps FROM b GROUP BY 1
+        |)
+        |SELECT bucket,
+        |  CASE bucket WHEN 0 THEN '0s' WHEN 1 THEN '1-10s' WHEN 2 THEN '11-60s'
+        |    WHEN 3 THEN '1-10min' WHEN 4 THEN '10-30min' WHEN 5 THEN '30-60min'
+        |    ELSE '>60min' END AS gap_bucket,
+        |  n_gaps,
+        |  (n_gaps * 1000) // CAST(sum(n_gaps) OVER () AS BIGINT) AS share_permille,
+        |  bucket <= 4 AS in_session
+        |FROM c ORDER BY bucket""".stripMargin,
     "q_daily_trend" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

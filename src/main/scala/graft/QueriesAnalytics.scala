@@ -254,7 +254,51 @@ object QueriesAnalytics {
       .orderBy("day")
   }
 
+  /** #95 inter-event gap profile: the distribution of seconds between
+    * a user's consecutive events, bucketed on a fixed ladder with an
+    * `in_session` marker at the 30-minute line — the calibration
+    * evidence behind #21's sessionization threshold (a sound gap
+    * choice sits in a trough of this histogram). Integer seconds on
+    * second-truncated timestamps, integer-permille shares.
+    *
+    * Scale shape: the lag window is user-partitioned (the same keyed
+    * shuffle sessionize needs — no global sort), then ≤ 7 bucket
+    * cells; the permille window runs on the bucket grain. */
+  def eventGaps(s: SparkSession, dir: String): DataFrame =
+    eventGapsOn(Tables.events(s, dir))
+
+  private[graft] def eventGapsOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"), date_trunc("second", col("ts")).as("ts_s"))
+      .withColumn("__prev", lag(col("ts_s"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .select((col("ts_s").cast("long") - col("__prev").cast("long")).as("gap_s"))
+    val bucket = when(col("gap_s") === 0, 0L)
+      .when(col("gap_s") <= 10, 1L)
+      .when(col("gap_s") <= 60, 2L)
+      .when(col("gap_s") <= 600, 3L)
+      .when(col("gap_s") <= 1800, 4L)
+      .when(col("gap_s") <= 3600, 5L)
+      .otherwise(6L)
+    val label = Seq(0L -> "0s", 1L -> "1-10s", 2L -> "11-60s", 3L -> "1-10min",
+      4L -> "10-30min", 5L -> "30-60min", 6L -> ">60min")
+      .foldLeft(lit(null).cast("string")) { case (acc, (b, l)) =>
+        when(col("bucket") === b, lit(l)).otherwise(acc)
+      }
+    gaps.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_gaps"))
+      .withColumn("share_permille", call_function("div",
+        col("n_gaps") * lit(1000L),
+        sum(col("n_gaps")).over(org.apache.spark.sql.expressions.Window.partitionBy())))
+      .withColumn("gap_bucket", label)
+      .withColumn("in_session", col("bucket") <= 4)
+      .select("bucket", "gap_bucket", "n_gaps", "share_permille", "in_session")
+      .orderBy("bucket")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_event_gaps" -> (eventGaps _),
     "q_daily_trend" -> (dailyTrend _),
     "q_median_order_value" -> (medianOrderValue _),
     "q_revenue_histogram" -> (revenueHistogram _),

@@ -43,6 +43,27 @@ class TrendDqSpec extends SparkSpec {
     assert(out.last == (7.0, 7L))
   }
 
+  test("event gaps: ladder boundaries, first events excluded, cross-user isolation") {
+    def ev(id: Long, user: Long, t: String) = (id, Timestamp.valueOf(t), user, "click", 1.0, "{}")
+    val events = Seq(
+      // user 1: gaps of 0s, 10s, 1800s, 1801s
+      ev(1, 1, "1995-01-01 10:00:00"), ev(2, 1, "1995-01-01 10:00:00"),
+      ev(3, 1, "1995-01-01 10:00:10"), ev(4, 1, "1995-01-01 10:30:10"),
+      ev(5, 1, "1995-01-01 11:00:11"),
+      // user 2: a single event -> contributes NO gap
+      ev(6, 2, "1995-01-01 09:00:00")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = QueriesAnalytics.eventGapsOn(events)
+      .select($"bucket", $"gap_bucket", $"n_gaps", $"in_session")
+      .as[(Long, String, Long, Boolean)].collect().toList
+    assert(out == List(
+      (0L, "0s", 1L, true),
+      (1L, "1-10s", 1L, true),
+      (4L, "10-30min", 1L, true),    // exactly 1800 s is still in-session
+      (5L, "30-60min", 1L, false)),  // 1801 s crosses the 30-min line
+      out)
+  }
+
   test("benford: digit comes from exact cents, zero/negative excluded") {
     // 0.05 -> cents 5 -> digit 5 (NOT '0'); 912.34 -> digit 9;
     // 19.99 -> digit 1; 0.00 and -3.00 drop out of the profile
