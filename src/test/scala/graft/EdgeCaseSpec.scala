@@ -75,6 +75,51 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2)))
   }
 
+  test("round-8 corpus profiles survive dirty corpora (null text/source/n_chars)") {
+    val dirty = Seq(
+      (1L, "a", "alpha beta gamma delta epsilon zeta", 35L),
+      (2L, "a", null, 0L),                       // null text: no tokens, no grams
+      (3L, null, "alpha beta gamma delta epsilon zeta", 35L), // null source
+      (4L, "b", "alpha beta gamma delta epsilon eta", 34L)
+    ).toDF("doc_id", "source", "text", "n_chars")
+
+    // diversity: null-text doc contributes no token rows; the null
+    // source keeps its own row (GROUP BY groups nulls in both engines)
+    val div = QueriesText.sourceDiversityOn(dirty)
+      .select($"source", $"n_tokens").as[(Option[String], Long)].collect().toMap
+    assert(div == Map(Some("a") -> 6L, Some("b") -> 6L, None -> 6L), div)
+
+    // overlap: the null source can never satisfy source_a < source_b —
+    // only the (a, b) pair appears, with 5 of 2+2 distinct grams...
+    val ov = QueriesText.sourceOverlapOn(dirty)
+      .select($"source_a", $"source_b", $"n_inter").as[(String, String, Long)].collect().toList
+    assert(ov.map(p => (p._1, p._2)) == List(("a", "b")), ov)
+
+    // pmi: no crash, support filter holds on a tiny corpus
+    assert(QueriesText.pmiBigramsOn(dirty).count() == 0)
+
+    // drift: every doc lands in a bucket row (doc 2's 0 chars -> bucket 0)
+    val drift = QueriesText.splitDriftOn(dirty)
+      .select($"bucket", $"n_train" + $"n_val" + $"n_test").as[(Long, Long)].collect().toMap
+    assert(drift.values.sum == 4L, drift)
+  }
+
+  test("empty corpora: round-8 profiles return zero rows, never throw") {
+    val empty = Seq.empty[(Long, String, String, Long)].toDF("doc_id", "source", "text", "n_chars")
+    assert(QueriesText.sourceDiversityOn(empty).count() == 0)
+    assert(QueriesText.sourceOverlapOn(empty).count() == 0)
+    assert(QueriesText.pmiBigramsOn(empty).count() == 0)
+    assert(QueriesText.splitDriftOn(empty).count() == 0)
+    val noOrders = Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    assert(QueriesEtl.benfordOn(noOrders).count() == 0)
+    assert(QueriesAnalytics.dailyTrendOn(noOrders).count() == 0)
+    assert(QueriesScale.revenueGiniOn(noOrders).count() == 1) // 1-row summary: n=0
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(QueriesAnalytics.eventGapsOn(noEvents).count() == 0)
+  }
+
   test("streaming dedup gate skips docs too short to sign") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
