@@ -593,8 +593,20 @@ object QueriesScale {
     revenueGiniOn(Tables.orders(s, dir))
 
   private[graft] def revenueGiniOn(orders: DataFrame): DataFrame = {
+    val (out, ranked, x) = revenueGiniRaw(orders)
+    Caching.reap(out)(ranked, x)
+  }
+
+  /** Un-reaped [[revenueGiniOn]] pipeline (result, persisted temps) —
+    * the plan-shape spec asserts on the result BEFORE the checkpoint
+    * truncates its lineage. */
+  private[graft] def revenueGiniRaw(orders: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // customer-grain persist: the prefix-sum's bucket-bounds pass and
+    // its main path would otherwise each re-run the fact aggregation —
+    // cached, the fact is scanned once and both read ~#customers rows
     val x = orders.groupBy("o_custkey")
       .agg(Money.scaledSum(col("o_totalprice"), 2).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = graft.operators.ScanOps
       .exclusivePrefixSum(x, Seq.empty, Seq("cents", "o_custkey"), lit(1L), "n_before")
       .withColumn("__i", col("n_before") + lit(1L))
@@ -616,7 +628,7 @@ object QueriesScale {
             (col("n_customers") + lit(1L)).cast(dec38) * col("__s0").cast(dec38)).cast("double") /
           (col("n_customers").cast(dec38) * col("__s0").cast(dec38)).cast("double")).as("gini"),
         call_function("div", col("__top") * lit(1000L), col("__s0")).as("top_decile_permille"))
-    Caching.reap(out)(ranked)
+    (out, ranked, x)
   }
 
   def all: Map[String, Q] = Map(

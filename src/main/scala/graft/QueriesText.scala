@@ -603,6 +603,14 @@ object QueriesText {
     sourceOverlapOn(Tables.documents(s, dir))
 
   private[graft] def sourceOverlapOn(docs: DataFrame): DataFrame = {
+    val (out, grams) = sourceOverlapRaw(docs)
+    Caching.reap(out)(grams)
+  }
+
+  /** Un-reaped [[sourceOverlapOn]] pipeline (result, persisted temp) —
+    * the plan-shape spec asserts on the result BEFORE the checkpoint
+    * truncates its lineage. */
+  private[graft] def sourceOverlapRaw(docs: DataFrame): (DataFrame, DataFrame) = {
     // 64-bit gram hashes, not gram strings: the postings shuffle and
     // the self-join key drop to 8 bytes, and set counts on hashes
     // equal counts on strings absent a ~2⁻⁶⁴ collision (the same
@@ -623,7 +631,7 @@ object QueriesText {
         call_function("div", col("n_inter") * lit(1000L), col("n_union")))
       .select("source_a", "source_b", "n_a", "n_b", "n_inter", "n_union", "jaccard_permille")
       .orderBy("source_a", "source_b")
-    Caching.reap(out)(grams)
+    (out, grams)
   }
 
   /** #92 per-source lexical diversity: type-token ratio, hapax share

@@ -188,4 +188,65 @@ class PlanSpec extends SparkSpec {
     assert(exchangeLines.exists(_.contains("__h#")), exchangeLines.mkString("\n"))
     assert(p.contains("partial_count"), p)
   }
+
+  test("benford: one pruned fact scan, the total never rescans") {
+    val p = plan("q_benford")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "digit counts and their total must share one scan")
+    val s = scanLine("q_benford")
+    assert(s.contains("o_totalprice") && !s.contains("o_orderkey"),
+      s"scan must read only the price column:\n$s")
+  }
+
+  test("daily trend: windows run on the day grain, above the aggregate") {
+    val p = plan("q_daily_trend")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "one fact scan")
+    // the aggregation must sit BELOW the window operators: a window
+    // over raw fact rows would single-task-sort the fact
+    val lines = p.linesIterator.toSeq
+    val firstWindow = lines.indexWhere(_.contains("Window"))
+    val partialAgg = lines.indexWhere(_.contains("partial_sum"))
+    assert(firstWindow >= 0 && partialAgg > firstWindow,
+      s"day-grain aggregate must feed the window (window@$firstWindow, partial agg@$partialAgg)")
+  }
+
+  test("split drift reads ids and lengths, never the text") {
+    val s = scanLine("q_split_drift")
+    assert(s.contains("doc_id") && s.contains("n_chars") && !s.contains("text"),
+      s"scan must prune to (doc_id, n_chars):\n$s")
+  }
+
+  test("event gaps scan prunes to the lag-window columns") {
+    val s = scanLine("q_event_gaps")
+    assert(!s.contains("props") && !s.contains("value"),
+      s"gap profile must not read payload columns:\n$s")
+  }
+
+  test("source overlap: set sizes broadcast, no nested-loop anywhere") {
+    // pre-reap pipeline: the checkpoint would truncate the lineage
+    val (out, grams) = QueriesText.sourceOverlapRaw(Tables.documents(spark, sf))
+    val p = try out.queryExecution.executedPlan.toString
+    finally grams.unpersist(blocking = false)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "both size joins must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pmi bigrams: TakeOrdered head; only the 1-row total nested-loops") {
+    val p = plan("q_pmi_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), "top-50 must not plan a global sort")
+    assert(!p.contains("CartesianProduct"), p)
+    // the crossJoin(broadcast(tot)) is a 1-row broadcast — the only
+    // nested-loop the plan may contain
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+  }
+
+  test("revenue gini: prefix-sum rank, never a sort-merge or global-sort rank") {
+    val (out, ranked, x) = QueriesScale.revenueGiniRaw(Tables.orders(spark, sf))
+    val p = try out.queryExecution.executedPlan.toString
+    finally { ranked.unpersist(blocking = false); x.unpersist(blocking = false) }
+    assert(!p.contains("SortMergeJoin"),
+      "the offsets join must broadcast (totals are bucket-grain)")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
