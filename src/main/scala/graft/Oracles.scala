@@ -25,6 +25,18 @@ object Oracles {
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
 
   val etl: Map[String, String] = Map(
+    "q_column_profile" ->
+      """WITH s AS (
+        |  SELECT 'c_custkey' AS column_name, CAST(c_custkey AS VARCHAR) AS v FROM customer
+        |  UNION ALL SELECT 'c_name', c_name FROM customer
+        |  UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c_acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+        |)
+        |SELECT column_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  count(DISTINCT v) AS n_distinct
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_benford" ->
       """WITH c AS (
         |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
@@ -206,6 +218,31 @@ object Oracles {
   )
 
   val analytics: Map[String, String] = Map(
+    "q_discount_corr" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT l_returnflag, count(*) AS n_lines,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y * y) AS HUGEINT) AS syy
+        |  FROM b GROUP BY 1
+        |), t AS (
+        |  SELECT l_returnflag, n_lines,
+        |    CAST(n_lines AS HUGEINT) * sxy - sx * sy AS cov,
+        |    CAST(n_lines AS HUGEINT) * sxx - sx * sx AS vx,
+        |    CAST(n_lines AS HUGEINT) * syy - sy * sy AS vy
+        |  FROM m)
+        |SELECT l_returnflag, n_lines,
+        |  CASE WHEN vx = 0 THEN NULL
+        |    ELSE CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE) END AS slope,
+        |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |    ELSE CAST(cov AS DOUBLE) / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) END AS pearson_r
+        |FROM t ORDER BY l_returnflag""".stripMargin,
     "q_event_gaps" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s

@@ -297,7 +297,51 @@ object QueriesAnalytics {
       .orderBy("bucket")
   }
 
+  /** #96 discount elasticity: OLS slope + Pearson r of quantity on
+    * discount per return flag — does discounting move volume? The
+    * moment sums run on exact scaled integers (cents: both columns
+    * carry 2 decimals), accumulate as decimal(38,0) — associative,
+    * overflow-proof, order-independent — and the scale factors cancel
+    * in both ratios, so slope and r are exact rationals until the
+    * final double expressions (sqrt is IEEE correctly-rounded, hence
+    * engine-portable). Zero-variance groups emit NULL, not ±Inf.
+    *
+    * Scale shape: one pruned fact scan, map-side partial moment sums
+    * to ≤ |groups| cells — the textbook one-pass regression at any
+    * data size. */
+  def discountCorr(s: SparkSession, dir: String): DataFrame =
+    discountCorrOn(Tables.lineitem(s, dir))
+
+  private[graft] def discountCorrOn(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = (Money.dec(col("l_discount")) * lit(100)).cast("long")
+    val y = (Money.dec(col("l_quantity")) * lit(100)).cast("long")
+    val m = lineitem
+      .select(col("l_returnflag"), x.as("__x"), y.as("__y"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__x") * col("__y")).cast(dec)).as("__sxy"),
+        sum((col("__x") * col("__x")).cast(dec)).as("__sxx"),
+        sum((col("__y") * col("__y")).cast(dec)).as("__syy"))
+    val n = col("n_lines").cast(dec)
+    val cov = n * col("__sxy") - col("__sx") * col("__sy")
+    val vx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vy = n * col("__syy") - col("__sy") * col("__sy")
+    m.select(
+        col("l_returnflag"), col("n_lines"),
+        when(vx === 0, lit(null).cast("double"))
+          .otherwise(cov.cast("double") / vx.cast("double")).as("slope"),
+        when(vx === 0 || vy === 0, lit(null).cast("double"))
+          .otherwise(cov.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))).as("pearson_r"))
+      .orderBy("l_returnflag")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_discount_corr" -> (discountCorr _),
     "q_event_gaps" -> (eventGaps _),
     "q_daily_trend" -> (dailyTrend _),
     "q_median_order_value" -> (medianOrderValue _),

@@ -295,7 +295,38 @@ object QueriesEtl {
       .orderBy("digit")
   }
 
+  /** #97 column profile: per-column null and distinct counts over the
+    * customer dimension in ONE pass — the schema-profiling report
+    * (pandas-profiling / GE `table.columns` style) a pipeline runs on
+    * every new feed. `stack` unpivots M columns to (name, value)
+    * rows, so one scan profiles every column however many there are;
+    * values are string-cast ONLY as a common carrier type — both
+    * engines' double→string casts are injective (round-trip reprs),
+    * so distinct counts are exact even though the strings differ.
+    *
+    * Scale shape: the unpivot multiplies rows ×M before the shuffle —
+    * the price of single-pass profiling; per-column partial
+    * aggregation collapses each task's slice to ≤ M cells before the
+    * exchange... except the distinct, which shuffles (column, value)
+    * pairs — bounded by Σ per-column cardinalities, the profile's
+    * inherent cost. */
+  def columnProfile(s: SparkSession, dir: String): DataFrame =
+    columnProfileOn(Tables.customer(s, dir),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+
+  private[graft] def columnProfileOn(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = cols.map(c => s"'$c', cast($c as string)").mkString(", ")
+    df.select(expr(s"stack(${cols.size}, $pairs) as (column_name, __v)"))
+      .groupBy("column_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("__v")).as("n_distinct"))
+      .orderBy("column_name")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_column_profile" -> (columnProfile _),
     "q_benford" -> (benford _),
     "q_asof_join" -> (asofJoin _),
     "q_pii_protect" -> (piiProtect _),

@@ -1,0 +1,54 @@
+package graft
+
+/** Unit coverage for the statistics/profiling operators: exact-moment
+  * regression (slope + Pearson r) and the one-pass column profile —
+  * each on hand-checkable frames (the registry queries verify them
+  * against DuckDB on the real testdata). */
+class ProfileStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corr(rows: Seq[(String, Double, Double)]) =
+    QueriesAnalytics.discountCorrOn(
+        rows.toDF("l_returnflag", "l_discount", "l_quantity"))
+      .select($"l_returnflag", $"n_lines", $"slope", $"pearson_r")
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .map { case (k, n, s, r) => k -> ((n, s, r)) }.toMap
+
+  test("perfect line recovers its slope with r ~ 1") {
+    // quantity = 2*discount + 1 exactly
+    val out = corr(Seq(("A", 0.00, 1.00), ("A", 0.05, 1.10), ("A", 0.10, 1.20)))
+    val (n, slope, r) = out("A")
+    assert(n == 3L && slope.contains(2.0), out)
+    assert(math.abs(r.get - 1.0) < 1e-12, out)
+  }
+
+  test("anti-correlation and independence behave; zero variance yields NULL") {
+    val out = corr(Seq(
+      // B: y falls as x rises -> r ~ -1
+      ("B", 0.00, 3.00), ("B", 0.05, 2.00), ("B", 0.10, 1.00),
+      // C: constant y -> vy = 0 -> slope 0, r NULL
+      ("C", 0.00, 5.00), ("C", 0.10, 5.00),
+      // D: constant x -> vx = 0 -> both NULL
+      ("D", 0.05, 1.00), ("D", 0.05, 9.00)))
+    assert(math.abs(out("B")._3.get + 1.0) < 1e-12, out)
+    assert(out("B")._2.get < 0)
+    assert(out("C") == ((2L, Some(0.0), None)), out)
+    assert(out("D") == ((2L, None, None)), out)
+  }
+
+  test("column profile counts nulls and distincts per column in one pass") {
+    val df = Seq(
+      (1L, "x", Some(1.5)),
+      (2L, "x", None),
+      (3L, null, Some(1.5)),
+      (3L, "y", None)
+    ).toDF("id", "tag", "score")
+    val out = QueriesEtl.columnProfileOn(df, Seq("id", "tag", "score"))
+      .select($"column_name", $"n_rows", $"n_nulls", $"n_distinct")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("id", 4L, 0L, 3L),
+      ("tag", 4L, 1L, 2L),
+      ("score", 4L, 2L, 1L)), out)
+  }
+}
