@@ -1205,6 +1205,41 @@ object Oracles {
     * emit exact-recomputable columns plus contract booleans (error
     * envelope / Space-Saving bracket), so they hash-verify too. */
   val scale: Map[String, String] = Map(
+    "q_key_skew" ->
+      """WITH c AS (
+        |  SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(len(CAST(c AS VARCHAR)) AS BIGINT) AS magnitude,
+        |    count(*) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    max(c) AS max_rows_per_key
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT magnitude, n_keys, n_rows, max_rows_per_key,
+        |  (n_rows * 1000) // CAST(sum(n_rows) OVER () AS BIGINT) AS rows_permille
+        |FROM g ORDER BY magnitude""".stripMargin,
+    "q_length_outliers" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |), n AS (
+        |  SELECT source, count(*) AS n FROM d GROUP BY 1
+        |), r AS (
+        |  SELECT d.*, row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars NULLS FIRST, doc_id) AS rn
+        |  FROM d
+        |), q AS (
+        |  SELECT r.source,
+        |    max(CASE WHEN rn = (25 * n.n + 99) // 100 THEN n_chars END) AS q1,
+        |    max(CASE WHEN rn = (50 * n.n + 99) // 100 THEN n_chars END) AS median,
+        |    max(CASE WHEN rn = (75 * n.n + 99) // 100 THEN n_chars END) AS q3
+        |  FROM r JOIN n ON r.source = n.source GROUP BY 1
+        |)
+        |SELECT q.source, q.q1, q.median, q.q3, q.q3 - q.q1 AS iqr,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN 2 * d.n_chars < 2 * q.q1 - 3 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+        |  CAST(sum(CASE WHEN 2 * d.n_chars > 2 * q.q3 + 3 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+        |FROM d JOIN q ON d.source = q.source
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin,
     "q_revenue_gini" ->
       """WITH x AS (
         |  SELECT o_custkey,

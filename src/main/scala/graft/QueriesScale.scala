@@ -631,7 +631,74 @@ object QueriesScale {
     (out, ranked, x)
   }
 
+  /** #98 join-key skew report: rows-per-key distribution of the fact's
+    * part key, bucketed by decimal magnitude (digit count of the
+    * per-key row count — an engine-exact log ladder, no float log) —
+    * the diagnosis a pipeline runs BEFORE choosing #47's salting
+    * factor or trusting AQE's skew split. A healthy key shows one
+    * dominant magnitude; a power-law key spreads across many with the
+    * top magnitudes holding most rows.
+    *
+    * Scale shape: one keyed count with map-side combine (the shuffle
+    * carries ≤ #keys cells), then a ≤ 20-row magnitude histogram; the
+    * permille window runs on that grain. */
+  def keySkew(s: SparkSession, dir: String): DataFrame =
+    keySkewOn(Tables.lineitem(s, dir), "l_partkey")
+
+  private[graft] def keySkewOn(df: DataFrame, key: String): DataFrame = {
+    val perKey = df.groupBy(key).agg(count(lit(1)).as("__c"))
+    perKey
+      .select(length(col("__c").cast("string")).cast("long").as("magnitude"), col("__c"))
+      .groupBy("magnitude")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("__c")).as("n_rows"),
+        max(col("__c")).as("max_rows_per_key"))
+      .withColumn("rows_permille", call_function("div",
+        col("n_rows") * lit(1000L),
+        sum(col("n_rows")).over(Window.partitionBy())))
+      .orderBy("magnitude")
+  }
+
+  /** #99 length-outlier gate: per-source exact quartiles of `n_chars`
+    * (two-pass rank selection, [[graft.operators.Quantiles]]) and the
+    * Tukey 1.5×IQR outlier counts — the truncation/concatenation
+    * detector of a corpus intake report (a scrape that clips docs
+    * shows a low-outlier spike; concatenated shards spike high). The
+    * fence comparison is doubled integer math (2·x vs 2·q ± 3·IQR) so
+    * no fraction ever appears.
+    *
+    * Scale shape: quartiles bound every sort to one (segment, bucket)
+    * slice; the outlier pass joins the ≤ #sources quartile frame
+    * broadcast and re-aggregates per source. */
+  def lengthOutliers(s: SparkSession, dir: String): DataFrame =
+    lengthOutliersOn(Tables.documents(s, dir))
+
+  private[graft] def lengthOutliersOn(docs: DataFrame): DataFrame = {
+    val q = graft.operators.Quantiles.selectAtRanks(
+      docs, "source", col("n_chars"), col("doc_id"),
+      call_function("div", col("n_chars"), lit(100L)), Seq(25L, 50L, 75L), "v")
+    val wide = q.groupBy("source").agg(
+        max(when(col("pctl") === 25, col("v"))).as("q1"),
+        max(when(col("pctl") === 50, col("v"))).as("median"),
+        max(when(col("pctl") === 75, col("v"))).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+    docs.join(broadcast(wide), "source")
+      .groupBy("source", "q1", "median", "q3", "iqr")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") * 2 < col("q1") * 2 - col("iqr") * 3, 1L)
+          .otherwise(0L)).as("n_low_outliers"),
+        sum(when(col("n_chars") * 2 > col("q3") * 2 + col("iqr") * 3, 1L)
+          .otherwise(0L)).as("n_high_outliers"))
+      .select("source", "q1", "median", "q3", "iqr", "n_docs",
+        "n_low_outliers", "n_high_outliers")
+      .orderBy("source")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_key_skew" -> (keySkew _),
+    "q_length_outliers" -> (lengthOutliers _),
     "q_revenue_gini" -> (revenueGini _),
     "q_approx_quantiles" -> (approxQuantiles _),
     "q_event_funnel" -> (eventFunnel _),

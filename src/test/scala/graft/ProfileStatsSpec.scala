@@ -36,6 +36,35 @@ class ProfileStatsSpec extends SparkSpec {
     assert(out("D") == ((2L, None, None)), out)
   }
 
+  test("key skew: a power-law key spreads across magnitudes") {
+    // key 1: 1000 rows (magnitude 4), keys 2-11: 10 rows (2), keys
+    // 12-31: 1 row (1)
+    val rows = Seq.fill(1000)(1L) ++ (2L to 11L).flatMap(k => Seq.fill(10)(k)) ++ (12L to 31L)
+    val df = rows.toDF("l_partkey")
+    val out = QueriesScale.keySkewOn(df, "l_partkey")
+      .select($"magnitude", $"n_keys", $"n_rows", $"max_rows_per_key", $"rows_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      (1L, 20L, 20L, 1L, 17L),
+      (2L, 10L, 100L, 10L, 89L),
+      (4L, 1L, 1000L, 1000L, 892L)), out)
+  }
+
+  test("length outliers: Tukey fences on a hand-built source") {
+    // 11 docs of length 100..110 -> q1=102, med=105, q3=108 (ceil-rank
+    // selection), iqr=6 -> fences [93, 117]; add one 50 and one 500
+    val docs = ((1L to 11L).map(i => (i, "s", 99L + i)) ++
+      Seq((12L, "s", 50L), (13L, "s", 500L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = QueriesScale.lengthOutliersOn(docs)
+      .select($"source", $"q1", $"median", $"q3", $"iqr", $"n_docs",
+        $"n_low_outliers", $"n_high_outliers")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    // 13 docs sorted: 50,100..110,500; ranks ceil(13q/100): q1 rn=4 ->
+    // 102; med rn=7 -> 105; q3 rn=10 -> 108
+    assert(out == List(("s", 102L, 105L, 108L, 6L, 13L, 1L, 1L)), out)
+  }
+
   test("column profile counts nulls and distincts per column in one pass") {
     val df = Seq(
       (1L, "x", Some(1.5)),
