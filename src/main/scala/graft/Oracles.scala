@@ -218,6 +218,47 @@ object Oracles {
   )
 
   val analytics: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+        |    event_type
+        |  FROM events
+        |), l AS (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_type
+        |  FROM e
+        |), c AS (
+        |  SELECT prev_type, event_type, count(*) AS n
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_type, event_type, n,
+        |  (n * 1000) // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_permille
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
+    "q_ship_latency" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS days,
+        |    l_orderkey * 10 + l_linenumber AS tie
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), n AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    CAST(sum(days) AS BIGINT) AS sd
+        |  FROM j GROUP BY 1
+        |), r AS (
+        |  SELECT j.*, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY days NULLS FIRST, tie) AS rn
+        |  FROM j
+        |), q AS (
+        |  SELECT r.o_orderpriority,
+        |    max(CASE WHEN rn = (50 * n.n + 99) // 100 THEN days END) AS p50_days,
+        |    max(CASE WHEN rn = (90 * n.n + 99) // 100 THEN days END) AS p90_days,
+        |    max(CASE WHEN rn = (99 * n.n + 99) // 100 THEN days END) AS p99_days
+        |  FROM r JOIN n USING (o_orderpriority) GROUP BY 1
+        |)
+        |SELECT o_orderpriority, n.n AS n_lines, p50_days, p90_days, p99_days,
+        |  (n.sd * 1000) // n.n AS mean_days_permille
+        |FROM q JOIN n USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_discount_corr" ->
       """WITH b AS (
         |  SELECT l_returnflag,

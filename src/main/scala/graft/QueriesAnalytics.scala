@@ -340,7 +340,81 @@ object QueriesAnalytics {
       .orderBy("l_returnflag")
   }
 
+  /** #100 event transition matrix: first-order Markov counts over
+    * each user's event stream — P(next type | type) in integer
+    * permille — the behavioral fingerprint behind funnel design and
+    * bot detection (a scraper's matrix is near-deterministic; a
+    * human's is diffuse). Rides the same user-keyed lag shuffle as
+    * #21/#95; the matrix is |types|² cells, the per-row permille
+    * window runs on the `prev_type` grain.
+    *
+    * Scale note: states = event types (enum-small). For
+    * high-cardinality states (page URLs) the matrix itself is the
+    * scale object — cap to top-K states first (#55's sketch). */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    eventTransitionsOn(Tables.events(s, dir))
+
+  private[graft] def eventTransitionsOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_s"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_permille", call_function("div",
+        col("n") * lit(1000L),
+        sum(col("n")).over(Window.partitionBy("prev_type"))))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** #101 ship-latency SLA: exact p50/p90/p99 of days from order to
+    * line shipment per order priority (rank selection — real data
+    * points, no interpolation) plus the exact integer-permille mean —
+    * the fulfillment report behind any SLA dashboard. The
+    * fact-to-fact join keys on orderkey; quantile selection then
+    * bounds every sort to one (priority, day-bucket) slice.
+    *
+    * Scale shape: the orderkey join is the one genuine fact×fact
+    * shuffle here (both sides pruned to 2-3 columns); everything
+    * after runs on (priority, day) cells — day cardinality is the
+    * calendar, not the data. */
+  def shipLatency(s: SparkSession, dir: String): DataFrame =
+    shipLatencyOn(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  private[graft] def shipLatencyOn(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val o = orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    // the joined (priority, days) projection has THREE consumers (the
+    // quantile histogram, its in-bucket selection pass, the mean
+    // aggregate) — persist the narrow join once, reap before return
+    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"),
+        (col("l_orderkey") * lit(10L) + col("l_linenumber")).as("__tie"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = graft.operators.Quantiles.selectAtRanks(
+      j, "o_orderpriority", col("days"), col("__tie"), col("days"),
+      Seq(50L, 90L, 99L), "v")
+    val wide = q.groupBy("o_orderpriority").agg(
+      max(when(col("pctl") === 50, col("v"))).as("p50_days"),
+      max(when(col("pctl") === 90, col("v"))).as("p90_days"),
+      max(when(col("pctl") === 99, col("v"))).as("p99_days"))
+    val means = j.groupBy("o_orderpriority").agg(
+      count(lit(1)).as("n_lines"),
+      call_function("div", sum(col("days")) * lit(1000L), count(lit(1)))
+        .as("mean_days_permille"))
+    val out = wide.join(means, "o_orderpriority")
+      .select("o_orderpriority", "n_lines", "p50_days", "p90_days", "p99_days",
+        "mean_days_permille")
+      .orderBy("o_orderpriority")
+    Caching.reap(out)(j)
+  }
+
   def all: Map[String, Q] = Map(
+    "q_event_transitions" -> (eventTransitions _),
+    "q_ship_latency" -> (shipLatency _),
     "q_discount_corr" -> (discountCorr _),
     "q_event_gaps" -> (eventGaps _),
     "q_daily_trend" -> (dailyTrend _),

@@ -1,9 +1,12 @@
 package graft
 
+import java.sql.Timestamp
+
 /** Unit coverage for the statistics/profiling operators: exact-moment
-  * regression (slope + Pearson r) and the one-pass column profile —
-  * each on hand-checkable frames (the registry queries verify them
-  * against DuckDB on the real testdata). */
+  * regression (slope + Pearson r), the one-pass column profile, the
+  * key-skew and length-outlier reports, event transitions, and ship
+  * latency — each on hand-checkable frames (the registry queries
+  * verify them against DuckDB on the real testdata). */
 class ProfileStatsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -63,6 +66,46 @@ class ProfileStatsSpec extends SparkSpec {
     // 13 docs sorted: 50,100..110,500; ranks ceil(13q/100): q1 rn=4 ->
     // 102; med rn=7 -> 105; q3 rn=10 -> 108
     assert(out == List(("s", 102L, 105L, 108L, 6L, 13L, 1L, 1L)), out)
+  }
+
+  test("event transitions: per-user ordering, first events excluded, rows sum to 1000") {
+    def ev(id: Long, user: Long, t: String, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), user, typ, 1.0, "{}")
+    val events = Seq(
+      ev(1, 1, "1995-01-01 10:00:00", "view"),
+      ev(2, 1, "1995-01-01 10:00:05", "click"),
+      ev(3, 1, "1995-01-01 10:00:10", "view"),
+      ev(4, 1, "1995-01-01 10:00:15", "click"),
+      ev(5, 2, "1995-01-01 10:00:02", "click"), // user 2's first: no transition
+      ev(6, 2, "1995-01-01 10:00:04", "buy")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = QueriesAnalytics.eventTransitionsOn(events)
+      .select($"prev_type", $"event_type", $"n", $"p_permille")
+      .as[(String, String, Long, Long)].collect().toList
+    assert(out == List(
+      ("click", "buy", 1L, 500L),
+      ("click", "view", 1L, 500L),
+      ("view", "click", 2L, 1000L)), out)
+  }
+
+  test("ship latency: rank selection and exact mean on a hand-built join") {
+    val orders = Seq(
+      (1L, Timestamp.valueOf("1995-01-01 00:00:00"), "1-URGENT"),
+      (2L, Timestamp.valueOf("1995-01-01 00:00:00"), "1-URGENT")
+    ).toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    // days: 1,2,3,4 -> p50 rn=ceil(4*50/100)=2 -> 2; p90 rn=4 -> 4;
+    // p99 rn=4 -> 4; mean permille = 10*1000/4 = 2500
+    val li = Seq(
+      (1L, 1, Timestamp.valueOf("1995-01-02 00:00:00")),
+      (1L, 2, Timestamp.valueOf("1995-01-03 00:00:00")),
+      (2L, 1, Timestamp.valueOf("1995-01-04 00:00:00")),
+      (2L, 2, Timestamp.valueOf("1995-01-05 00:00:00"))
+    ).toDF("l_orderkey", "l_linenumber", "l_shipdate")
+    val out = QueriesAnalytics.shipLatencyOn(li, orders)
+      .select($"o_orderpriority", $"n_lines", $"p50_days", $"p90_days", $"p99_days",
+        $"mean_days_permille")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(out == List(("1-URGENT", 4L, 2L, 4L, 4L, 2500L)), out)
   }
 
   test("column profile counts nulls and distincts per column in one pass") {
