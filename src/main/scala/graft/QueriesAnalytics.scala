@@ -370,46 +370,49 @@ object QueriesAnalytics {
   }
 
   /** #101 ship-latency SLA: exact p50/p90/p99 of days from order to
-    * line shipment per order priority (rank selection — real data
-    * points, no interpolation) plus the exact integer-permille mean —
-    * the fulfillment report behind any SLA dashboard. The
-    * fact-to-fact join keys on orderkey; quantile selection then
-    * bounds every sort to one (priority, day-bucket) slice.
+    * line shipment per order priority (histogram rank selection —
+    * real data points, no interpolation) plus the exact
+    * integer-permille mean — the fulfillment report behind any SLA
+    * dashboard.
     *
     * Scale shape: the orderkey join is the one genuine fact×fact
-    * shuffle here (both sides pruned to 2-3 columns); everything
-    * after runs on (priority, day) cells — day cardinality is the
-    * calendar, not the data. */
+    * shuffle here (both sides pruned to 2-3 columns); it collapses
+    * immediately to (priority, day) cells — day cardinality is the
+    * calendar, not the data — and quantiles, means and counts all
+    * run on that grain. */
   def shipLatency(s: SparkSession, dir: String): DataFrame =
     shipLatencyOn(Tables.lineitem(s, dir), Tables.orders(s, dir))
 
   private[graft] def shipLatencyOn(lineitem: DataFrame, orders: DataFrame): DataFrame = {
-    val li = lineitem.select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val li = lineitem.select(col("l_orderkey"), col("l_shipdate"))
     val o = orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-    // the joined (priority, days) projection has THREE consumers (the
-    // quantile histogram, its in-bucket selection pass, the mean
-    // aggregate) — persist the narrow join once, reap before return
-    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // `days` is INTEGER-valued, so exact quantiles come straight off
+    // the (priority, day) histogram: the rank's bucket IS the value —
+    // no row-grain second pass, no tie column, no persist. One fact
+    // join, one map-side-combined aggregation to calendar-bounded
+    // cells, then everything runs on that tiny grain.
+    val cells = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority"),
-        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"),
-        (col("l_orderkey") * lit(10L) + col("l_linenumber")).as("__tie"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = graft.operators.Quantiles.selectAtRanks(
-      j, "o_orderpriority", col("days"), col("__tie"), col("days"),
-      Seq(50L, 90L, 99L), "v")
-    val wide = q.groupBy("o_orderpriority").agg(
-      max(when(col("pctl") === 50, col("v"))).as("p50_days"),
-      max(when(col("pctl") === 90, col("v"))).as("p90_days"),
-      max(when(col("pctl") === 99, col("v"))).as("p99_days"))
-    val means = j.groupBy("o_orderpriority").agg(
-      count(lit(1)).as("n_lines"),
-      call_function("div", sum(col("days")) * lit(1000L), count(lit(1)))
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
+      .groupBy("o_orderpriority", "days").agg(count(lit(1)).as("__c"))
+    val totals = cells.groupBy("o_orderpriority").agg(
+      sum(col("__c")).as("n_lines"),
+      call_function("div", sum(col("days") * col("__c")) * lit(1000L), sum(col("__c")))
         .as("mean_days_permille"))
-    val out = wide.join(means, "o_orderpriority")
+    val cumW = Window.partitionBy("o_orderpriority").orderBy("days")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cells.withColumn("__before", coalesce(sum(col("__c")).over(cumW), lit(0L)))
+    def pick(p: Long) = {
+      val rank = call_function("div", lit(p) * col("n_lines") + lit(99L), lit(100L))
+      max(when(col("__before") < rank && rank <= col("__before") + col("__c"),
+        col("days"))).as(s"p${p}_days")
+    }
+    cum.join(broadcast(totals), "o_orderpriority")
+      .groupBy("o_orderpriority", "n_lines", "mean_days_permille")
+      .agg(pick(50L), pick(90L), pick(99L))
       .select("o_orderpriority", "n_lines", "p50_days", "p90_days", "p99_days",
         "mean_days_permille")
       .orderBy("o_orderpriority")
-    Caching.reap(out)(j)
   }
 
   def all: Map[String, Q] = Map(
