@@ -982,6 +982,32 @@ object Oracles {
         |SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es, cjk_chars,
         |  predicted, (predicted = lang) AS is_match
         |FROM p""".stripMargin,
+    "q_lang_confusion" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ${hits(langs("en"))} AS hits_en,
+        |    ${hits(langs("de"))} AS hits_de,
+        |    ${hits(langs("fr"))} AS hits_fr,
+        |    ${hits(langs("es"))} AS hits_es,
+        |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk_chars
+        |  FROM documents
+        |), p AS (
+        |  SELECT lang,
+        |    CASE WHEN cjk_chars > 0 THEN 'zh'
+        |         WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+        |         WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
+        |         WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+        |         WHEN hits_es > 0 THEN 'es'
+        |         ELSE 'unknown' END AS predicted
+        |  FROM h
+        |), c AS (
+        |  SELECT lang, predicted, count(*) AS n FROM p GROUP BY 1, 2
+        |)
+        |SELECT lang, predicted, n,
+        |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+        |  (n * 1000) // CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS share_permille,
+        |  lang = predicted AS is_correct
+        |FROM c ORDER BY lang, predicted""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

@@ -66,13 +66,16 @@ object QueriesText {
   }
 
   /** #29 heuristic language identification vs the labeled lang. */
-  def langId(s: SparkSession, dir: String): DataFrame = {
+  def langId(s: SparkSession, dir: String): DataFrame =
+    langIdOn(Tables.documents(s, dir))
+
+  private[graft] def langIdOn(docs: DataFrame): DataFrame = {
     val t = col("text")
     // hits staged as columns, prediction derived FROM them: each
     // langHits is a tokenize+filter pass, and the naive form
     // (langPredict(t) twice + the hit columns) evaluated every one
     // of them 3× per row
-    Tables.documents(s, dir).select(
+    docs.select(
       col("doc_id"),
       col("lang"),
       TextOps.langHits(t, "en").cast("long").as("hits_en"),
@@ -707,7 +710,31 @@ object QueriesText {
       .orderBy("bucket")
   }
 
+  /** #102 language-ID confusion matrix: (label, prediction) counts
+    * from #29's heuristic with per-label row shares in integer permille (the diagonal cell IS the recall) —
+    * the model-eval report that turns a per-doc classifier into a
+    * quality number per class (which languages leak into `unknown`,
+    * which pair confuses). Shares #29's exact predictor derivation,
+    * so the two rows can never drift apart.
+    *
+    * Scale shape: the per-doc classify pass is map-only; the matrix
+    * is ≤ |langs|² cells with the recall window on the label grain. */
+  def langConfusion(s: SparkSession, dir: String): DataFrame =
+    langConfusionOn(Tables.documents(s, dir))
+
+  private[graft] def langConfusionOn(docs: DataFrame): DataFrame =
+    langIdOn(docs)
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .withColumn("lang_total",
+        sum(col("n")).over(Window.partitionBy("lang")))
+      .withColumn("share_permille",
+        call_function("div", col("n") * lit(1000L), col("lang_total")))
+      .withColumn("is_correct", col("lang") === col("predicted"))
+      .select("lang", "predicted", "n", "lang_total", "share_permille", "is_correct")
+      .orderBy("lang", "predicted")
+
   def all: Map[String, Q] = Map(
+    "q_lang_confusion" -> (langConfusion _),
     "q_source_diversity" -> (sourceDiversity _),
     "q_split_drift" -> (splitDrift _),
     "q_pmi_bigrams" -> (pmiBigrams _),

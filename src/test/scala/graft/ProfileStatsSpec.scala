@@ -108,6 +108,22 @@ class ProfileStatsSpec extends SparkSpec {
     assert(out == List(("1-URGENT", 4L, 2L, 4L, 4L, 2500L)), out)
   }
 
+  test("lang confusion: matrix cells and per-label shares on known text") {
+    val docs = Seq(
+      (1L, "the a and of to in", "en"),
+      (2L, "the a and of to on", "en"),
+      (3L, "der die und das ist nicht", "de"),
+      (4L, "zzz qqq www", "fr") // no stopword hits -> unknown
+    ).toDF("doc_id", "text", "lang")
+    val out = QueriesText.langConfusionOn(docs)
+      .select($"lang", $"predicted", $"n", $"lang_total", $"share_permille", $"is_correct")
+      .as[(String, String, Long, Long, Long, Boolean)].collect().toList
+    assert(out == List(
+      ("de", "de", 1L, 1L, 1000L, true),
+      ("en", "en", 2L, 2L, 1000L, true),
+      ("fr", "unknown", 1L, 1L, 1000L, false)), out)
+  }
+
   test("column profile counts nulls and distincts per column in one pass") {
     val df = Seq(
       (1L, "x", Some(1.5)),
