@@ -315,7 +315,14 @@ object QueriesEtl {
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
 
   private[graft] def columnProfileOn(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val pairs = cols.map(c => s"'$c', cast($c as string)").mkString(", ")
+    // backtick-quote identifiers (escaping embedded backticks) and
+    // single-quote-escape the label literal: the generic signature
+    // invites names this module never uses (spaces, hyphens, quotes)
+    val pairs = cols.map { c =>
+      val label = c.replace("'", "\\'")
+      val ident = c.replace("`", "``")
+      s"'$label', cast(`$ident` as string)"
+    }.mkString(", ")
     df.select(expr(s"stack(${cols.size}, $pairs) as (column_name, __v)"))
       .groupBy("column_name")
       .agg(

@@ -368,10 +368,8 @@ object QueriesText {
     * classification + a (split, lang)-group aggregate: nothing
     * corpus-sized shuffles. */
   def trainSplit(s: SparkSession, dir: String): DataFrame = {
-    val nibble = substring(md5(col("doc_id").cast("string")), 1, 1)
-    val split = when(nibble < "d", "train").when(nibble < "f", "val").otherwise("test")
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), split.as("split"),
+      .select(col("doc_id"), col("lang"), mdSplit(col("doc_id")).as("split"),
         TextOps.wordCount(col("text")).cast("long").as("__nt"))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
@@ -687,14 +685,29 @@ object QueriesText {
   def splitDrift(s: SparkSession, dir: String): DataFrame =
     splitDriftOn(Tables.documents(s, dir))
 
+  /** The #72 md5 split rule — ONE derivation shared by the splitter
+    * (`trainSplit`) and its drift audit (`splitDrift`), so the gate
+    * can never desynchronize from the split it audits: first md5
+    * nibble of the id; < 'd' → train (13/16), < 'f' → val (2/16),
+    * else test (1/16). */
+  private[graft] def mdSplit(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nibble = substring(md5(id.cast("string")), 1, 1)
+    when(nibble < "d", "train").when(nibble < "f", "val").otherwise("test")
+  }
+
   private[graft] def splitDriftOn(docs: DataFrame): DataFrame = {
-    val nibble = substring(md5(col("doc_id").cast("string")), 1, 1)
-    val split = when(nibble < "d", "train").when(nibble < "f", "val").otherwise("test")
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    def share(n: org.apache.spark.sql.Column) =
-      call_function("div", n * lit(1000L), sum(n).over(all))
+    // an EMPTY split yields NULL permille (mirroring DuckDB's `//`),
+    // not an ANSI divide-by-zero crash; the drift greatest() then
+    // skips the NULL gaps in both engines
+    def share(n: org.apache.spark.sql.Column) = {
+      val tot = sum(n).over(all)
+      when(tot === 0, lit(null).cast("long"))
+        .otherwise(call_function("div", n * lit(1000L), tot))
+    }
     val shares = docs
-      .select(split.as("__s"), call_function("div", col("n_chars"), lit(100L)).as("bucket"))
+      .select(mdSplit(col("doc_id")).as("__s"),
+        call_function("div", col("n_chars"), lit(100L)).as("bucket"))
       .groupBy("bucket").agg(
         sum(when(col("__s") === "train", 1L).otherwise(0L)).as("n_train"),
         sum(when(col("__s") === "val", 1L).otherwise(0L)).as("n_val"),

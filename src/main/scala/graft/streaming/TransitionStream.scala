@@ -22,7 +22,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stateful logic, same as the sessionizer). ACROSS batches the
   * state's last-seen event defines the predecessor: a straggler
   * arriving in a later batch than a newer event emits its transition
-  * out of true event-time order. Under an ordered-per-user source
+  * out of true event-time order, and state keeps the NEWEST event by
+  * (ts, event_id) — a straggler can never regress the stored
+  * predecessor for future batches. Under an ordered-per-user source
   * (the usual Kafka key-partitioning) replaying the full stream in
   * one batch reproduces the batch matrix exactly — spec-asserted. */
 object TransitionStream {
@@ -42,7 +44,13 @@ object TransitionStream {
           var last = state.getOption
           sorted.foreach { e =>
             last.foreach(l => out += Transition(user, l.event_type, e.event_type))
-            last = Some(LastSeen(e.ts.getTime, e.event_id, e.event_type))
+            // newest-wins: a straggler batch whose events all predate
+            // the stored last-seen emits its transition (against the
+            // newer state, documented above) but must NOT regress the
+            // stored predecessor for future batches
+            val newer = last.forall(l =>
+              l.ts < e.ts.getTime || (l.ts == e.ts.getTime && l.event_id < e.event_id))
+            if (newer) last = Some(LastSeen(e.ts.getTime, e.event_id, e.event_type))
           }
           last.foreach(state.update)
           out.result().iterator

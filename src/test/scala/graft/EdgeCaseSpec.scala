@@ -98,10 +98,18 @@ class EdgeCaseSpec extends SparkSpec {
     // pmi: no crash, support filter holds on a tiny corpus
     assert(QueriesText.pmiBigramsOn(dirty).count() == 0)
 
-    // drift: every doc lands in a bucket row (doc 2's 0 chars -> bucket 0)
+    // drift: every doc lands in a bucket row (doc 2's 0 chars ->
+    // bucket 0), and the EMPTY test split (ids 1-4 hash to c,c,e,a)
+    // yields NULL permille — the ANSI divide-by-zero path must be
+    // exercised, so collect the full share/drift columns
     val drift = QueriesText.splitDriftOn(dirty)
-      .select($"bucket", $"n_train" + $"n_val" + $"n_test").as[(Long, Long)].collect().toMap
-    assert(drift.values.sum == 4L, drift)
+      .select($"bucket", $"n_train" + $"n_val" + $"n_test",
+        $"train_permille", $"test_permille", $"drift_permille")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])].collect()
+    assert(drift.map(_._2).sum == 4L, drift.toSeq)
+    assert(drift.forall(_._4.isEmpty), s"empty split must give NULL permille: ${drift.toSeq}")
+    // drift still computes from the two populated splits
+    assert(drift.forall(_._5.isDefined), drift.toSeq)
   }
 
   test("empty corpora: round-8 profiles return zero rows, never throw") {

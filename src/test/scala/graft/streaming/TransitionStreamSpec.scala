@@ -53,6 +53,31 @@ class TransitionStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a straggler batch cannot regress the stored predecessor") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, typ: String) =
+      TransitionStream.TypedEvent(9L, id, Timestamp.valueOf(t), typ)
+    val in = MemoryStream[TransitionStream.TypedEvent]
+    val q = TransitionStream.transitions(in.toDS())
+      .writeStream.format("memory").queryName("trans_lag").outputMode("append").start()
+    try {
+      in.addData(ev(1, "2026-01-01 10:00:00", "view"), ev(3, "2026-01-01 10:00:20", "buy"))
+      q.processAllAvailable()
+      // straggler older than the stored last-seen (buy@20): emits its
+      // transition against the newer state but must NOT become state
+      in.addData(ev(2, "2026-01-01 10:00:10", "click"))
+      q.processAllAvailable()
+      // next event's predecessor must still be buy@20, not the straggler
+      in.addData(ev(4, "2026-01-01 10:00:30", "pay"))
+      q.processAllAvailable()
+      val out = spark.table("trans_lag")
+        .select($"prev_type", $"event_type").as[(String, String)].collect().toList
+      assert(out.contains(("buy", "pay")), out)
+      assert(!out.contains(("click", "pay")), s"state regressed to the straggler: $out")
+    } finally q.stop()
+  }
+
   test("within-batch order comes from (ts, event_id), not arrival order") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
