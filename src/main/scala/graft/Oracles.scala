@@ -982,6 +982,26 @@ object Oracles {
         |SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es, cjk_chars,
         |  predicted, (predicted = lang) AS is_match
         |FROM p""".stripMargin,
+    "q_source_quality" ->
+      s"""WITH scored AS (
+        |  SELECT source,
+        |    CASE WHEN text IS NULL THEN NULL ELSE
+        |    least(25, length(text) // 20)
+        |    + least(25, len(string_split_regex(trim(text), '\\s+')) // 4)
+        |    + least(25, (${hits(graft.text.TextOps.StopwordsEn)} * 100)
+        |        // greatest(len(string_split_regex(trim(text), '\\s+')), 1))
+        |    + least(25, ((len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 100)
+        |        // greatest(len(string_split_regex(trim(text), '\\s+')), 1)) // 2)
+        |    END AS q
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  (CAST(sum(q) AS BIGINT) * 1000) // count(*) AS mean_quality_permille,
+        |  CAST(sum(CASE WHEN q >= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CASE WHEN q >= 40 AND q < 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+        |  CAST(sum(CASE WHEN q < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  (CAST(sum(CASE WHEN q >= 60 THEN 1 ELSE 0 END) AS BIGINT) * 1000) // count(*) AS high_permille
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lang_confusion" ->
       s"""WITH h AS (
         |  SELECT doc_id, lang,

@@ -746,7 +746,46 @@ object QueriesText {
       .select("lang", "predicted", "n", "lang_total", "share_permille", "is_correct")
       .orderBy("lang", "predicted")
 
+  /** #103 per-source quality mix: #30's integer quality score rolled
+    * up to the source grain — doc count, exact mean score in
+    * permille, and the high/medium/low bucket counts with the high
+    * share — the table a data release uses to set per-source mixing
+    * weights (down-weight the low-quality crawl, keep the curated
+    * set). Null text is explicitly unscoreable — score NULL, counted
+    * in `n_docs` but in no bucket. (The guard is load-bearing: both
+    * engines' `least` SKIPS nulls, so the raw #30 scorer hands a
+    * null-text doc every 25-cap and a perfect 100 — consistent
+    * across engines, catastrophic for a weighting table.)
+    *
+    * Scale shape: the scoring pass is map-only (one pruned scan),
+    * then a #sources-cell aggregation with map-side combine. */
+  def sourceQuality(s: SparkSession, dir: String): DataFrame =
+    sourceQualityOn(Tables.documents(s, dir))
+
+  private[graft] def sourceQualityOn(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val scored = docs.select(
+      col("source"),
+      when(t.isNull, lit(null).cast("long"))
+        .otherwise(TextOps.qualityScore(
+          length(t).cast("long"),
+          TextOps.wordCount(t).cast("long"),
+          TextOps.stopwordCount(t, TextOps.StopwordsEn).cast("long"),
+          TextOps.distinctWordCount(t).cast("long"))).as("__q"))
+    scored.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        call_function("div", sum(col("__q")) * lit(1000L), count(lit(1)))
+          .as("mean_quality_permille"),
+        sum(when(col("__q") >= 60, 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("__q") >= 40 && col("__q") < 60, 1L).otherwise(0L)).as("n_medium"),
+        sum(when(col("__q") < 40, 1L).otherwise(0L)).as("n_low"))
+      .withColumn("high_permille",
+        call_function("div", col("n_high") * lit(1000L), col("n_docs")))
+      .orderBy("source")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_source_quality" -> (sourceQuality _),
     "q_lang_confusion" -> (langConfusion _),
     "q_source_diversity" -> (sourceDiversity _),
     "q_split_drift" -> (splitDrift _),

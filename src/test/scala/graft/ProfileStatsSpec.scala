@@ -124,6 +124,31 @@ class ProfileStatsSpec extends SparkSpec {
       ("fr", "unknown", 1L, 1L, 1000L, false)), out)
   }
 
+  test("source quality: bucket counts and exact mean; null text unscoreable") {
+    // high-quality doc hits all four 25-caps (score 100); "a a a"
+    // scores 41 (stopword cap + weak diversity) -> medium; null text
+    // must NOT score (the unguarded #30 scorer would give it 100:
+    // least() SKIPS nulls in both engines — the guard is the point)
+    val good = (1 to 60).map(i => s"the word$i of thing$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s", good),
+      (2L, "s", "a a a"),
+      (3L, "s", null)
+    ).toDF("doc_id", "source", "text")
+    val out = QueriesText.sourceQualityOn(docs)
+      .select($"source", $"n_docs", $"mean_quality_permille",
+        $"n_high", $"n_medium", $"n_low", $"high_permille")
+      .as[(String, Long, Option[Long], Long, Long, Long, Long)].collect().toList
+    assert(out.size == 1)
+    val r = out.head
+    assert(r._2 == 3L, r) // null-text doc counted
+    assert(r._4 == 1L && r._5 == 1L && r._6 == 0L, r)
+    assert(r._4 + r._5 + r._6 == 2L, s"null doc must land in no bucket: $r")
+    assert(r._7 == 333L, r)
+    // mean = (100 + 41) * 1000 / 3 over ALL docs, null skipped by sum
+    assert(r._3.contains(47000L), r)
+  }
+
   test("column profile counts nulls and distincts per column in one pass") {
     val df = Seq(
       (1L, "x", Some(1.5)),
