@@ -45,11 +45,11 @@ object Oracles {
         |  SELECT digit, count(*) AS n FROM c GROUP BY 1
         |)
         |SELECT digit, n,
-        |  (n * 1000) // sum(n) OVER () AS share_permille,
+        |  (n * 1000) // CAST(sum(n) OVER () AS BIGINT) AS share_permille,
         |  CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
         |    WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
         |    WHEN 8 THEN 51 WHEN 9 THEN 46 END AS BIGINT) AS expected_permille,
-        |  (n * 1000) // sum(n) OVER () -
+        |  (n * 1000) // CAST(sum(n) OVER () AS BIGINT) -
         |  CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
         |    WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
         |    WHEN 8 THEN 51 WHEN 9 THEN 46 END AS BIGINT) AS dev_permille
@@ -615,12 +615,12 @@ object Oracles {
         |), c AS (
         |  SELECT word, count(*) AS n_tokens FROM w GROUP BY 1
         |), t AS (
-        |  SELECT sum(n_tokens) AS total FROM c
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM c
         |), r AS (
         |  SELECT word, n_tokens,
         |    row_number() OVER (ORDER BY n_tokens DESC, word) AS rank,
-        |    sum(n_tokens) OVER (ORDER BY n_tokens DESC, word
-        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, word
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |  FROM c)
         |SELECT CAST(rank AS BIGINT) AS rank, word, n_tokens,
         |  (cum*2000 + total) // (total*2) AS cum_permille

@@ -48,6 +48,21 @@ def main(sfdir, outdir):
                 fails.append((name, f"rows differ: oracle={len(e)} spark={len(g)}"))
                 continue
             bad = None
+            # Driver-parity dtype gate: the driver's hasher stringifies values
+            # exactly, so an integer column on one side vs float on the other
+            # (e.g. DuckDB HUGEINT -> pandas float64) hash-fails even when the
+            # values are numerically equal. Mirror that here instead of letting
+            # the tolerance compare paper over it (how the round-7 q_benford /
+            # q_vocab_coverage oracle-typing bugs survived three sweeps).
+            dtype_bad = None
+            for c in e.columns:
+                ek, gk = e[c].dtype.kind, g[c].dtype.kind
+                if {ek, gk} == {"f", "i"}:
+                    dtype_bad = (c, e[c].dtype, g[c].dtype); break
+            if dtype_bad:
+                c, ed, gd = dtype_bad
+                fails.append((name, f"dtype mismatch in col {c}: oracle={ed} spark={gd} (driver hash would fail)"))
+                continue
             for c in e.columns:
                 ec, gc = e[c], g[c]
                 if ec.dtype.kind == "f" or gc.dtype.kind == "f":
