@@ -22,7 +22,24 @@ import graft.functions.TopKSketchAgg.{Counter, Summary}
   * bytes however fast the stream runs or however wide the item
   * vocabulary grows; keys spread across partitions by the groupByKey
   * shuffle. Each micro-batch emits the key's current top-k (Update
-  * mode), so downstream sees a continuously-refreshed leaderboard. */
+  * mode), so downstream sees a continuously-refreshed leaderboard.
+  *
+  * ==Sink contract: crash-replay divergence==
+  * The per-batch fold is deliberately order-dependent (see the inline
+  * comment): which counter a tie evicts follows batch-internal arrival
+  * order, and Spark does not guarantee a replayed micro-batch re-reads
+  * rows in the same order. After a crash replay the SAME batch id may
+  * therefore commit different `(count, err)` values for LOW-frequency
+  * items — or emit a different tail row — than the output already
+  * delivered downstream. The Space-Saving bounds still hold for every
+  * emission (`count ≥ truth ≥ count − err`; any item with true
+  * frequency > N/capacity is present), so heavy-hitter rows are stable;
+  * only rows whose count is within `err` of the eviction floor can
+  * flip. Sinks requiring exactly-once-style determinism per (key,
+  * item, batch) must either treat rows with `count − err` below their
+  * decision threshold as advisory, or buffer-and-sort upstream (giving
+  * up the O(capacity) hot-key memory bound this operator exists to
+  * provide — that trade is the caller's to make, not this operator's). */
 object TopKStream {
   final case class Item(key: String, item: String, ts: Timestamp)
   final case class TopRow(key: String, rank: Int, item: String, count: Long, err: Long)

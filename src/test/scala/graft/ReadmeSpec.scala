@@ -19,5 +19,9 @@ class ReadmeSpec extends SparkSpec {
     assert(listed.toSet == registry,
       s"index out of sync — missing: ${registry.diff(listed.toSet).toSeq.sorted}, " +
         s"stale: ${listed.toSet.diff(registry).toSeq.sorted}")
+    // The prose count drifts silently when rows are added (it sat at 85
+    // for two rounds while the table grew to 103) — pin it too.
+    assert(readme.contains(s"${registry.size} verified queries"),
+      s"README prose must state '${registry.size} verified queries'")
   }
 }
