@@ -100,7 +100,15 @@ object Bench {
     val partial = if (only.isDefined) s""","partial":true""" else ""
     // runs is part of the artifact: a 1-run and a 3-run-min total are
     // not comparable, and the methodology must not live only in notes
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$partial}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$partial}"""
+    println(line)
+    // the driver's artifact keeps only a bounded TAIL of stdout, which
+    // silently drops the first ~23 queries' timings once the line grows
+    // past the cap — persist the whole line to a file too, so the full
+    // per-query table survives verbatim regardless of capping
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

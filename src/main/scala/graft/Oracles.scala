@@ -365,6 +365,17 @@ object Oracles {
         |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END) AS DOUBLE) AS "R"
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // year() is BIGINT in DuckDB but int32 in Spark — cast to INTEGER
+    // for the driver's exact dtype/hash compare
+    "q_yearly_distincts" ->
+      """SELECT order_year,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  count(DISTINCT o_orderpriority) AS n_priorities,
+        |  count(DISTINCT o_orderstatus) AS n_statuses,
+        |  count(*) AS n_orders
+        |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |        o_custkey, o_orderpriority, o_orderstatus FROM orders)
+        |GROUP BY order_year ORDER BY order_year""".stripMargin,
     "q_kpi_summary" ->
       s"""SELECT $rev AS total_revenue,
         |  count(DISTINCT l_orderkey) AS total_orders,

@@ -415,7 +415,38 @@ object QueriesAnalytics {
       .orderBy("o_orderpriority")
   }
 
+  /** #104 pure-SQL multi-distinct profile per order year — the row that
+    * drives [[graft.plans.ExpandFreeDistinct]] through the VERIFIED
+    * surface. [[kpiSummary]] builds the Expand-free shape by hand; this
+    * query hands Spark the plain multi-distinct SQL a dashboard user
+    * would actually write (ref: dashboard.py's distinct-count cards)
+    * and lets the injected rule rewrite it: three different distinct
+    * columns grouped by a plain attribute over a scan/project chain is
+    * exactly the rule's auto-fire shape. PlanSpec asserts the executed
+    * plan carries no Expand and recombines per-column parts with joins.
+    *
+    * Scans `orders.parquet` directly rather than through
+    * [[Tables.orders]]: the low-SF `spread` repartition would sit in
+    * the aggregate child and (correctly) trip the rule's cost gate —
+    * at real scale the scan has full parallelism and spread is an
+    * identity, so the direct read IS the 100 TB shape. */
+  def yearlyDistincts(s: SparkSession, dir: String): DataFrame = {
+    Tables.table(s, dir, "orders").createOrReplaceTempView("graft_orders_yd")
+    s.sql(
+      """SELECT order_year,
+        |       count(DISTINCT o_custkey)       AS n_customers,
+        |       count(DISTINCT o_orderpriority) AS n_priorities,
+        |       count(DISTINCT o_orderstatus)   AS n_statuses,
+        |       count(*)                        AS n_orders
+        |FROM (SELECT year(o_orderdate) AS order_year, o_custkey,
+        |             o_orderpriority, o_orderstatus
+        |      FROM graft_orders_yd)
+        |GROUP BY order_year
+        |ORDER BY order_year""".stripMargin)
+  }
+
   def all: Map[String, Q] = Map(
+    "q_yearly_distincts" -> (yearlyDistincts _),
     "q_event_transitions" -> (eventTransitions _),
     "q_ship_latency" -> (shipLatency _),
     "q_discount_corr" -> (discountCorr _),

@@ -47,9 +47,36 @@ import org.apache.spark.sql.internal.SQLConf
   */
 object ExpandFreeDistinct extends Rule[LogicalPlan] {
   val ConfKey = "spark.graft.expandFreeDistinct.enabled"
+  /** Manual override: rewrite every eligible aggregate, bypassing the
+    * child-shape cost gate (for callers who KNOW re-execution is cheap,
+    * e.g. the child is a cached view). */
+  val ForceKey = "spark.graft.expandFreeDistinct.force"
 
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "true").toBoolean
+  private def forced: Boolean =
+    SQLConf.get.getConfString(ForceKey, "false").toBoolean
+
+  // Cost gate: the rewrite re-executes the child once per distinct
+  // column (plus the base part). That trade is measured-good when the
+  // child is a pruned scan chain — each re-execution scans only its own
+  // distinct column, so the N+1 "copies" read disjoint bytes — but can
+  // regress arbitrarily when the child is itself expensive (multi-way
+  // join, UDF-heavy projection): the copies then repeat work the Expand
+  // would have done once. Auto-fire only on relation/filter/project
+  // chains whose expressions are codegen-cheap (no user-defined
+  // functions); anything else keeps Spark's Expand unless `force` is on.
+  private def cheapExpr(e: Expression): Boolean =
+    !e.exists { case _: UserDefinedExpression => true; case _ => false }
+
+  private def childCheap(plan: LogicalPlan): Boolean = plan match {
+    case _: LeafNode       => true
+    case p: Project        => p.projectList.forall(cheapExpr) && childCheap(p.child)
+    case f: Filter         => cheapExpr(f.condition) && childCheap(f.child)
+    case s: SubqueryAlias  => childCheap(s.child)
+    case v: View           => childCheap(v.child)
+    case _                 => false
+  }
 
   private def rewritable(f: AggregateFunction): Boolean = f match {
     case _: Count | _: Sum | _: Min | _: Max | _: Average => true
@@ -104,7 +131,8 @@ object ExpandFreeDistinct extends Rule[LogicalPlan] {
     // one scan for several. Fire only when ≥2 DIFFERENT columns are
     // distinct-aggregated, which is the Expand trigger.
     val spansColumns = distincts.map(_._2.exprId).distinct.size >= 2
-    if (!spansColumns || !othersClean || !childDeterministic || !distinctKeysDisjoint) agg
+    if (!spansColumns || !othersClean || !childDeterministic || !distinctKeysDisjoint ||
+        !(forced || childCheap(child))) agg
     else {
       // the BASE part carries the ORIGINAL grouping attr ids (plus the
       // non-distinct aggregates); grouping outputs already in `others`

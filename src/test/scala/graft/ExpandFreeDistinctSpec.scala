@@ -137,6 +137,36 @@ class ExpandFreeDistinctSpec extends SparkSpec {
     assert(!active.contains("Expand") && aRows == bRows)
   }
 
+  test("cost gate: expensive children stay on Spark's Expand unless forced") {
+    view
+    // a join child would be re-executed once per distinct column — the
+    // gate must keep Spark's single-execution Expand plan by default
+    val joinQ =
+      """SELECT count(DISTINCT a.k1) AS d1, count(DISTINCT b.k2) AS d2
+        |FROM efd_t a JOIN efd_t b ON a.k1 = b.k1""".stripMargin
+    val analyzed = spark.sql(joinQ).queryExecution.analyzed
+    assert(ExpandFreeDistinct(analyzed) == analyzed, "join child must not auto-rewrite")
+    // UDF-heavy projection: re-running the UDF per part repeats the
+    // expensive work, so the gate blocks it too
+    val udf = org.apache.spark.sql.functions.udf((x: Long) => x * 2)
+    spark.udf.register("efd_udf", udf)
+    val udfQ =
+      """SELECT count(DISTINCT ku) AS d1, count(DISTINCT k2) AS d2
+        |FROM (SELECT efd_udf(k1) AS ku, k2 FROM efd_t)""".stripMargin
+    val udfAnalyzed = spark.sql(udfQ).queryExecution.analyzed
+    assert(ExpandFreeDistinct(udfAnalyzed) == udfAnalyzed, "UDF child must not auto-rewrite")
+    // the manual override fires both, and results still match Spark's
+    spark.conf.set(ExpandFreeDistinct.ForceKey, "true")
+    try {
+      assert(ExpandFreeDistinct(analyzed) != analyzed, "force must override the cost gate")
+      Seq(joinQ, udfQ).foreach { q =>
+        val (_, active, bRows, aRows) = compare(q)
+        assert(!active.contains("Expand"), active)
+        assert(aRows == bRows, q)
+      }
+    } finally spark.conf.unset(ExpandFreeDistinct.ForceKey)
+  }
+
   test("conf gate disables the rule") {
     view
     val analyzed = spark.sql(

@@ -96,6 +96,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), p)
   }
 
+  test("yearly distincts: the injected rule rewrites the SQL multi-distinct") {
+    // q_kpi_summary builds the Expand-free shape BY HAND; this row is
+    // plain SQL, so an Expand-free plan here proves the injected
+    // ExpandFreeDistinct rule fired on the verified surface (three
+    // distinct columns → three pruned pre-aggregates joined back on
+    // the year key instead of a 4× Expand shuffle of the fact)
+    val p = plan("q_yearly_distincts")
+    assert(!p.contains("Expand"), p)
+    // the rewritten shape recombines per-column parts with joins —
+    // at least 2 joins for 3 distinct columns + the base part
+    val joins = p.linesIterator.count(l => l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin"))
+    assert(joins >= 2, s"expected the part-join shape, got $joins joins:\n$p")
+  }
+
   test("copurchase: basket assembly only — no fact self-join") {
     // pair expansion is a map-side array transform over collected
     // baskets; a SortMergeJoin/ShuffledHashJoin would mean the
