@@ -38,19 +38,22 @@ object DedupStream {
   /** Candidate pairs from a stream of docs. `n`/`k`/`bands` must
     * match the batch index's parameters.
     *
-    * CONTRACT: the output is a candidate MULTISET, not a set — a pair
-    * colliding in several bands is emitted once per band (bucket
-    * groups are processed independently, so cross-band dedup would
-    * itself need another stateful shuffle), and a doc_id that lands in
-    * a saturated bucket is not recorded in state, so the same doc
-    * re-arriving in a later batch re-emits its pairs. Both are safe by
-    * design: the pipeline contract is generate-then-verify, and
-    * [[graft.text.DedupOps.verifyPairsExact]] callers must `.distinct()`
-    * the (doc_id, prior_doc_id) projection first — exactly what the
-    * batch band-join does with its post-join distinct. Deduplicating
-    * here would buy nothing: the verify input is distinct-ed anyway,
-    * and an unbounded seen-pairs state would break the bounded-state
-    * guarantee that makes the gate deployable. */
+    * CONTRACT: within a micro-batch the output is a candidate SET —
+    * a pair colliding in several bands is collapsed to one row
+    * carrying the lowest colliding band (bucket groups are processed
+    * independently, so the collapse is a second, zero-state pass
+    * keyed on the pair; candidates are collision-rare, so that extra
+    * shuffle moves candidate-grain rows, never doc-grain). ACROSS
+    * micro-batches the multiset caveat remains in one narrow case: a
+    * doc_id landing in a saturated bucket is not recorded in state,
+    * so the same doc re-arriving in a later batch re-emits its
+    * pairs. That is safe by design — the pipeline contract is
+    * generate-then-verify and [[graft.text.DedupOps.verifyPairsExact]]
+    * is idempotent per pair — and deduplicating it would need an
+    * unbounded seen-pairs state, breaking the bounded-state guarantee
+    * that makes the gate deployable. Exactly-once-style sinks keyed
+    * on (doc_id, prior_doc_id) are therefore safe within any batch
+    * and idempotent across the saturated-bucket replay. */
   def candidates(
       docs: DataFrame, n: Int = 3, k: Int = 48, bands: Int = 24,
       maxPerBucket: Int = 8
@@ -62,7 +65,7 @@ object DedupStream {
     val banded = DedupOps.minhashBanded(sigs, "doc_id", k / bands, bands)
       .select(col("doc_id"), col("band").cast("int").as("band"), col("bkey"))
       .as[(Long, Int, Long)]
-    banded
+    val perBucket = banded
       .groupByKey { case (_, band, bkey) => (band, bkey) }
       .flatMapGroupsWithState[BucketState, Candidate](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -80,6 +83,16 @@ object DedupStream {
           }
           if (kept != seen) state.update(BucketState(kept))
           out.result().iterator
+      }
+    // within-batch cross-band collapse: group on the pair, emit one
+    // row (lowest band), never touch state — nothing is persisted, so
+    // the bounded-state guarantee is unchanged and the per-batch cost
+    // is a shuffle of candidate-grain rows only
+    perBucket
+      .groupByKey(c => (c.doc_id, c.prior_doc_id))
+      .flatMapGroupsWithState[BucketState, Candidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, _) => Iterator.single(rows.minBy(_.band))
       }
   }
 

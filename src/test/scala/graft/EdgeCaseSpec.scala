@@ -128,6 +128,46 @@ class EdgeCaseSpec extends SparkSpec {
     assert(QueriesAnalytics.eventGapsOn(noEvents).count() == 0)
   }
 
+  test("lang confusion survives null text and a single-label corpus") {
+    // null text tokenizes to null hits -> every when() branch skips ->
+    // predicted "unknown"; a single-label corpus puts the whole window
+    // total on one label and the shares must still sum to ~1000
+    val dirty = Seq(
+      (1L, "en", "the cat is on the mat and it is flat"),
+      (2L, "en", null: String),
+      (3L, "en", "der hund ist nicht mit der katze und das ist gut")
+    ).toDF("doc_id", "lang", "text")
+    val m = QueriesText.langConfusionOn(dirty)
+      .select($"lang", $"predicted", $"n", $"lang_total", $"share_permille")
+      .as[(String, String, Long, Long, Long)].collect().toList
+    assert(m.map(r => (r._2, r._3)).toMap ==
+      Map("en" -> 1L, "unknown" -> 1L, "de" -> 1L), m)
+    assert(m.forall(_._4 == 3L), s"single-label total must span the corpus: $m")
+    // integer-permille shares: 333 each, floor division
+    assert(m.map(_._5).sum == 999L, m)
+  }
+
+  test("source quality survives null text and an all-null single source") {
+    // null text is unscoreable by contract: counted in n_docs, in no
+    // bucket; a source whose EVERY doc is null-text must report a NULL
+    // mean (sum over no rows), never crash or claim a score
+    val dirty = Seq(
+      ("a", "the cat is on the mat and it is flat so the rat sat"),
+      ("a", null: String),
+      ("b", null: String)
+    ).toDF("source", "text")
+    val q = QueriesText.sourceQualityOn(dirty)
+      .select($"source", $"n_docs", $"mean_quality_permille",
+        $"n_high" + $"n_medium" + $"n_low")
+      .as[(String, Long, Option[Long], Long)].collect().toList
+    val bySource = q.map(r => r._1 -> r).toMap
+    assert(bySource("a")._2 == 2L && bySource("a")._4 == 1L,
+      s"null-text doc counts in n_docs but lands in no bucket: $q")
+    assert(bySource("b")._2 == 1L && bySource("b")._4 == 0L, q.toString)
+    assert(bySource("b")._3.isEmpty, s"all-null source must have NULL mean: $q")
+    assert(bySource("a")._3.isDefined, q.toString)
+  }
+
   test("streaming dedup gate skips docs too short to sign") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -28,9 +28,13 @@ class DedupStreamSpec extends SparkSpec {
       // the shared 3-gram minhash bands must collide ACROSS batches
       in.addData(doc(11, base.replace("midnight", "dawn")), doc(12, unrelated.toUpperCase))
       q.processAllAvailable()
-      val pairs = spark.table("dedup_gate")
-        .select($"doc_id", $"prior_doc_id").distinct()
-        .as[(Long, Long)].collect().toSet
+      // no .distinct(): within a micro-batch the gate emits each pair
+      // once (cross-band collisions are collapsed to the lowest band)
+      val rows = spark.table("dedup_gate")
+        .select($"doc_id", $"prior_doc_id").as[(Long, Long)].collect().toSeq
+      assert(rows.size == rows.distinct.size,
+        s"pairs must be unique within a batch: $rows")
+      val pairs = rows.toSet
       assert(pairs.contains((11L, 1L)), s"near-dup must be flagged, got $pairs")
       assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 2L) },
         s"unrelated docs must not collide: $pairs")
@@ -49,9 +53,11 @@ class DedupStreamSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(doc(6, base))
       q.processAllAvailable()
-      val pairs = spark.table("dedup_gate_cap")
-        .select($"doc_id", $"prior_doc_id").distinct()
-        .as[(Long, Long)].collect().toSet
+      val capRows = spark.table("dedup_gate_cap")
+        .select($"doc_id", $"prior_doc_id").as[(Long, Long)].collect().toSeq
+      assert(capRows.size == capRows.distinct.size,
+        s"pairs must be unique within a batch: $capRows")
+      val pairs = capRows.toSet
       // doc 6 sees only the 2 retained ids (1, 2), not all 5 priors
       assert(pairs.contains((6L, 1L)) && pairs.contains((6L, 2L)), pairs.toString)
       assert(!pairs.exists { case (a, b) => a == 6L && b > 2L },
