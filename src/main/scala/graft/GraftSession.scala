@@ -39,8 +39,10 @@ object GraftSession {
       // partition-independent by contract (exact decimal/integer
       // math), so skip the sort
       .config("spark.sql.execution.sortBeforeRepartition", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark rejects;
-      // read as epoch-nanos long, Tables.events converts to micros.
+      // older testdata generations carry TIMESTAMP(NANOS) in
+      // events.parquet, which Spark rejects; read those as epoch-nanos
+      // long — Tables.normalizeEventTs converts either generation to a
+      // session-zone timestamp. No-op on TIMESTAMP_MICROS data.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // see tune(): object aggregates shouldn't sort-fall-back at
       // 128 groups

@@ -190,19 +190,17 @@ object QueriesEtl {
   }
 
   /** #12 watermark-filtered incremental read. The watermark compares
-    * against the RAW epoch-nanos column so the predicate reaches the
+    * against the RAW stored column (epoch-nanos long or
+    * TIMESTAMP_NTZ, per testdata generation — [[Tables.eventsAfter]]
+    * picks the matching literal domain) so the predicate reaches the
     * parquet scan (`PushedFilters: GreaterThan(ts, …)`) — an
     * incremental read that scans everything defeats itself at 100 TB. */
-  def incrementalRead(s: SparkSession, dir: String): DataFrame = {
-    val watermarkNanos = 1705276800000000000L // 2024-01-15T00:00:00Z
-    Tables.eventsRaw(s, dir)
-      .filter(col("ts") > lit(watermarkNanos))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def incrementalRead(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsAfter(s, dir, "2024-01-15 00:00:00")
       .select(
         col("event_id"), col("user_id"), col("event_type"),
         date_trunc("second", col("ts")).as("ts_s"), col("value")
       )
-  }
 
   /** #13 declarative data-quality suite as one conditional-agg pass
     * (the reference runs four Great Expectations suites; here each

@@ -59,21 +59,55 @@ object Tables {
   }
   def orders(s: SparkSession, d: String): DataFrame    = spread(s, table(s, d, "orders"), s"$d/orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = spread(s, table(s, d, "lineitem"), s"$d/lineitem")
-  /** `ts` is TIMESTAMP(NANOS) in the parquet; Spark reads it as
-    * epoch-nanos long (`nanosAsLong`, set by [[GraftSession]]) and we
-    * convert to a microsecond timestamp here with integer division
-    * (`div`, not `/` — double division would lose precision on
-    * 1.7e18-scale nanos). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    spread(s, raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))), s"$d/events")
-  }
+  /** `ts` normalization across testdata generations: older generators
+    * wrote TIMESTAMP(NANOS) — which Spark's reader rejects, so
+    * [[GraftSession]] sets `nanosAsLong` and the column arrives as an
+    * epoch-nanos long; current generators write TIMESTAMP_MICROS,
+    * which Spark reads as TIMESTAMP_NTZ. Both normalize to a
+    * session-zone TIMESTAMP (sessions run UTC, so the NTZ cast is a
+    * value identity) so every downstream consumer sees one type.
+    * Integer `div` on the nanos path — double division would lose
+    * precision on 1.7e18-scale nanos. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
-  /** Events with `ts` still epoch-nanos long. Predicates against the
-    * raw long push into the parquet scan; the converted column in
-    * [[events]] does not (the comparison wraps the column in an
-    * expression). Incremental/watermark reads must filter here. */
+  def events(s: SparkSession, d: String): DataFrame =
+    spread(s, normalizeEventTs(table(s, d, "events")), s"$d/events")
+
+  /** Raw events scan, `ts` in its STORED type (epoch-nanos long or
+    * TIMESTAMP_NTZ depending on testdata generation). Watermark
+    * predicates must compare in the stored domain to reach the
+    * parquet scan — use [[eventsAfter]], which picks the right
+    * literal domain for whichever schema is on disk. */
   def eventsRaw(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+
+  /** Watermark-filtered incremental events read: applies `ts > bound`
+    * in the stored column's own domain so the predicate pushes into
+    * the parquet scan (`PushedFilters: GreaterThan(ts, …)`) for
+    * either testdata generation, then normalizes `ts`. A filter on
+    * the CONVERTED column would wrap it in an expression and scan
+    * everything — at 100 TB that's reading a decade to get a day.
+    * @param bound "yyyy-MM-dd HH:mm:ss", interpreted as UTC. */
+  def eventsAfter(s: SparkSession, d: String, bound: String): DataFrame = {
+    val raw = table(s, d, "events")
+    val ldt = java.time.LocalDateTime.parse(bound,
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val pred = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") > lit(ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts") > lit(ldt)
+      case _ =>
+        col("ts") > lit(java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC)))
+    }
+    normalizeEventTs(raw.filter(pred))
+  }
 
   /** documents/embeddings ship as SINGLE-row-group parquet files:
     * the scan is unsplittable, so every pre-shuffle map (tokenize,

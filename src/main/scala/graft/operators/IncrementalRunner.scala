@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * `main.py` incremental mode + `watermark_manager.py` loop).
   *
   * The caller supplies a predicate builder so the comparison happens
-  * in whatever domain PUSHES DOWN for the source (e.g. raw epoch
-  * nanos for the events parquet — see `Tables.eventsRaw`); an
+  * in whatever domain PUSHES DOWN for the source (the stored ts type
+  * for the events parquet — see `Tables.eventsAfter`); an
   * incremental read whose filter doesn't reach the scan re-reads
   * history forever. A safety `bufferSeconds` re-reads a small overlap
   * for late arrivals, mirroring the reference's `buffer_minutes`

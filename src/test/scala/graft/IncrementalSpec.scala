@@ -8,15 +8,10 @@ import java.nio.file.Files
 class IncrementalSpec extends SparkSpec {
   import spark.implicits._
 
-  private def readEventsAfter(bound: String): DataFrame = {
-    // bound -> epoch nanos so the predicate pushes into the scan
-    val nanos = java.time.LocalDateTime
-      .parse(bound, java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
-    Tables.eventsRaw(spark, sf)
-      .filter(col("ts") > lit(nanos))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  // filters in the stored ts domain so the predicate pushes into the
+  // scan, whatever schema generation the testdata carries
+  private def readEventsAfter(bound: String): DataFrame =
+    Tables.eventsAfter(spark, sf, bound)
 
   test("incremental tick processes only new data and advances the mark") {
     val dir = Files.createTempDirectory("graft_inc").toString
