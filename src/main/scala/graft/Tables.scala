@@ -68,11 +68,29 @@ object Tables {
     * value identity) so every downstream consumer sees one type.
     * Integer `div` on the nanos path — double division would lose
     * precision on 1.7e18-scale nanos. */
+  /** The NTZ→TIMESTAMP cast and the TIMESTAMP literal in
+    * [[eventsAfter]] are value-identities ONLY under a UTC session
+    * zone (the long/nanos path is zone-independent). Enforce rather
+    * than document: an externally built session used before
+    * GraftSession.tune would otherwise silently shift every event
+    * timestamp by the zone offset. */
+  private[graft] def requireUtcSession(s: SparkSession, where: String): Unit = {
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    val normalized = java.time.ZoneId.of(tz).normalized()
+    if (normalized != java.time.ZoneOffset.UTC)
+      throw new IllegalStateException(
+        s"$where requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+          "the TIMESTAMP_NTZ->TIMESTAMP conversion of the events `ts` column is " +
+          "zone-dependent and would silently shift values. Build the session via " +
+          "GraftSession, or set the conf before reading events.")
+  }
+
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        requireUtcSession(df.sparkSession, "Tables.normalizeEventTs")
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
@@ -103,8 +121,15 @@ object Tables {
         col("ts") > lit(ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L)
       case org.apache.spark.sql.types.TimestampNTZType =>
         col("ts") > lit(ldt)
-      case _ =>
+      case org.apache.spark.sql.types.TimestampType =>
+        requireUtcSession(s, "Tables.eventsAfter")
         col("ts") > lit(java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC)))
+      case other =>
+        throw new IllegalStateException(
+          s"Tables.eventsAfter: unsupported stored type for events.ts: $other " +
+            "(expected LongType nanos, TIMESTAMP_NTZ, or TIMESTAMP). A new testdata " +
+            "generation needs an explicit literal-domain branch here so the watermark " +
+            "predicate still pushes into the parquet scan.")
     }
     normalizeEventTs(raw.filter(pred))
   }

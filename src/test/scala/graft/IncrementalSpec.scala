@@ -68,6 +68,32 @@ class IncrementalSpec extends SparkSpec {
     assert(!DataQuality.passed(DataQuality.run(dirty, Seq(DataQuality.NotNull("v")))))
   }
 
+  test("normalizeEventTs refuses a non-UTC session for NTZ inputs, accepts UTC aliases") {
+    val ntz = spark.range(1).select(expr("timestamp_ntz'2024-01-01 00:00:00'").as("ts"))
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val ex = intercept[IllegalStateException](Tables.normalizeEventTs(ntz))
+      assert(ex.getMessage.contains("UTC"))
+      // normalized aliases of UTC must all pass
+      Seq("UTC", "Etc/UTC", "GMT", "Z").foreach { alias =>
+        spark.conf.set(tzKey, alias)
+        assert(Tables.normalizeEventTs(ntz).schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampType)
+      }
+    } finally spark.conf.set(tzKey, saved)
+  }
+
+  test("eventsAfter fails loudly on an unsupported stored ts type") {
+    val dir = Files.createTempDirectory("graft_badts").toString
+    spark.range(3).selectExpr("cast(id as string) as ts", "id as event_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ex = intercept[IllegalStateException](
+      Tables.eventsAfter(spark, dir, "2024-01-01 00:00:00"))
+    assert(ex.getMessage.contains("StringType"))
+  }
+
   test("schema expectation reports missing and unexpected columns without a scan") {
     val df = Seq((1L, "a")).toDF("k", "v")
     assert(DataQuality.columnsMatchSet(df, Set("k", "v")).isEmpty)
