@@ -44,6 +44,22 @@ object Bench {
       }
     }
 
+    // load-calibration sentinel: a FIXED CPU-bound synthetic workload
+    // (no I/O, fixed 32-way partitioning independent of the cpu env)
+    // timed before and after the query loop. Its honest time is a
+    // machine constant, so a loaded/throttled bench box shows up as an
+    // inflated sentinel — any reader can normalize query times by
+    // cal_pre/cal_post instead of trusting the box (rounds 7 and 8
+    // both shipped distorted driver benches that only an out-of-band
+    // re-run could adjudicate). min-of-2 so one GC pause can't fake a
+    // loaded box.
+    def calibrate(): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, 32)
+        .selectExpr("sum(hash(id, id + 1))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     // session hygiene between timed windows: drop any cached frames
     // and checkpoint RDDs the query left behind, then drain pending
     // GC debt, so neither block-manager accumulation nor a deferred
@@ -66,6 +82,7 @@ object Bench {
     only.foreach { set =>
       System.err.println(s"\n${"!" * 72}\n[bench] SPARK_GRAFT_ONLY active — PARTIAL bench of ${set.size} queries: ${set.toSeq.sorted.mkString(",")}\n${"!" * 72}\n")
     }
+    val calPre = calibrate()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -88,6 +105,7 @@ object Bench {
       }.min // a crash in any run reports -1 — never read as a fast run
       name -> t
     }
+    val calPost = calibrate()
     // millisecond precision: full-precision doubles double the line
     // length, and the driver keeps only a bounded tail of the output —
     // a JSON line that doesn't fit is a JSON line that doesn't parse.
@@ -100,7 +118,9 @@ object Bench {
     val partial = if (only.isDefined) s""","partial":true""" else ""
     // runs is part of the artifact: a 1-run and a 3-run-min total are
     // not comparable, and the methodology must not live only in notes
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$partial}"""
+    // cal_pre/cal_post make a loaded box self-identifying (see
+    // BENCH_NOTES "Calibration sentinel" for the normalization rule)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cal_pre":${fmt(calPre)},"cal_post":${fmt(calPost)}$partial}"""
     println(line)
     // the driver's artifact keeps only a bounded TAIL of stdout, which
     // silently drops the first ~23 queries' timings once the line grows
@@ -109,6 +129,25 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // ALSO write a never-overwritten stamped copy for full (non-partial)
+    // runs: the round-8 judge re-run silently clobbered the driver's
+    // bench_times.json, losing the only full per-query r8 table. Stamp
+    // is SPARK_GRAFT_ROUND when the driver exports it, else a UTC
+    // timestamp; an existing file is never replaced — a "-N" suffix is
+    // appended so every full bench run leaves its own artifact.
+    if (only.isEmpty) {
+      val stamp = sys.env.get("SPARK_GRAFT_ROUND").map(r => s"r$r").getOrElse {
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+          .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+      }
+      val base = s"bench_times_$stamp"
+      val target = Iterator.single(s"$base.json")
+        .concat(Iterator.from(1).map(i => s"$base-$i.json"))
+        .map(java.nio.file.Paths.get(_))
+        .find(p => !java.nio.file.Files.exists(p)).get
+      try java.nio.file.Files.writeString(target, line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] could not write $target: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }
