@@ -34,26 +34,31 @@ object DedupStream {
   final case class Doc(doc_id: Long, text: String, ts: Timestamp)
   final case class Candidate(doc_id: Long, prior_doc_id: Long, band: Int)
   final case class BucketState(ids: List[Long])
+  /** One-bit per-pair marker: existence IS the bit (the field only
+    * keeps the encoder non-degenerate). */
+  final case class PairSeen(seen: Boolean = true)
 
   /** Candidate pairs from a stream of docs. `n`/`k`/`bands` must
     * match the batch index's parameters.
     *
-    * CONTRACT: within a micro-batch the output is a candidate SET —
-    * a pair colliding in several bands is collapsed to one row
-    * carrying the lowest colliding band (bucket groups are processed
-    * independently, so the collapse is a second, zero-state pass
-    * keyed on the pair; candidates are collision-rare, so that extra
-    * shuffle moves candidate-grain rows, never doc-grain). ACROSS
-    * micro-batches the multiset caveat remains in one narrow case: a
-    * doc_id landing in a saturated bucket is not recorded in state,
-    * so the same doc re-arriving in a later batch re-emits its
-    * pairs. That is safe by design — the pipeline contract is
-    * generate-then-verify and [[graft.text.DedupOps.verifyPairsExact]]
-    * is idempotent per pair — and deduplicating it would need an
-    * unbounded seen-pairs state, breaking the bounded-state guarantee
-    * that makes the gate deployable. Exactly-once-style sinks keyed
-    * on (doc_id, prior_doc_id) are therefore safe within any batch
-    * and idempotent across the saturated-bucket replay. */
+    * CONTRACT: the output is a candidate SET across the whole stream —
+    * each (doc_id, prior_doc_id) pair is emitted exactly once. Within
+    * a micro-batch, cross-band collisions collapse to one row carrying
+    * the lowest colliding band; across micro-batches, a persisted
+    * per-pair seen-bit suppresses replays (the one replay source: a
+    * doc re-arriving in a SATURATED bucket is not in bucket state, so
+    * the bucket stage re-emits its pairs — the seen-bit stage drops
+    * them). The pair stage is keyed on the pair, so its shuffle moves
+    * candidate-grain rows only, never doc-grain.
+    *
+    * State bounds: bucket state is #buckets × maxPerBucket ids (the
+    * band index itself). Pair state is one bit per DISTINCT emitted
+    * candidate pair — by construction ≤ bands × maxPerBucket pairs per
+    * doc lifetime, i.e. the same cardinality the downstream verify
+    * sink already ingests; a gate whose output fits the sink has pair
+    * state that fits beside it. Both states shard across partitions by
+    * their group keys, which is how a 100 TB corpus's index
+    * distributes. */
   def candidates(
       docs: DataFrame, n: Int = 3, k: Int = 48, bands: Int = 24,
       maxPerBucket: Int = 8
@@ -84,15 +89,20 @@ object DedupStream {
           if (kept != seen) state.update(BucketState(kept))
           out.result().iterator
       }
-    // within-batch cross-band collapse: group on the pair, emit one
-    // row (lowest band), never touch state — nothing is persisted, so
-    // the bounded-state guarantee is unchanged and the per-batch cost
-    // is a shuffle of candidate-grain rows only
+    // pair stage: collapse cross-band collisions within the batch AND
+    // persist a one-bit seen marker per pair, so a saturated-bucket
+    // replay in a later batch is dropped instead of re-emitted —
+    // exactly-once per pair for the stream's lifetime
     perBucket
       .groupByKey(c => (c.doc_id, c.prior_doc_id))
-      .flatMapGroupsWithState[BucketState, Candidate](
+      .flatMapGroupsWithState[PairSeen, Candidate](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, _) => Iterator.single(rows.minBy(_.band))
+        case (_, rows, state: GroupState[PairSeen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(PairSeen())
+            Iterator.single(rows.minBy(_.band))
+          }
       }
   }
 

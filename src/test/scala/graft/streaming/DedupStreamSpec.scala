@@ -64,4 +64,29 @@ class DedupStreamSpec extends SparkSpec {
         s"state must cap at maxPerBucket ids: $pairs")
     } finally q.stop()
   }
+
+  test("saturated-bucket re-arrival across batches emits each pair exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[DedupStream.Doc]
+    val q = DedupStream.candidates(in.toDF(), maxPerBucket = 2)
+      .writeStream.format("memory").queryName("dedup_gate_replay").outputMode("append").start()
+    try {
+      // batch 1: bucket saturates at ids 1,2; doc 3 emits (3,1),(3,2)
+      // but is NOT recorded in bucket state
+      in.addData(doc(1, base), doc(2, base), doc(3, base))
+      q.processAllAvailable()
+      // batch 2: doc 3 RE-ARRIVES (the replay case) plus a genuinely
+      // new doc 4
+      in.addData(doc(3, base), doc(4, base))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_gate_replay")
+        .select($"doc_id", $"prior_doc_id").as[(Long, Long)].collect().toSeq
+      assert(rows.size == rows.distinct.size,
+        s"each pair must be emitted exactly once across batches: $rows")
+      val pairs = rows.toSet
+      assert(pairs == Set((2L, 1L), (3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L)),
+        s"replayed doc must not re-emit, new doc must still gate: $pairs")
+    } finally q.stop()
+  }
 }
