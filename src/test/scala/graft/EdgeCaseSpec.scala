@@ -168,6 +168,58 @@ class EdgeCaseSpec extends SparkSpec {
     assert(bySource("a")._3.isDefined, q.toString)
   }
 
+  test("yearly distincts: NULL years and empty tables, with the rewrite on and off") {
+    import graft.plans.ExpandFreeDistinct
+    // a tiny orders table with a NULL o_orderdate (-> NULL year group)
+    // and a year (1997) carried by a single row
+    val dir = java.nio.file.Files.createTempDirectory("graft_yd").toString
+    Seq(
+      (1L, java.sql.Date.valueOf("1995-01-03"), "1-URGENT", "O"),
+      (2L, java.sql.Date.valueOf("1995-06-09"), "2-HIGH", "F"),
+      (2L, null.asInstanceOf[java.sql.Date], "2-HIGH", "O"),
+      (3L, null.asInstanceOf[java.sql.Date], "3-MEDIUM", "O"),
+      (4L, java.sql.Date.valueOf("1997-12-31"), "1-URGENT", "P")
+    ).toDF("o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    def run(): Seq[(Option[Int], Long, Long, Long, Long)] =
+      QueriesAnalytics.yearlyDistincts(spark, dir)
+        .as[(Option[Int], Long, Long, Long, Long)].collect().toSeq
+
+    val saved = spark.conf.getOption(ExpandFreeDistinct.ConfKey)
+    val withRule = try { spark.conf.set(ExpandFreeDistinct.ConfKey, "true"); run() }
+    finally saved.fold(spark.conf.unset(ExpandFreeDistinct.ConfKey))(
+      spark.conf.set(ExpandFreeDistinct.ConfKey, _))
+    val withoutRule = try { spark.conf.set(ExpandFreeDistinct.ConfKey, "false"); run() }
+    finally saved.fold(spark.conf.unset(ExpandFreeDistinct.ConfKey))(
+      spark.conf.set(ExpandFreeDistinct.ConfKey, _))
+
+    assert(withRule == withoutRule,
+      s"rewrite must be result-identical:\n on=$withRule\n off=$withoutRule")
+    // NULL year is a real group: custkeys {2,3}, priorities
+    // {2-HIGH,3-MEDIUM}, statuses {O}, 2 orders
+    val byYear = withRule.map(r => r._1 -> r).toMap
+    assert(byYear.contains(None), s"NULL-year group must survive the rewrite: $withRule")
+    assert(byYear(None) == ((None, 2L, 2L, 1L, 2L)), byYear(None).toString)
+    // a single-row year counts its one-of-each distincts
+    assert(byYear(Some(1997)) == ((Some(1997), 1L, 1L, 1L, 1L)), byYear.toString)
+    // NULLS: count(DISTINCT) never counts the null year as a value col
+    assert(byYear(Some(1995)) == ((Some(1995), 2L, 2L, 2L, 2L)), byYear.toString)
+
+    // empty table: zero groups, no throw, both paths
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_yd_empty").toString
+    Seq.empty[(Long, java.sql.Date, String, String)]
+      .toDF("o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$emptyDir/orders.parquet")
+    Seq("true", "false").foreach { v =>
+      try {
+        spark.conf.set(ExpandFreeDistinct.ConfKey, v)
+        assert(QueriesAnalytics.yearlyDistincts(spark, emptyDir).count() == 0)
+      } finally saved.fold(spark.conf.unset(ExpandFreeDistinct.ConfKey))(
+        spark.conf.set(ExpandFreeDistinct.ConfKey, _))
+    }
+  }
+
   test("streaming dedup gate skips docs too short to sign") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
