@@ -98,6 +98,43 @@ object Ivf {
     Index(cids, cents, centroids, lists)
   }
 
+  /** Persist a built index as a standalone parquet artifact:
+    * `<path>/centroids.parquet` (cid, centroid) and
+    * `<path>/lists.parquet` (id, cid, __c, vector) — the inverted file
+    * laid out `partitionBy(cid)`. This is the build-once / probe-many
+    * split of a real ANN deployment: the Lloyd iterations run once,
+    * the artifact outlives the session, and every later probe routes
+    * straight into the stored lists. The cid directory layout means a
+    * probe that touches `nprobe` lists READS `nprobe` directories
+    * (static/dynamic partition pruning on the routing join) instead of
+    * re-scanning the corpus — at 100 TB the difference between an
+    * index and a decoration. */
+  def save(index: Index, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids.parquet")
+    // k directories; each list is written from the partitions that hold
+    // it (no pre-shuffle: the lists frame is already corpus-partitioned
+    // and each task appends to the cid dirs it sees — at k≈thousands
+    // use repartition(cid) first to bound open writers per task)
+    index.lists.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/lists.parquet")
+  }
+
+  /** Load a [[save]]d index. Driver footprint is k centroid vectors —
+    * the same bound as [[build]] — and the lists stay a lazy
+    * parquet-backed frame (persisted for probe-many reuse; `release()`
+    * when done). Column names (id, vector) travel in the artifact's
+    * schema, so load needs no schema arguments. */
+  def load(s: SparkSession, path: String): Index = {
+    val centroids = s.read.parquet(s"$path/centroids.parquet")
+    val pairs = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1) // NearestCentroid requires cid-ascending order
+    require(pairs.nonEmpty, s"Ivf.load: empty centroid set at $path")
+    val lists = s.read.parquet(s"$path/lists.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Index(pairs.map(_._1), pairs.map(_._2), centroids, lists)
+  }
+
   /** EXACT top-k probe: IVF with a triangle-inequality completeness
     * bound (the ball-pruning of FLANN/FAISS exact modes, in angular
     * space). Phase 1 scans the `nprobe` closest lists and takes the

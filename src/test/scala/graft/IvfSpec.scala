@@ -83,6 +83,40 @@ class IvfSpec extends SparkSpec {
     index.release()
   }
 
+  test("saved index round-trips: probe on the loaded artifact equals brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val built = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Ivf.save(built, dir)
+
+    val loaded = Ivf.load(spark, dir)
+    // structure survives: same centroid set, same inverted file
+    assert(loaded.cids.toSeq == built.cids.toSeq)
+    assert(loaded.lists.count() == built.lists.count())
+    assert(loaded.lists.select("vec_id", "cid").exceptAll(
+      built.lists.select("vec_id", "cid")).isEmpty)
+    built.release()
+
+    // probe-many against the loaded artifact, no rebuild: exact probe
+    // must equal brute force (the build+probe guarantee, now through
+    // the persistence boundary)
+    val queries = emb.where($"vec_id" < 5)
+    val probed = Ivf.probeExact(loaded, queries, "vec_id", "embedding", nprobe = 2, topK = 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val brute = graft.vector.VectorOps.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(probed == brute, "loaded-index exact probe must equal brute force")
+
+    // the lists artifact is cid-partitioned on disk: probing specific
+    // lists can prune directories instead of scanning the corpus
+    val listDirs = new java.io.File(s"$dir/lists.parquet").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).toSet
+    assert(listDirs.size == built.cids.length, s"one directory per list: $listDirs")
+    loaded.release()
+  }
+
   implicit class MapOps2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
