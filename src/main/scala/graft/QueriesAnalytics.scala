@@ -20,6 +20,10 @@ object QueriesAnalytics {
   private def revenue =
     sum(Money.dec(col("l_extendedprice")) * (lit(1) - Money.dec(col("l_discount")))).cast("double")
 
+  /** Conf key flipping [[kpiSummary]] to its cached-projection
+    * formulation (default off — see the trade-off note there). */
+  val KpiCachedProjectionKey = "spark.graft.kpi.cachedProjection"
+
   /** #14 KPI card totals (dashboard.py:128-140).
     *
     * The three distinct counts run as separate single-column
@@ -34,30 +38,49 @@ object QueriesAnalytics {
     * plus one column-pruned scan per distinct), betting that shuffle
     * dominates — true on warm/columnar storage where each extra pass
     * reads ONE dictionary-encoded integer column (~2% of the table
-    * bytes), which is why it wins here. On a cluster that is
-    * scan-bound on cold object storage, flip the bet: cache one
-    * narrow projection of the three key columns and run the distincts
-    * over it, or accept the Expand's 4× shuffle for its single scan.
+    * bytes), which is why it wins here and is the default. On a
+    * cluster that is scan-bound on cold object storage, flip
+    * [[KpiCachedProjectionKey]]: ONE narrow 3-key-column projection is
+    * cached, the three distincts run over the cached frame, and the
+    * fact is scanned twice total (base agg + projection) instead of
+    * four times. Both paths are result-identical (spec-asserted); the
+    * sf0.1 measurement lives in BENCH_NOTES "KPI cached-projection".
+    * The 1-row result is eagerly materialized on the cached path so
+    * the cache can be dropped before returning — a leaked cache would
+    * tax every later query in the session.
     *
-    * Pure-SQL users get this rewrite automatically: the injected
-    * optimizer rule [[graft.plans.ExpandFreeDistinct]] generalizes
-    * exactly this shape to any eligible global multi-distinct. */
+    * Pure-SQL users get the default rewrite automatically: the
+    * injected optimizer rule [[graft.plans.ExpandFreeDistinct]]
+    * generalizes exactly this shape to any eligible global
+    * multi-distinct. */
   def kpiSummary(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    // count(col), not count(1): a NULL key must not count as a
-    // distinct value (countDistinct / DuckDB count(DISTINCT) exclude it)
-    def nDistinct(c: String, as: String): DataFrame =
-      li.select(c).distinct().agg(count(col(c)).as(as))
-    li.agg(
+    val base = li.agg(
         revenue.as("total_revenue"),
         count(lit(1)).as("total_line_items"),
         Money.scaledSum(col("l_extendedprice"), 2).as("__sp"))
-      .crossJoin(nDistinct("l_orderkey", "total_orders"))
-      .crossJoin(nDistinct("l_partkey", "distinct_parts"))
-      .crossJoin(nDistinct("l_suppkey", "distinct_suppliers"))
-      .withColumn("avg_line_price", Money.avgFromScaled(col("__sp"), col("total_line_items"), 2))
-      .select(col("total_revenue"), col("total_orders"), col("total_line_items"),
-        col("distinct_parts"), col("distinct_suppliers"), col("avg_line_price"))
+    // count(col), not count(1): a NULL key must not count as a
+    // distinct value (countDistinct / DuckDB count(DISTINCT) exclude it)
+    def finish(nDistinct: (String, String) => DataFrame): DataFrame =
+      base
+        .crossJoin(nDistinct("l_orderkey", "total_orders"))
+        .crossJoin(nDistinct("l_partkey", "distinct_parts"))
+        .crossJoin(nDistinct("l_suppkey", "distinct_suppliers"))
+        .withColumn("avg_line_price", Money.avgFromScaled(col("__sp"), col("total_line_items"), 2))
+        .select(col("total_revenue"), col("total_orders"), col("total_line_items"),
+          col("distinct_parts"), col("distinct_suppliers"), col("avg_line_price"))
+    if (s.conf.get(KpiCachedProjectionKey, "false").toBoolean) {
+      val keys = li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val out = finish((c, as) => keys.select(c).distinct().agg(count(col(c)).as(as)))
+        // 1 row by construction: collect it so the cache can drop NOW,
+        // and hand back a driver-local frame (no lingering persisted
+        // RDD — a localCheckpoint would itself pin one)
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally keys.unpersist(blocking = false)
+    } else
+      finish((c, as) => li.select(c).distinct().agg(count(col(c)).as(as)))
   }
 
   /** #15 top-10 products by revenue (dashboard.py:190-199). */

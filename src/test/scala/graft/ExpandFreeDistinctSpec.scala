@@ -177,4 +177,21 @@ class ExpandFreeDistinctSpec extends SparkSpec {
     finally spark.conf.unset(ExpandFreeDistinct.ConfKey)
     assert(ExpandFreeDistinct(analyzed) != analyzed, "re-enabled rule must fire again")
   }
+
+  test("kpi summary: cached-projection variant is result-identical and drops its cache") {
+    import graft.QueriesAnalytics
+    def run(): Seq[org.apache.spark.sql.Row] =
+      QueriesAnalytics.kpiSummary(spark, sf).collect().toSeq
+    val multiScan = run()
+    spark.conf.set(QueriesAnalytics.KpiCachedProjectionKey, "true")
+    val cachedPath =
+      try run()
+      finally spark.conf.unset(QueriesAnalytics.KpiCachedProjectionKey)
+    assert(cachedPath == multiScan,
+      s"variants must be result-identical:\n 4-scan=$multiScan\n cached=$cachedPath")
+    // the narrow projection must not leak: a persisted RDD surviving
+    // the call would tax every later query in the session
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
 }
