@@ -44,15 +44,20 @@ object ScdStream {
     currentStatePath(dir).map(spark.read.parquet(_))
 
   /** Wire a streaming updates source into an SCD2-merging sink.
-    * Call `.trigger(...).start()` on the result. */
+    * Call `.trigger(...).start()` on the result. `prepare` runs on
+    * each micro-batch BEFORE the merge (within-batch silver cleaning /
+    * latest-wins dedup — aggregations that a streaming frame can't
+    * carry but a foreachBatch frame can). */
   def writer(
       updates: DataFrame,
       stateDir: String,
       key: Seq[String],
       tracked: Seq[String],
-      asOfForBatch: Long => org.apache.spark.sql.Column
+      asOfForBatch: Long => org.apache.spark.sql.Column,
+      prepare: DataFrame => DataFrame = identity
   ): DataStreamWriter[org.apache.spark.sql.Row] =
-    updates.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    updates.writeStream.foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+      val batch = prepare(rawBatch)
       val spark = batch.sparkSession
       val versionPath = s"$stateDir/state_v$batchId"
       // Crash-recovery idempotence. foreachBatch replays a batch if a
