@@ -20,11 +20,36 @@ import graft.functions.Money
   *    whole fact twice (window, then distinct).
   */
 object Gold {
+  private def parseBytes(v: String): Long =
+    try v.trim.toLong
+    catch { case _: NumberFormatException =>
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v.trim) }
+
+  /** Broadcast hint, SIZE-GATED on Catalyst's own estimate vs the
+    * session broadcast threshold. An unconditional `broadcast(dim)`
+    * hint overrides the threshold — at TB dimension scale (customer on
+    * a 100 TB deployment) it would OOM the driver instead of degrading
+    * to a shuffle join. The gate keeps the hint's benefit where stats
+    * UNDER-estimate small dims and steps aside when the dim outgrows
+    * the threshold, letting Spark/AQE pick the shuffle join — the
+    * graceful-degradation contract in BENCH_NOTES "100 TB projection",
+    * spec-asserted in ScaleUpSpec across a real size flip. */
+  def maybeBroadcast(dim: DataFrame): DataFrame = {
+    val threshold = parseBytes(dim.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    // threshold <= 0 means the user disabled broadcasting: honor it
+    if (threshold > 0 &&
+      dim.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold))
+      broadcast(dim)
+    else dim
+  }
+
   /** Enrich a fact with dimensions. Each dim is (df, joinExpr);
-    * `broadcastDim = true` hints all dims as broadcast. */
+    * `broadcastDim = true` broadcast-hints each dim that passes the
+    * [[maybeBroadcast]] size gate. */
   def starJoin(fact: DataFrame, dims: Seq[(DataFrame, Column)], broadcastDims: Boolean = true): DataFrame =
     dims.foldLeft(fact) { case (acc, (dim, cond)) =>
-      acc.join(if (broadcastDims) broadcast(dim) else dim, cond, "inner")
+      acc.join(if (broadcastDims) maybeBroadcast(dim) else dim, cond, "inner")
     }
 
   /** Per-entity behavioral metrics (customer_metrics_gold.py:30-44).
