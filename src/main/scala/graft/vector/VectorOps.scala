@@ -100,11 +100,28 @@ object VectorOps {
     * top-k at scale use [[lshTopK]] instead; the thresholded
     * NEAR-DUP decision (cos ≥ 0.8-ish, wide margins) can layer LSH
     * candidates in front, but the exact threshold operator is this. */
+  /** Tile grid for the exact all-pairs scans, sized to the corpus:
+    * ~`TileSide` vectors per block keeps each task's tile at a bounded
+    * ~1M scored pairs whatever the corpus size — with a FIXED grid,
+    * per-task work grows (n/B)², and at 10× the corpus every tile
+    * task is a 100× straggler. Floor 16 preserves local parallelism
+    * on small corpora; cap 512 bounds the tile-id space (task count
+    * B², shuffle volume n·B). The count is one cheap metadata-heavy
+    * job against the O(n²) scoring it sizes. */
+  private val TileSide = 1000L
+  private def autoBlocks(corpus: DataFrame, explicit: Int): Int =
+    if (explicit > 0) explicit
+    else {
+      val n = corpus.count()
+      math.min(512L, math.max(16L, (n + TileSide - 1) / TileSide)).toInt
+    }
+
   def cosinePairs(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
-      blocks: Int = 16
+      blocks: Int = 0
   )(implicit spark: SparkSession): DataFrame = {
-    val b = lit(blocks)
+    val blockCount = autoBlocks(corpus, blocks)
+    val b = lit(blockCount)
     val withBlock = corpus.select(
       col(idCol), col(vecCol),
       pmod(xxhash64(col(idCol)), b.cast("long")).cast("int").as("__b"))
@@ -116,7 +133,7 @@ object VectorOps {
     // OUTPUT the (n/B)² pair explosion — coalescing from input stats
     // would serialize the scoring; an explicit count is exempt and
     // matches the join keys, so no extra exchange)
-    val tileParts = blocks * blocks
+    val tileParts = blockCount * blockCount
     val rows = withBlock.select(
       col(idCol).as("id1"), col(vecCol).as("__v1"),
       col("__b").as("__ti"), explode(sequence(col("__b"), b - 1)).as("__tj"))
@@ -154,9 +171,10 @@ object VectorOps {
     * neighbor is by definition in its tile's local top-k. */
   def knnJoinExact(
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      blocks: Int = 8
+      blocks: Int = 0
   )(implicit spark: SparkSession): DataFrame = {
-    val b = lit(blocks)
+    val blockCount = autoBlocks(corpus, blocks)
+    val b = lit(blockCount)
     val withBlock = corpus.select(
       col(idCol), col(vecCol),
       pmod(xxhash64(col(idCol)), b.cast("long")).cast("int").as("__b"))
@@ -166,7 +184,7 @@ object VectorOps {
     // input stats and would fold the tiles onto 1-2 cores, serializing
     // the scoring. A fixed partition count is exempt from coalescing,
     // and since it matches the join keys no further exchange is added.
-    val tileParts = blocks * blocks
+    val tileParts = blockCount * blockCount
     val q = withBlock.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv"),
       col("__b").as("__qb"), explode(sequence(lit(0), b - 1)).as("__cb"))
