@@ -30,9 +30,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def main(sfdir, outdir):
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        p = f"{sfdir}/{t}.parquet"
+        # driver testdata ships single files; generated sf1 ships
+        # directory-style parquet (many part files) — glob those
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     fails = []
     for name, sql in sorted(oracle.items()):
