@@ -331,25 +331,32 @@ object QueriesScale {
 
   /** #55 Space-Saving top-k frequent words per language, verified
     * end to end: the sketch (native TypedImperativeAggregate, bounded
-    * memory per group at any vocabulary size) nominates 32 candidates
-    * per language (6× the emitted 5, so a true heavy hitter would
-    * need 28 over-counted words ranked above it to be displaced —
-    * impossible while err <= N/256 stays far below the top-5 gap);
-    * their EXACT counts are then recomputed over only
+    * memory per group at any vocabulary size) nominates 128 candidates
+    * from a 1024-slot sketch per language (26× the emitted 5); their
+    * EXACT counts are then recomputed over only
     * the candidate words (broadcast semi-join — the recount is
     * proportional to candidates, not vocabulary) and the final top-5
     * is ranked by exact count. The emitted rows are therefore defined
     * by the data alone (DuckDB recomputes them), while `bracket_ok`
     * checks the Space-Saving guarantee est >= exact >= est − err
     * Spark-side. A sketch that loses a heavy hitter or breaks its
-    * error bound fails CORRECTNESS. */
+    * error bound fails CORRECTNESS.
+    *
+    * Nomination depth is a RECALL dial against tie structure: the sf1
+    * rehearsal's renamed vocabulary makes every word a ~10-way exact
+    * count tie, so the true top-5 hides among ~50 same-count tokens —
+    * the previous 32-of-256 nomination missed one (caught by the sf1
+    * DuckDB sweep, BENCH_NOTES round 9). 128-of-1024 restores the
+    * superset margin at 10× scale while keeping the recount
+    * candidate-bounded; on a real Zipf corpus margins are wide and
+    * the depth is pure safety. */
   def topkWords(s: SparkSession, dir: String): DataFrame = {
     TopKSketchAgg.register(s)
     val words = Tables.documents(s, dir)
       .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
     val nominated = words.groupBy("lang")
-      .agg(call_function("topk_sketch", col("word"), lit(256)).as("top"))
-      .select(col("lang"), explode(slice(col("top"), 1, 32)).as("c"))
+      .agg(call_function("topk_sketch", col("word"), lit(1024)).as("top"))
+      .select(col("lang"), explode(slice(col("top"), 1, 128)).as("c"))
       .select(col("lang"), col("c.item").as("word"),
         col("c.count").as("__est"), col("c.err").as("__err"))
     val exact = words.join(broadcast(nominated.select("lang", "word")), Seq("lang", "word"))
