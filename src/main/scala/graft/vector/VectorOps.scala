@@ -104,16 +104,19 @@ object VectorOps {
     * ~`TileSide` vectors per block keeps each task's tile at a bounded
     * ~1M scored pairs whatever the corpus size — with a FIXED grid,
     * per-task work grows (n/B)², and at 10× the corpus every tile
-    * task is a 100× straggler. Floor 16 preserves local parallelism
-    * on small corpora; cap 512 bounds the tile-id space (task count
-    * B², shuffle volume n·B). The count is one cheap metadata-heavy
-    * job against the O(n²) scoring it sizes. */
+    * task is a 100× straggler. Floor 8 preserves local parallelism on
+    * small corpora without drowning them in tile overhead (B² tiles
+    * of (n/B)² pairs: at 2k vectors, 64 tiles of ~62k pairs is
+    * work-dominated, 256 tiles of ~15k pairs is overhead-dominated —
+    * measured 2.5× slower); cap 512 bounds the tile-id space (task
+    * count B², shuffle volume n·B). The count is one cheap
+    * metadata-heavy job against the O(n²) scoring it sizes. */
   private val TileSide = 1000L
   private def autoBlocks(corpus: DataFrame, explicit: Int): Int =
     if (explicit > 0) explicit
     else {
       val n = corpus.count()
-      math.min(512L, math.max(16L, (n + TileSide - 1) / TileSide)).toInt
+      math.min(512L, math.max(8L, (n + TileSide - 1) / TileSide)).toInt
     }
 
   def cosinePairs(
