@@ -25,6 +25,25 @@ object Oracles {
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
 
   val etl: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_custkey AS custkey, count(*) AS old_n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS oc
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01' GROUP BY 1
+        |), cur AS (
+        |  SELECT o_custkey AS custkey, count(*) AS new_n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS nc
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT custkey,
+        |  CASE WHEN old_n_orders IS NULL THEN 'insert'
+        |       WHEN new_n_orders IS NULL THEN 'delete'
+        |       WHEN old_n_orders <> new_n_orders OR oc <> nc THEN 'update'
+        |       ELSE 'unchanged' END AS change_type,
+        |  old_n_orders, new_n_orders,
+        |  CAST(oc AS DOUBLE) / 100.0 AS old_total,
+        |  CAST(nc AS DOUBLE) / 100.0 AS new_total
+        |FROM old FULL JOIN cur USING (custkey)""".stripMargin,
     "q_column_profile" ->
       """WITH s AS (
         |  SELECT 'c_custkey' AS column_name, CAST(c_custkey AS VARCHAR) AS v FROM customer
@@ -218,6 +237,60 @@ object Oracles {
   )
 
   val analytics: Map[String, String] = Map(
+    "q_rfm_segments" ->
+      """WITH m AS (
+        |  SELECT o_custkey AS custkey,
+        |    max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT custkey,
+        |    CAST(date_diff('day', last_d, (SELECT max(last_d) FROM m)) AS BIGINT) AS recency_days,
+        |    frequency, cents
+        |  FROM m
+        |), rk AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY recency_days, custkey) AS rr,
+        |    row_number() OVER (ORDER BY frequency, custkey) AS rf,
+        |    row_number() OVER (ORDER BY cents, custkey) AS rm,
+        |    count(*) OVER () AS n
+        |  FROM r
+        |), bk AS (
+        |  SELECT
+        |    max(CASE WHEN rr = (25*n+99)//100 THEN recency_days END) AS r25,
+        |    max(CASE WHEN rr = (50*n+99)//100 THEN recency_days END) AS r50,
+        |    max(CASE WHEN rr = (75*n+99)//100 THEN recency_days END) AS r75,
+        |    max(CASE WHEN rf = (25*n+99)//100 THEN frequency END) AS f25,
+        |    max(CASE WHEN rf = (50*n+99)//100 THEN frequency END) AS f50,
+        |    max(CASE WHEN rf = (75*n+99)//100 THEN frequency END) AS f75,
+        |    max(CASE WHEN rm = (25*n+99)//100 THEN cents END) AS m25,
+        |    max(CASE WHEN rm = (50*n+99)//100 THEN cents END) AS m50,
+        |    max(CASE WHEN rm = (75*n+99)//100 THEN cents END) AS m75
+        |  FROM rk
+        |), sc AS (
+        |  SELECT custkey, recency_days, frequency,
+        |    CAST(cents AS DOUBLE) / 100.0 AS monetary,
+        |    CAST(5 - (1 + CASE WHEN recency_days > r25 THEN 1 ELSE 0 END
+        |                + CASE WHEN recency_days > r50 THEN 1 ELSE 0 END
+        |                + CASE WHEN recency_days > r75 THEN 1 ELSE 0 END) AS BIGINT) AS r_score,
+        |    CAST(1 + CASE WHEN frequency > f25 THEN 1 ELSE 0 END
+        |           + CASE WHEN frequency > f50 THEN 1 ELSE 0 END
+        |           + CASE WHEN frequency > f75 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+        |    CAST(1 + CASE WHEN cents > m25 THEN 1 ELSE 0 END
+        |           + CASE WHEN cents > m50 THEN 1 ELSE 0 END
+        |           + CASE WHEN cents > m75 THEN 1 ELSE 0 END AS BIGINT) AS m_score
+        |  FROM r CROSS JOIN bk
+        |)
+        |SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+        |       WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+        |       WHEN r_score >= 4 THEN 'recent'
+        |       WHEN m_score >= 4 THEN 'big_spender'
+        |       WHEN r_score <= 1 AND f_score >= 3 THEN 'at_risk'
+        |       WHEN r_score <= 1 THEN 'lost'
+        |       ELSE 'regular' END AS segment
+        |FROM sc""".stripMargin,
     "q_event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
@@ -533,6 +606,26 @@ object Oracles {
       |WHERE s*100 >= (c1.n + c2.n - s)*$minPct""".stripMargin
 
   val text: Map[String, String] = Map(
+    "q_lexical_diversity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2
+        |), d AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct,
+        |    CAST(sum(c * c) AS BIGINT) AS ssq
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CASE WHEN n_tokens > 1
+        |    THEN CAST(ssq - n_tokens AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS simpson,
+        |  CAST(n_tokens * n_tokens AS DOUBLE) / CAST(ssq AS DOUBLE) AS eff_vocab
+        |FROM d""".stripMargin,
     "q_source_diversity" ->
       """WITH tc AS (
         |  SELECT source, tok, count(*) AS c

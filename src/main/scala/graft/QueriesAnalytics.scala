@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Money
@@ -468,7 +468,85 @@ object QueriesAnalytics {
         |ORDER BY order_year""".stripMargin)
   }
 
+  /** #105 RFM customer segmentation — recency (days since last order
+    * at the corpus as-of date) / frequency (order count) / monetary
+    * (exact decimal revenue) per customer, quartile scores against
+    * EXACT distribution breakpoints, and a rule-based segment label.
+    * The customer-value report every sales dashboard grows into
+    * (the reference's customer_metrics is its precursor).
+    *
+    * Scale shape: metrics are one map-side-combined groupBy on
+    * custkey, persisted once (three breakpoint passes + the final
+    * scoring read it). Breakpoints come from
+    * [[graft.operators.Quantiles.selectAtRanks]] — never a global
+    * sort of the customer grain — and join back as one broadcast
+    * row. Scores are value-based (score = #breakpoints strictly
+    * below), so ties get equal scores and the result is independent
+    * of partitioning; an ntile formulation would need a global
+    * row_number AND make tied customers' scores order-dependent. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    // the corpus as-of date is the global max order date — a pruned
+    // 1-column scan (parquet stats short-circuit it), computed once,
+    // broadcast once; deriving it from the customer grain would pin
+    // the grain behind a second aggregation
+    val asof = o.agg(to_date(max(col("o_orderdate"))).as("__asof")) // to_date AFTER max: monotone, lets the agg run on the raw column
+    val met = o
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        max(to_date(col("o_orderdate"))).as("__last"),
+        count(lit(1)).as("frequency"),
+        Money.scaledSum(col("o_totalprice"), 2).as("__cents"))
+      .crossJoin(broadcast(asof))
+      .select(
+        col("custkey"),
+        datediff(col("__asof"), col("__last")).cast("long").as("recency_days"),
+        col("frequency"),
+        col("__cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // breakpoints: the real data point at rank ceil(p·n/100), per
+    // metric — ONE rank-selection pass over the three metrics stacked
+    // long-form with the metric name as the segment key (3 separate
+    // passes triple the job count for identical values);
+    // recency/frequency bucket on the value itself (calendar- /
+    // orders-per-customer-bounded), cents on a 1000-unit coarsening
+    val longForm = met
+      .select(col("custkey"), col("recency_days").as("__v0"), lit("r").as("__m"))
+      .unionAll(met.select(col("custkey"), col("frequency").as("__v0"), lit("f").as("__m")))
+      .unionAll(met.select(col("custkey"), col("__cents").as("__v0"), lit("m").as("__m")))
+    val q = graft.operators.Quantiles.selectAtRanks(
+      longForm, "__m", col("__v0"), col("custkey"),
+      when(col("__m") === "m", call_function("div", col("__v0"), lit(100000L)))
+        .otherwise(col("__v0")),
+      Seq(25L, 50L, 75L), "__v")
+    val bkCols = for (tag <- Seq("r", "f", "m"); p <- Seq(25L, 50L, 75L))
+      yield max(when(col("__m") === tag && col("pctl") === p, col("__v"))).as(s"__$tag$p")
+    val bks = q.groupBy().agg(bkCols.head, bkCols.tail: _*)
+    def above(v: Column, tag: String) =
+      lit(1L) + (v > col(s"__${tag}25")).cast("long") +
+        (v > col(s"__${tag}50")).cast("long") + (v > col(s"__${tag}75")).cast("long")
+    val scored = met.crossJoin(broadcast(bks))
+      .withColumn("r_score", lit(5L) - above(col("recency_days"), "r")) // recent = low days = high score
+      .withColumn("f_score", above(col("frequency"), "f"))
+      .withColumn("m_score", above(col("__cents"), "m"))
+    val out = scored.select(
+      col("custkey"),
+      col("recency_days"),
+      col("frequency"),
+      (col("__cents").cast("double") / lit(100.0)).as("monetary"),
+      col("r_score"), col("f_score"), col("m_score"),
+      when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+        .when(col("r_score") >= 3 && col("f_score") >= 3, "loyal")
+        .when(col("r_score") >= 4, "recent")
+        .when(col("m_score") >= 4, "big_spender")
+        .when(col("r_score") <= 1 && col("f_score") >= 3, "at_risk")
+        .when(col("r_score") <= 1, "lost")
+        .otherwise("regular").as("segment"))
+    Caching.reap(out)(met)
+  }
+
   def all: Map[String, Q] = Map(
+    "q_rfm_segments" -> (rfmSegments _),
     "q_yearly_distincts" -> (yearlyDistincts _),
     "q_event_transitions" -> (eventTransitions _),
     "q_ship_latency" -> (shipLatency _),

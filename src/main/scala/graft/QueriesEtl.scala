@@ -330,7 +330,47 @@ object QueriesEtl {
       .orderBy("column_name")
   }
 
+  /** #106 CDC snapshot diff: the per-customer gold state as of a
+    * cutoff vs the current state, full-outer joined into a change
+    * feed (`insert` / `delete` / `update` / `unchanged` + old/new
+    * values) — the diff a warehouse emits when re-publishing a
+    * derived table (the reference republishes gold wholesale;
+    * downstream consumers want exactly this delta).
+    *
+    * Scale shape: both snapshots are map-side-combined aggregations
+    * to the customer grain; the full-outer join shuffles that grain
+    * on its key, never fact rows. In production the "old" side is
+    * READ from the previously published table (no recompute) — here
+    * both derive from one source so the diff is verifiable.
+    * `delete` can't occur with an append-only fact (the branch is
+    * exercised structurally by the full-outer shape). */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    snapshotDiffOn(
+      o.where(to_date(col("o_orderdate")) < lit("1997-01-01").cast("date")), o)
+  }
+
+  private[graft] def snapshotDiffOn(ordersOld: DataFrame, ordersCur: DataFrame): DataFrame = {
+    def snap(df: DataFrame, n: String, t: String, c: String) =
+      df.groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as(n), Money.scaledSum(col("o_totalprice"), 2).as(c))
+        .withColumn(t, (col(c).cast("double") / lit(100.0)))
+    val old = snap(ordersOld, "old_n_orders", "old_total", "__oc")
+    val cur = snap(ordersCur, "new_n_orders", "new_total", "__nc")
+    old.join(cur, Seq("custkey"), "full_outer")
+      .select(
+        col("custkey"),
+        when(col("old_n_orders").isNull, "insert")
+          .when(col("new_n_orders").isNull, "delete")
+          .when(col("old_n_orders") =!= col("new_n_orders") ||
+            col("__oc") =!= col("__nc"), "update")
+          .otherwise("unchanged").as("change_type"),
+        col("old_n_orders"), col("new_n_orders"),
+        col("old_total"), col("new_total"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q_snapshot_diff" -> (snapshotDiff _),
     "q_column_profile" -> (columnProfile _),
     "q_benford" -> (benford _),
     "q_asof_join" -> (asofJoin _),

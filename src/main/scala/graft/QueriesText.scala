@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.text.{TextOps, DedupOps, BloomDedup}
@@ -784,7 +784,59 @@ object QueriesText {
       .orderBy("source")
   }
 
+  /** #107 lexical diversity per document: token count, distinct
+    * tokens, type-token ratio, Simpson repeat-concentration
+    * (probability two random tokens are the same type, the exact
+    * quantity behind Rényi-2 entropy) and effective vocabulary
+    * n²/Σc² — the corpus-quality signals that catch
+    * low-entropy/templated text which plain length filters miss.
+    *
+    * Determinism: entropy-style measures built from an
+    * order-dependent Σ p·log p float sum verify on no engine pair;
+    * these are the same signals from EXACT integer sums (n, nd, Σc²)
+    * with one final double division each (SURVEY §3).
+    *
+    * Scale shape: map-only — per-doc run-length fold over the doc's
+    * own sorted token array (one codegen'd `aggregate` HOF, no
+    * explode, no shuffle at all); the token stream never leaves its
+    * input partition, vs the explode→groupBy(doc, token) shape whose
+    * shuffle carries every token in the corpus. */
+  def lexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    lexicalDiversityOn(Tables.documents(s, dir))
+
+  private[graft] def lexicalDiversityOn(documents: DataFrame): DataFrame = {
+    // fold state: current run's token + length, closed-run Σc², #types
+    def st(prev: Column, run: Column, ssq: Column, nd: Column) =
+      struct(prev.as("prev"), run.as("run"), ssq.as("ssq"), nd.as("nd"))
+    val counts = aggregate(
+      sort_array(col("__toks")),
+      st(lit(null).cast("string"), lit(0L), lit(0L), lit(0L)),
+      (acc, x) =>
+        when(acc("run") === 0L, st(x, lit(1L), lit(0L), lit(1L)))
+          .when(x === acc("prev"), st(x, acc("run") + 1L, acc("ssq"), acc("nd")))
+          .otherwise(st(x, lit(1L), acc("ssq") + acc("run") * acc("run"), acc("nd") + 1L)),
+      acc => struct((acc("ssq") + acc("run") * acc("run")).as("ssq"), acc("nd").as("nd")))
+    documents
+      // own projections: both are multi-referenced, the guard in
+      // CollapseProject keeps each array/struct materialized once
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        counts.as("__c"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("__c.nd").as("n_distinct"),
+        (col("__c.nd").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        when(col("n_tokens") > 1L,
+          (col("__c.ssq") - col("n_tokens")).cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1L)).cast("double"))
+          .otherwise(lit(0.0)).as("simpson"),
+        ((col("n_tokens") * col("n_tokens")).cast("double") /
+          col("__c.ssq").cast("double")).as("eff_vocab"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q_lexical_diversity" -> (lexicalDiversity _),
     "q_source_quality" -> (sourceQuality _),
     "q_lang_confusion" -> (langConfusion _),
     "q_source_diversity" -> (sourceDiversity _),
