@@ -24,7 +24,58 @@ object Oracles {
   private val rev =
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
 
+  /** SCD2 build SQL (shared by #8 and the #109 as-of view). */
+  private val Scd2Sql: String =
+      """WITH existing AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        |), incoming AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+        |         c_acctbal
+        |  FROM customer WHERE c_custkey % 10 <> 5
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name || '_new', c_mktsegment, 0.0
+        |  FROM customer WHERE c_custkey % 10 = 3
+        |), changed AS (
+        |  SELECT i.c_custkey FROM incoming i JOIN existing e USING (c_custkey)
+        |  WHERE i.c_name <> e.c_name OR i.c_mktsegment <> e.c_mktsegment
+        |)
+        |SELECT e.c_custkey, e.c_name, e.c_mktsegment, e.c_acctbal,
+        |       DATE '2020-01-01' AS valid_from,
+        |       CASE WHEN ch.c_custkey IS NOT NULL THEN DATE '2026-08-01' END AS valid_to,
+        |       (ch.c_custkey IS NULL) AS is_current
+        |FROM existing e LEFT JOIN changed ch ON e.c_custkey = ch.c_custkey
+        |UNION ALL
+        |SELECT i.c_custkey, i.c_name, i.c_mktsegment, i.c_acctbal,
+        |       DATE '2026-08-01', NULL, TRUE
+        |FROM incoming i LEFT JOIN existing e ON i.c_custkey = e.c_custkey
+        |WHERE e.c_custkey IS NULL
+        |UNION ALL
+        |SELECT i.c_custkey, i.c_name, i.c_mktsegment, i.c_acctbal,
+        |       DATE '2026-08-01', NULL, TRUE
+        |FROM incoming i JOIN changed ch ON i.c_custkey = ch.c_custkey""".stripMargin
+
   val etl: Map[String, String] = Map(
+    "q_fk_orphans" -> {
+      def edge(child: String, fk: String, parent: String, pk: String) =
+        s"""SELECT '$child.$fk->$parent.$pk' AS edge, count(*) AS n_child,
+           |  CAST(sum(CASE WHEN c.$fk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+           |  CAST(sum(CASE WHEN c.$fk IS NOT NULL AND p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           |FROM $child c LEFT JOIN $parent p ON c.$fk = p.$pk""".stripMargin
+      val edges = Seq(
+        edge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("supplier", "s_nationkey", "nation", "n_nationkey"),
+        edge("nation", "n_regionkey", "region", "r_regionkey"),
+        edge("events", "user_id", "customer", "c_custkey"))
+      s"""SELECT edge, n_child, n_null_fk, n_orphans,
+         |  (n_orphans * 1000) // n_child AS orphan_permille
+         |FROM (${edges.mkString("\nUNION ALL\n")})
+         |ORDER BY edge""".stripMargin
+    },
     "q_snapshot_diff" ->
       """WITH old AS (
         |  SELECT o_custkey AS custkey, count(*) AS old_n_orders,
@@ -153,35 +204,13 @@ object Oracles {
         |           ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1""".stripMargin,
-    "q_scd2" ->
-      """WITH existing AS (
-        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
-        |), incoming AS (
-        |  SELECT c_custkey, c_name,
-        |         CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
-        |         c_acctbal
-        |  FROM customer WHERE c_custkey % 10 <> 5
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_name || '_new', c_mktsegment, 0.0
-        |  FROM customer WHERE c_custkey % 10 = 3
-        |), changed AS (
-        |  SELECT i.c_custkey FROM incoming i JOIN existing e USING (c_custkey)
-        |  WHERE i.c_name <> e.c_name OR i.c_mktsegment <> e.c_mktsegment
-        |)
-        |SELECT e.c_custkey, e.c_name, e.c_mktsegment, e.c_acctbal,
-        |       DATE '2020-01-01' AS valid_from,
-        |       CASE WHEN ch.c_custkey IS NOT NULL THEN DATE '2026-08-01' END AS valid_to,
-        |       (ch.c_custkey IS NULL) AS is_current
-        |FROM existing e LEFT JOIN changed ch ON e.c_custkey = ch.c_custkey
-        |UNION ALL
-        |SELECT i.c_custkey, i.c_name, i.c_mktsegment, i.c_acctbal,
-        |       DATE '2026-08-01', NULL, TRUE
-        |FROM incoming i LEFT JOIN existing e ON i.c_custkey = e.c_custkey
-        |WHERE e.c_custkey IS NULL
-        |UNION ALL
-        |SELECT i.c_custkey, i.c_name, i.c_mktsegment, i.c_acctbal,
-        |       DATE '2026-08-01', NULL, TRUE
-        |FROM incoming i JOIN changed ch ON i.c_custkey = ch.c_custkey""".stripMargin,
+    "q_scd2" -> Scd2Sql,
+    // #109 point-in-time view: same SCD2 build, filtered to records
+    // valid at the as-of date (all pre-merge versions at 2024-01-01)
+    "q_scd2_asof" ->
+      s"""SELECT * FROM ($Scd2Sql)
+         |WHERE valid_from <= DATE '2024-01-01'
+         |  AND (valid_to IS NULL OR valid_to > DATE '2024-01-01')""".stripMargin,
     "q_gold_enriched" ->
       """SELECT l_orderkey, l_linenumber, o_orderdate, o_orderpriority,
         |  c_name AS customer_name, n_name AS nation, r_name AS region,

@@ -369,7 +369,59 @@ object QueriesEtl {
         col("old_total"), col("new_total"))
   }
 
+  /** #109 SCD2 point-in-time view: the same #8 merge, read back as of
+    * a date BEFORE the merge boundary — time travel over validity
+    * intervals ([[Scd2.asOfView]]: `valid_from <= at < valid_to`),
+    * the "what did this dimension say when the report ran" read every
+    * SCD consumer eventually needs. Pure filter over the SCD table —
+    * at 100 TB it rides partition/row-group pruning on `valid_from`
+    * when the table is written `clusterBy(valid_from)`. */
+  def scd2AsOf(s: SparkSession, dir: String): DataFrame =
+    Scd2.asOfView(scd2(s, dir), lit("2024-01-01").cast("date"))
+
+  /** #108 referential-integrity audit: every FK edge of the star
+    * schema (plus the events→customer behavioral edge) scored in one
+    * report — child rows, NULL FKs, orphans (non-NULL FK with no
+    * parent), integer-permille orphan share. The cross-TABLE DQ check
+    * the row-level suite (#13) can't express; all-zero orphans is the
+    * healthy reading on consistent testdata (the planted-orphan spec
+    * proves the detector).
+    *
+    * Scale shape: one left join + conditional aggregation per edge —
+    * dims broadcast under the session threshold, the fact edges
+    * shuffle on their key; each edge's output is a single row, so the
+    * union is 8 rows however big the tables. */
+  def fkOrphans(s: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables.table(s, dir, n)
+    val edges = Seq(
+      (Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey", "lineitem.l_orderkey->orders.o_orderkey"),
+      (Tables.lineitem(s, dir), "l_partkey", t("part"), "p_partkey", "lineitem.l_partkey->part.p_partkey"),
+      (Tables.lineitem(s, dir), "l_suppkey", t("supplier"), "s_suppkey", "lineitem.l_suppkey->supplier.s_suppkey"),
+      (Tables.orders(s, dir), "o_custkey", t("customer"), "c_custkey", "orders.o_custkey->customer.c_custkey"),
+      (t("customer"), "c_nationkey", t("nation"), "n_nationkey", "customer.c_nationkey->nation.n_nationkey"),
+      (t("supplier"), "s_nationkey", t("nation"), "n_nationkey", "supplier.s_nationkey->nation.n_nationkey"),
+      (t("nation"), "n_regionkey", t("region"), "r_regionkey", "nation.n_regionkey->region.r_regionkey"),
+      (Tables.events(s, dir), "user_id", t("customer"), "c_custkey", "events.user_id->customer.c_custkey"))
+    edges.map { case (c, fk, p, pk, label) => edgeAudit(c, fk, p, pk, label) }
+      .reduce(_.unionAll(_))
+      .orderBy("edge")
+  }
+
+  private[graft] def edgeAudit(
+      child: DataFrame, fk: String, parent: DataFrame, pk: String, label: String): DataFrame =
+    child.select(col(fk).as("__fk"))
+      .join(parent.select(col(pk).as("__pk")), col("__fk") === col("__pk"), "left")
+      .agg(
+        count(lit(1)).as("n_child"),
+        sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+        sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(
+        lit(label).as("edge"), col("n_child"), col("n_null_fk"), col("n_orphans"),
+        call_function("div", col("n_orphans") * lit(1000L), col("n_child")).as("orphan_permille"))
+
   def all: Map[String, Q] = Map(
+    "q_scd2_asof" -> (scd2AsOf _),
+    "q_fk_orphans" -> (fkOrphans _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_column_profile" -> (columnProfile _),
     "q_benford" -> (benford _),

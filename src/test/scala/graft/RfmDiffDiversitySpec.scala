@@ -53,6 +53,23 @@ class RfmDiffDiversitySpec extends SparkSpec {
     assert(del(0).isNullAt(del(0).fieldIndex("new_n_orders")))
   }
 
+  test("fk audit: clean testdata scores zero, planted orphans are counted") {
+    val audit = QueriesEtl.fkOrphans(spark, sf).cache()
+    assert(audit.count() == 8)
+    assert(audit.where($"n_orphans" =!= 0L || $"n_null_fk" =!= 0L).isEmpty,
+      "driver testdata is referentially consistent")
+    audit.unpersist()
+
+    // plant: two orphan children + one NULL FK
+    val child = Seq(Some(1L), Some(1L), Some(99L), Some(98L), None).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val row = QueriesEtl.edgeAudit(child, "fk", parent, "pk", "t.fk->p.pk").collect()(0)
+    assert(row.getAs[Long]("n_child") == 5L)
+    assert(row.getAs[Long]("n_null_fk") == 1L)
+    assert(row.getAs[Long]("n_orphans") == 2L)
+    assert(row.getAs[Long]("orphan_permille") == 400L)
+  }
+
   test("lexical diversity: handcrafted algebra and corpus invariants") {
     val hand = Seq((1L, "a a b"), (2L, "x"), (3L, "t t t t")).toDF("doc_id", "text")
     val rows = QueriesText.lexicalDiversityOn(hand).orderBy("doc_id").collect()

@@ -27,7 +27,9 @@ class SalesPipelineDagSpec extends SparkSpec {
     // line's order exists in the testdata)
     assert(byId("silver_fact").metric == byId("bronze_ingest").metric)
     // gold rows == silver rows surviving the inner join to the CURRENT
-    // scd dim (keys ≡5 mod 10 are deleted in the scd scenario)
+    // scd dim (note: the merge has no delete detection — keys absent
+    // from the incoming snapshot stay current, so nothing is dropped
+    // here; the assertion computes the expectation, not the shortcut)
     val silver = spark.read.parquet(layout.silverFact)
     val current = Scd2.current(spark.read.parquet(layout.scdDim)).select("c_custkey")
     val expectGold = silver.join(current, silver("o_custkey") === current("c_custkey")).count()
