@@ -485,6 +485,14 @@ object QueriesAnalytics {
     * of partitioning; an ntile formulation would need a global
     * row_number AND make tied customers' scores order-dependent. */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val (out, met) = rfmSegmentsRaw(s, dir)
+    Caching.reap(out)(met)
+  }
+
+  /** Un-reaped [[rfmSegments]] pipeline (result, persisted grain) —
+    * the plan-shape spec asserts on the result BEFORE the checkpoint
+    * truncates its lineage. */
+  private[graft] def rfmSegmentsRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val o = Tables.orders(s, dir)
     // the corpus as-of date is the global max order date — a pruned
     // 1-column scan (parquet stats short-circuit it), computed once,
@@ -542,7 +550,7 @@ object QueriesAnalytics {
         .when(col("r_score") <= 1 && col("f_score") >= 3, "at_risk")
         .when(col("r_score") <= 1, "lost")
         .otherwise("regular").as("segment"))
-    Caching.reap(out)(met)
+    (out, met)
   }
 
   def all: Map[String, Q] = Map(

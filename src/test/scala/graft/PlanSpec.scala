@@ -266,4 +266,52 @@ class PlanSpec extends SparkSpec {
       "the offsets join must broadcast (totals are bucket-grain)")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("lexical diversity is map-only: zero exchanges, text-pruned scan") {
+    val p = plan("q_lexical_diversity")
+    // the only exchange allowed is the testdata loader's deliberate
+    // single-file spread (Tables.spread, REPARTITION_BY_COL) — the
+    // query itself (fold, projections) must add none: no
+    // ENSURE_REQUIREMENTS hash partitioning above the scan
+    val queryExchanges = "Exchange".r.findAllIn(p).length -
+      "REPARTITION_BY_COL".r.findAllIn(p).length
+    assert(queryExchanges == 0,
+      s"the per-doc fold must never shuffle the token stream\n$p")
+    val s = scanLine("q_lexical_diversity")
+    assert(s.contains("doc_id") && !s.contains("source"),
+      s"scan must prune to doc_id+text: $s")
+  }
+
+  test("snapshot diff: one keyed grain join, no nested loops") {
+    val p = plan("q_snapshot_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // both snapshots pre-aggregate BELOW the full-outer join (the join
+    // runs on the customer grain, never fact rows)
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected a keyed full-outer join\n$p")
+    assert("HashAggregate".r.findAllIn(p.substring(joinIdx)).length >= 4,
+      "the aggregations must sit under the join, not above it")
+  }
+
+  test("fk audit: every edge is a keyed join, no cartesian anywhere") {
+    val p = plan("q_fk_orphans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // small dims broadcast at this SF; fact-fact edges may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+  }
+
+  test("rfm: no cartesian, no global sort of the customer grain") {
+    // the public query reaps (checkpoint truncates lineage) — assert
+    // on the raw pipeline, like revenue gini
+    val (out, met) = QueriesAnalytics.rfmSegmentsRaw(spark, sf)
+    val p = try out.queryExecution.executedPlan.toString
+    finally met.unpersist(blocking = false)
+    assert(!p.contains("CartesianProduct"), p)
+    // value-based scoring joins the 1-row breakpoint frame broadcast;
+    // no ntile/global row_number over the raw customer grain (the only
+    // windows are selectAtRanks' bucket-local and histogram-grain ones)
+    assert(!p.toLowerCase.contains("ntile"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"breakpoints must join broadcast\n$p")
+  }
 }
