@@ -411,6 +411,38 @@ object Oracles {
         |  (n_gaps * 1000) // CAST(sum(n_gaps) OVER () AS BIGINT) AS share_permille,
         |  bucket <= 4 AS in_session
         |FROM c ORDER BY bucket""".stripMargin,
+    "q_weekday_seasonality" ->
+      """WITH d AS (
+        |  SELECT isodow(o_orderdate) AS dow_iso, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS tc FROM d
+        |)
+        |SELECT dow_iso, n_orders,
+        |  CAST(c AS DOUBLE)/100.0 AS revenue,
+        |  1000 * c // tc AS share_permille,
+        |  7000 * c // tc AS idx_permille
+        |FROM d CROSS JOIN t ORDER BY dow_iso""".stripMargin,
+    "q_supplier_scorecard" ->
+      s"""WITH a AS (
+        |  SELECT l_suppkey, count(*) AS n_lines,
+        |    $rev AS revenue,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nret,
+        |    CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS sumdays
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT l_suppkey, count(*) AS distinct_parts
+        |  FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem) GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, n_name AS nation, n_lines, distinct_parts, revenue,
+        |  1000 * nret // n_lines AS return_permille,
+        |  1000 * sumdays // n_lines AS mean_ship_days_permille
+        |FROM a JOIN p USING (l_suppkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
     "q_daily_trend" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
@@ -1746,6 +1778,28 @@ object Oracles {
         |  (n_months * sxx - sx * sx) / (n_months * (n_months - 1)) / 10000.0 AS var_revenue
         |FROM a WHERE n_months > 1
         |ORDER BY nation""".stripMargin,
+    "q_basket_lift" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), cnt AS (
+        |  SELECT l_partkey, count(*) AS n FROM li GROUP BY 1
+        |), tot AS (
+        |  SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem
+        |), pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p1, p2, n_orders, c1.n AS n1, c2.n AS n2, n_baskets,
+        |  1000 * n_orders // c1.n AS conf_p1_permille,
+        |  1000 * n_orders // c2.n AS conf_p2_permille,
+        |  1000 * n_orders * n_baskets // (c1.n * c2.n) AS lift_permille
+        |FROM pairs
+        |JOIN cnt c1 ON p1 = c1.l_partkey
+        |JOIN cnt c2 ON p2 = c2.l_partkey
+        |CROSS JOIN tot
+        |WHERE n_orders >= 3""".stripMargin,
     "q_copurchase" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -553,8 +553,87 @@ object QueriesAnalytics {
     (out, met)
   }
 
+  /** #111 weekday seasonality: order count, exact revenue, and
+    * integer-permille revenue share / seasonal index per ISO weekday
+    * (Mon=1..Sun=7). The index is `7000·cents_dow div total_cents` —
+    * 1000 means a flat week; the staffing/capacity planning signal
+    * behind any ops dashboard. One map-side-combined agg to ≤7 cells;
+    * the total recombines as a broadcast 1-row frame (a window over 7
+    * rows would also be fine — the broadcast keeps the shape uniform
+    * with the other share queries). All ratios are exact integer
+    * permille on exact cent sums: no float division to disagree
+    * across engines or partitionings. */
+  def weekdaySeasonality(s: SparkSession, dir: String): DataFrame =
+    weekdaySeasonalityOn(Tables.orders(s, dir))
+
+  private[graft] def weekdaySeasonalityOn(orders: DataFrame): DataFrame = {
+    val d = orders
+      .groupBy((weekday(col("o_orderdate")) + lit(1)).cast("long").as("dow_iso"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.scaledSum(col("o_totalprice"), 2).as("__cents"))
+    val total = d.agg(sum(col("__cents")).as("__total"))
+    d.crossJoin(broadcast(total))
+      .select(
+        col("dow_iso"), col("n_orders"),
+        (col("__cents").cast("double") / lit(100.0)).as("revenue"),
+        call_function("div", col("__cents") * lit(1000L), col("__total"))
+          .as("share_permille"),
+        call_function("div", col("__cents") * lit(7000L), col("__total"))
+          .as("idx_permille"))
+      .orderBy("dow_iso")
+  }
+
+  /** #112 supplier scorecard: per-supplier fulfillment report — line
+    * count, exact discounted revenue, distinct parts carried, return
+    * rate, and mean order→ship latency, enriched with the supplier's
+    * name and nation. The vendor-performance mart a procurement team
+    * builds first (the reference's gold enrichment consumes the same
+    * supplier dimension).
+    *
+    * Scale shape: ONE fact×fact shuffle (lineitem⋈orders on orderkey,
+    * both sides pruned to the 2-3 needed columns) collapsing straight
+    * into a supplier-keyed map-side-combined agg; distinct parts runs
+    * as its own (suppkey, partkey)-distinct pre-aggregate — never a
+    * multi-distinct Expand replicating fact rows — and rejoins on the
+    * supplier grain. Name/nation dims broadcast. Rates are exact
+    * integer permille (`div` on long sums). */
+  def supplierScorecard(s: SparkSession, dir: String): DataFrame =
+    supplierScorecardOn(Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.supplier(s, dir), Tables.nation(s, dir))
+
+  private[graft] def supplierScorecardOn(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      col("l_extendedprice"), col("l_discount"), col("l_returnflag"), col("l_shipdate"))
+    val o = orders.select(col("o_orderkey"), col("o_orderdate"))
+    val a = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        revenue.as("revenue"),
+        sum(when(col("l_returnflag") === "R", lit(1L)).otherwise(lit(0L))).as("__nret"),
+        sum(datediff(col("l_shipdate"), col("o_orderdate")).cast("long")).as("__days"))
+    val parts = lineitem.select(col("l_suppkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("distinct_parts"))
+    a.join(parts, "l_suppkey")
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(
+        col("s_suppkey"), col("s_name"), col("n_name").as("nation"),
+        col("n_lines"), col("distinct_parts"), col("revenue"),
+        call_function("div", col("__nret") * lit(1000L), col("n_lines"))
+          .as("return_permille"),
+        call_function("div", col("__days") * lit(1000L), col("n_lines"))
+          .as("mean_ship_days_permille"))
+      .orderBy("s_suppkey")
+  }
+
   def all: Map[String, Q] = Map(
     "q_rfm_segments" -> (rfmSegments _),
+    "q_weekday_seasonality" -> (weekdaySeasonality _),
+    "q_supplier_scorecard" -> (supplierScorecard _),
     "q_yearly_distincts" -> (yearlyDistincts _),
     "q_event_transitions" -> (eventTransitions _),
     "q_ship_latency" -> (shipLatency _),

@@ -188,6 +188,43 @@ object QueriesScale {
     (out, baskets)
   }
 
+  /** #110 association rules over the co-purchase matrix: confidence
+    * and lift per qualifying part pair, from the SAME single-shuffle
+    * basket pipeline as #66 (`copurchaseRaw` is shared — the pair
+    * expansion stays a map-only array transform over each sorted
+    * basket). Confidence p(p2|p1) and lift n·N/(n1·n2) are emitted as
+    * exact integer permille (`div` on long counts — no float ratio to
+    * disagree across engines); the basket total N is a 1-row agg over
+    * the persisted baskets, recombined by broadcast.
+    *
+    * Scale note: long arithmetic bounds — `1000·n_orders·N` stays
+    * inside Int64 while n_orders·N < 9.2e15, i.e. far past any
+    * realistic order count; past that, lift the products to
+    * DECIMAL(38,0) before the divide. */
+  def basketLift(s: SparkSession, dir: String): DataFrame = {
+    val (out, baskets) = basketLiftRaw(s, dir)
+    Caching.reap(out)(baskets)
+  }
+
+  /** Un-reaped [[basketLift]] pipeline (result, persisted baskets) —
+    * the plan-shape spec asserts on the result BEFORE the checkpoint
+    * truncates its lineage. */
+  private[graft] def basketLiftRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (pairs, baskets) = copurchaseRaw(s, dir)
+    val total = baskets.agg(count(lit(1)).as("n_baskets"))
+    val out = pairs
+      .crossJoin(broadcast(total))
+      .select(
+        col("p1"), col("p2"), col("n_orders"), col("n1"), col("n2"), col("n_baskets"),
+        call_function("div", col("n_orders") * lit(1000L), col("n1"))
+          .as("conf_p1_permille"),
+        call_function("div", col("n_orders") * lit(1000L), col("n2"))
+          .as("conf_p2_permille"),
+        call_function("div", col("n_orders") * col("n_baskets") * lit(1000L),
+          col("n1") * col("n2")).as("lift_permille"))
+    (out, baskets)
+  }
+
   /** #68 temporal (point-in-time) dimension join: every order joins
     * the SCD2 customer VERSION valid at its order date —
     * `valid_from <= d < valid_to` with NULL-open current rows. The
@@ -725,6 +762,7 @@ object QueriesScale {
     "q_mix_sample" -> (mixSample _),
     "q_mix_upsample" -> (mixUpsample _),
     "q_copurchase" -> (copurchase _),
+    "q_basket_lift" -> (basketLift _),
     "q_revenue_stats" -> (revenueStats _),
     "q_temporal_join" -> (temporalJoin _),
     "q_unicode_norm" -> (unicodeNorm _),

@@ -300,6 +300,36 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
   }
 
+  test("basket lift: no cartesian pair expansion; supports and total join broadcast") {
+    // the public query reaps (checkpoint truncates lineage) — assert
+    // on the raw pipeline, like revenue gini and rfm
+    val (out, baskets) = QueriesScale.basketLiftRaw(spark, sf)
+    val p = try out.queryExecution.executedPlan.toString
+    finally baskets.unpersist(blocking = false)
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-part support joins stay broadcast (part-dim-bounded);
+    // the only nested-loop allowed is the 1-row basket-total recombine
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+  }
+
+  test("weekday seasonality: one map-side agg, no join but the 1-row total") {
+    val p = plan("q_weekday_seasonality")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    val s = scanLine("q_weekday_seasonality")
+    assert(s.contains("o_orderdate") && !s.contains("o_custkey"),
+      s"scan must prune to date+price: $s")
+  }
+
+  test("supplier scorecard: no multi-distinct Expand, no cartesian") {
+    val p = plan("q_supplier_scorecard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // distinct parts must run as its own pre-aggregate, never an
+    // Expand replicating the joined fact per distinct column
+    assert(!p.contains("Expand"), s"multi-distinct Expand leaked into the plan\n$p")
+  }
+
   test("rfm: no cartesian, no global sort of the customer grain") {
     // the public query reaps (checkpoint truncates lineage) — assert
     // on the raw pipeline, like revenue gini
