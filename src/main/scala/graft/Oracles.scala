@@ -411,6 +411,32 @@ object Oracles {
         |  (n_gaps * 1000) // CAST(sum(n_gaps) OVER () AS BIGINT) AS share_permille,
         |  bucket <= 4 AS in_session
         |FROM c ORDER BY bucket""".stripMargin,
+    "q_interpurchase" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey), o_orderdate) AS gap
+        |  FROM orders
+        |)
+        |SELECT o_custkey AS custkey, count(*) AS n_orders, count(gap) AS n_gaps,
+        |  CAST(min(gap) AS BIGINT) AS min_gap_days,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_days,
+        |  CAST(sum(gap) AS BIGINT) * 1000 // count(gap) AS mean_gap_days_permille
+        |FROM g GROUP BY 1 HAVING count(gap) > 0 ORDER BY custkey""".stripMargin,
+    "q_rolling_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), days AS (
+        |  SELECT DISTINCT day FROM ud
+        |), daily AS (
+        |  SELECT day, count(*) AS n_users_1d FROM ud GROUP BY 1
+        |), rolled AS (
+        |  SELECT d.day, count(DISTINCT u.user_id) AS active_users_7d
+        |  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1
+        |)
+        |SELECT day, n_users_1d, active_users_7d
+        |FROM daily JOIN rolled USING (day) ORDER BY day""".stripMargin,
     "q_weekday_seasonality" ->
       """WITH d AS (
         |  SELECT isodow(o_orderdate) AS dow_iso, count(*) AS n_orders,

@@ -630,8 +630,72 @@ object QueriesAnalytics {
       .orderBy("s_suppkey")
   }
 
+  /** #113 inter-purchase cadence: per-customer gaps between
+    * consecutive orders — order count, gap count, min/max gap, and
+    * the exact integer-permille mean gap. The repurchase-cycle signal
+    * feeding churn models and replenishment campaigns (single-order
+    * customers have no cadence and are excluded).
+    *
+    * Scale shape: ONE custkey shuffle total — the lag window and the
+    * customer-grain aggregation share the same hash partitioning, so
+    * Catalyst plans the groupBy with no second exchange. All stats
+    * are integer-exact (day gaps, long sums, `div`). */
+  def interpurchase(s: SparkSession, dir: String): DataFrame =
+    interpurchaseOn(Tables.orders(s, dir))
+
+  private[graft] def interpurchaseOn(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders.select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("gap",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"), count(col("gap")).as("n_gaps"),
+        min(col("gap")).as("min_gap_days"), max(col("gap")).as("max_gap_days"),
+        sum(col("gap")).as("__sum"))
+      .where(col("n_gaps") > 0)
+      .select(col("custkey"), col("n_orders"), col("n_gaps"),
+        col("min_gap_days"), col("max_gap_days"),
+        call_function("div", col("__sum") * lit(1000L), col("n_gaps"))
+          .as("mean_gap_days_permille"))
+    // no orderBy: the output is customer-grain (huge at scale) — a
+    // global range sort would add an exchange for presentation only
+  }
+
+  /** #114 rolling 7-day active users per day — THE engagement metric
+    * (DAU/WAU family), computed EXACTLY: the user-day grain is
+    * deduped once, each user-day votes into the 7 calendar days it
+    * keeps the user "active" for (map-only `sequence`+`explode` — a
+    * fixed 7× expansion of the already-tiny user-day grain, never of
+    * raw events), and a second distinct collapses multi-day users
+    * inside each window. A windowed `count(DISTINCT)` can't do this
+    * (distinct doesn't decompose over sliding frames); the expansion
+    * IS the standard scale formulation.
+    *
+    * Output days are restricted to days that actually have events
+    * (calendar-grain semi-join, broadcast — the day dimension is
+    * bounded by the calendar, not the data). */
+  def rollingUsers(s: SparkSession, dir: String): DataFrame =
+    rollingUsersOn(Tables.events(s, dir))
+
+  private[graft] def rollingUsersOn(events: DataFrame): DataFrame = {
+    val ud = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = ud.select(col("day").as("rday")).distinct()
+    val daily = ud.groupBy(col("day").as("rday")).agg(count(lit(1)).as("n_users_1d"))
+    val rolled = ud
+      .select(explode(sequence(lit(0), lit(6))).as("k"), col("day"), col("user_id"))
+      .select(date_add(col("day"), col("k")).as("rday"), col("user_id"))
+      .join(broadcast(days), "rday")
+      .distinct()
+      .groupBy("rday").agg(count(lit(1)).as("active_users_7d"))
+    rolled.join(daily, "rday")
+      .select(col("rday").as("day"), col("n_users_1d"), col("active_users_7d"))
+      .orderBy("day")
+  }
+
   def all: Map[String, Q] = Map(
     "q_rfm_segments" -> (rfmSegments _),
+    "q_interpurchase" -> (interpurchase _),
+    "q_rolling_users" -> (rollingUsers _),
     "q_weekday_seasonality" -> (weekdaySeasonality _),
     "q_supplier_scorecard" -> (supplierScorecard _),
     "q_yearly_distincts" -> (yearlyDistincts _),

@@ -330,6 +330,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), s"multi-distinct Expand leaked into the plan\n$p")
   }
 
+  test("interpurchase: lag window and grain agg share ONE custkey exchange") {
+    val p = plan("q_interpurchase")
+    // allowed exchanges: the loader's deliberate small-SF spread
+    // (round-robin) + exactly one hash partitioning on custkey that
+    // both the window and the aggregation ride
+    val hashEx = "hashpartitioning\\(o_custkey".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected one custkey exchange, got $hashEx\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"customer-grain output must not be globally sorted\n$p")
+  }
+
+  test("rolling users: expansion runs on the user-day grain, day semi-join broadcasts") {
+    val p = plan("q_rolling_users")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 7x explode must sit ABOVE the user-day distinct aggregate
+    // (expanding raw events would multiply the fact, not the grain)
+    val genIdx = p.indexOf("Generate explode")
+    assert(genIdx >= 0, s"expected an explode\n$p")
+    assert(p.substring(genIdx).contains("HashAggregate"),
+      s"explode must consume the deduped user-day grain, not raw events\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"day semi-join must broadcast\n$p")
+  }
+
   test("rfm: no cartesian, no global sort of the customer grain") {
     // the public query reaps (checkpoint truncates lineage) — assert
     // on the raw pipeline, like revenue gini
