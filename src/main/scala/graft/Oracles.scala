@@ -411,6 +411,19 @@ object Oracles {
         |  (n_gaps * 1000) // CAST(sum(n_gaps) OVER () AS BIGINT) AS share_permille,
         |  bucket <= 4 AS in_session
         |FROM c ORDER BY bucket""".stripMargin,
+    "q_attribution" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.user_id, purchase_id, purchase_ts, click_id, click_ts,
+        |  date_diff('second', click_ts, purchase_ts) AS lag_seconds
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND click_ts <= purchase_ts
+        |  AND click_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin,
     "q_interpurchase" ->
       """WITH g AS (
         |  SELECT o_custkey,

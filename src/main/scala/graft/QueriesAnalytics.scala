@@ -692,10 +692,30 @@ object QueriesAnalytics {
       .orderBy("day")
   }
 
+  /** #115 click→purchase attribution: every purchase event paired
+    * with the same user's clicks inside a trailing 1-hour horizon,
+    * with the exact click→purchase lag. This is the VERIFIED batch
+    * twin of [[graft.streaming.JoinStream.attribution]] — same
+    * builder, same columns — so the stream-stream interval join's
+    * semantics are oracle-checked, not just spec'd.
+    *
+    * Scale shape: the user equi-key drives the hash join (the
+    * interval bounds are post-join filters — no nested loop); in
+    * streaming form the same interval is what bounds the join state. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    graft.streaming.JoinStream.attributionBatch(clicks, purchases, 3600L)
+  }
+
   def all: Map[String, Q] = Map(
     "q_rfm_segments" -> (rfmSegments _),
     "q_interpurchase" -> (interpurchase _),
     "q_rolling_users" -> (rollingUsers _),
+    "q_attribution" -> (attribution _),
     "q_weekday_seasonality" -> (weekdaySeasonality _),
     "q_supplier_scorecard" -> (supplierScorecard _),
     "q_yearly_distincts" -> (yearlyDistincts _),

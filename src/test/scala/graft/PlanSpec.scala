@@ -353,6 +353,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"day semi-join must broadcast\n$p")
   }
 
+  test("attribution: interval join rides the user equi-key, no nested loop") {
+    val p = plan("q_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval bounds must be post-filters on the user hash join\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("rfm: no cartesian, no global sort of the customer grain") {
     // the public query reaps (checkpoint truncates lineage) — assert
     // on the raw pipeline, like revenue gini
