@@ -1878,5 +1878,97 @@ object Oracles {
         |FROM documents""".stripMargin
   )
 
-  def all: Map[String, String] = etl ++ analytics ++ text ++ vector ++ scale
+  /** Classic decision-support marts (#116–#121, [[QueriesMart]]). */
+  private def mart: Map[String, String] = Map(
+    "q_shipping_priority" ->
+      s"""SELECT l_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        |  o_orderpriority AS priority, $rev AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin,
+    "q_promo_share" ->
+      s"""WITH a AS (
+        |  SELECT year(l_shipdate) AS ship_year, month(l_shipdate) AS ship_month,
+        |    count(*) AS n_lines, $rev AS revenue,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+        |      ELSE 0 END) AS BIGINT) AS promo
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ship_year, ship_month, n_lines, revenue,
+        |  CAST(promo AS DOUBLE)/10000.0 AS promo_revenue,
+        |  1000 * promo // c AS promo_permille
+        |FROM a ORDER BY ship_year, ship_month""".stripMargin,
+    "q_local_supplier_volume" ->
+      s"""SELECT n_name AS nation, count(*) AS n_lines, $rev AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |  AND r_name = 'ASIA'
+        |  AND year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin,
+    "q_abc_parts" ->
+      """WITH p AS (
+        |  SELECT l_partkey, count(*) AS n_lines,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1
+        |), w AS (
+        |  SELECT *,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS total
+        |  FROM p
+        |), k AS (
+        |  SELECT *,
+        |    CASE WHEN 1000 * cum // total <= 700 THEN 'A'
+        |         WHEN 1000 * cum // total <= 900 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM w
+        |)
+        |SELECT abc_class, count(*) AS n_parts,
+        |  CAST(sum(n_lines) AS BIGINT) AS n_lines,
+        |  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)/10000.0 AS revenue,
+        |  1000 * CAST(sum(c) AS BIGINT) // CAST(min(total) AS BIGINT) AS share_permille
+        |FROM k GROUP BY 1 ORDER BY abc_class""".stripMargin,
+    "q_wow_growth" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT week_start,
+        |  lag(week_start) OVER (ORDER BY week_start) AS prev_week_start,
+        |  n_orders,
+        |  CAST(c AS DOUBLE)/100.0 AS revenue,
+        |  1000 * c // lag(c) OVER (ORDER BY week_start) AS wow_ratio_permille
+        |FROM d ORDER BY week_start""".stripMargin,
+    "q_hourly_heatmap" ->
+      """WITH d AS (
+        |  SELECT isodow(ts) AS dow_iso, CAST(hour(ts) AS BIGINT) AS hour,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1, 2
+        |), t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM d)
+        |SELECT dow_iso, hour, n_events, total_value,
+        |  1000 * n_events // total AS share_permille
+        |FROM d CROSS JOIN t ORDER BY dow_iso, hour""".stripMargin
+  )
+
+  def all: Map[String, String] =
+    etl ++ analytics ++ text ++ vector ++ scale ++ mart
 }

@@ -13,5 +13,5 @@ object Queries {
 
   def all: Map[String, Q] =
     QueriesEtl.all ++ QueriesAnalytics.all ++ QueriesText.all ++
-      QueriesVector.all ++ QueriesScale.all
+      QueriesVector.all ++ QueriesScale.all ++ QueriesMart.all
 }

@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Money
+
+/** Classic decision-support marts (SURVEY §2 #116–#121): the
+  * TPC-H-shaped join/top-k reports every warehouse team ships
+  * (shipping priority, regional volume, promo share) plus the
+  * Pareto/ABC, week-over-week, and traffic-heatmap reports the
+  * reference dashboard's users would ask for next. All money math is
+  * exact ([[Money]]); all ratios are integer permille on exact sums,
+  * so results are bit-identical at any parallelism.
+  */
+object QueriesMart {
+  import Queries.Q
+
+  /** Exact discounted revenue (order-independent). */
+  private def revenue =
+    sum(Money.dec(col("l_extendedprice")) * (lit(1) - Money.dec(col("l_discount")))).cast("double")
+
+  /** Discounted revenue as an exact integer scaled by 10^4 (the
+    * price×(1−discount) product carries 4 decimals). Fits a long
+    * until ~9×10^14 currency units; raise to DECIMAL beyond. */
+  private def revCents4 =
+    sum(Money.dec(col("l_extendedprice")) * (lit(1) - Money.dec(col("l_discount"))) * lit(10000L))
+      .cast("long")
+
+  private def permille(num: Column, den: Column): Column =
+    call_function("div", num * lit(1000L), den)
+
+  /** #116 shipping priority (TPC-H Q3 shape): the 10 highest-value
+    * orders from one market segment that were placed before the
+    * cutoff but still have lines shipping after it — the "what's
+    * stuck in the pipe" report.
+    *
+    * Scale shape: both fact scans carry pushed date predicates
+    * (placed-before on orders, ships-after on lineitem) so the join
+    * sees only the unshipped tail; the segment filter rides a
+    * broadcast customer join (at TB-scale customer the same plan
+    * degrades to a shuffle semi-join on custkey — the filter itself
+    * never leaves the scan side). The top-10 is a distributed
+    * TakeOrderedAndProject (per-partition heads merged on the
+    * driver), never a global sort. Revenue ties break on orderkey so
+    * the 10-row set is deterministic in any engine. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame =
+    shippingPriorityOn(Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.customer(s, dir), "BUILDING", "1998-06-01")
+
+  private[graft] def shippingPriorityOn(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, segment: String, cutoff: String): DataFrame = {
+    val cut = to_timestamp(lit(cutoff))
+    val c = customer.where(col("c_mktsegment") === segment).select(col("c_custkey"))
+    // segment-filter orders BEFORE the orderkey shuffle (~1/|segments|
+    // of the orders side never leaves the map side)
+    val o = orders.where(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val l = lineitem.where(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey").as("orderkey"),
+        col("o_orderdate").cast("date").as("orderdate"),
+        col("o_orderpriority").as("priority"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("orderkey").asc)
+      .limit(10)
+  }
+
+  /** #117 promo share (TPC-H Q14 shape): per ship-month, how much of
+    * the discounted revenue came from PROMO-type parts — the
+    * marketing-effectiveness trend line.
+    *
+    * Scale shape: part is a broadcast dim carrying only
+    * (partkey, is-promo); the fact scan prunes to 4 columns and
+    * collapses map-side into ≤ months cells. The share is exact
+    * integer permille on 10^4-scaled revenue sums — no float division
+    * to disagree across engines. */
+  def promoShare(s: SparkSession, dir: String): DataFrame =
+    promoShareOn(Tables.lineitem(s, dir), Tables.part(s, dir))
+
+  private[graft] def promoShareOn(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val p = part.select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    lineitem.select(col("l_partkey"), col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"), month(col("l_shipdate")).as("ship_month"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        revenue.as("revenue"),
+        revCents4.as("__c"),
+        sum(when(col("is_promo"),
+            Money.dec(col("l_extendedprice")) * (lit(1) - Money.dec(col("l_discount"))) * lit(10000L))
+          .otherwise(lit(0L))).cast("long").as("__promo"))
+      .select(col("ship_year"), col("ship_month"), col("n_lines"),
+        col("revenue"),
+        (col("__promo").cast("double") / lit(10000.0)).as("promo_revenue"),
+        permille(col("__promo"), col("__c")).as("promo_permille"))
+      .orderBy("ship_year", "ship_month")
+  }
+
+  /** #118 local supplier volume (TPC-H Q5 shape): revenue per nation
+    * in one region and one order year, counting only lines where the
+    * supplier sits in the CUSTOMER's nation — the "how much commerce
+    * stays domestic" report.
+    *
+    * Scale shape: one fact×fact shuffle on orderkey; customer and
+    * supplier join broadcast at bench scale (at TB-scale customer the
+    * custkey join degrades to shuffle — the nation-equality filter is
+    * applied post-join either way, it never multiplies rows);
+    * nation/region are broadcast and the region filter prunes
+    * nations before the fact ever joins. Output is ≤ |nations in
+    * region| cells. */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame =
+    localSupplierVolumeOn(Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.customer(s, dir), Tables.supplier(s, dir),
+      Tables.nation(s, dir), Tables.region(s, dir), "ASIA", 1997)
+
+  private[graft] def localSupplierVolumeOn(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String, yearNo: Int): DataFrame = {
+    val nat = nation
+      .join(broadcast(region.where(col("r_name") === regionName).select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    // both fact sides are pruned to the region's nations BEFORE the
+    // orderkey shuffle: s_nat must equal c_nat and c_nat is in-region,
+    // so in-region supplier / customer filters are implied — each side
+    // sheds ~(1 − 1/|regions|) of its rows map-side
+    val o = orders.where(year(col("o_orderdate")) === yearNo)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+    val l = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("__sn"))),
+        col("s_nationkey") === col("__sn"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .where(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_lines"), revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("nation").asc)
+  }
+
+  /** #119 ABC / Pareto classification: parts ranked by revenue,
+    * cut into A (first 70% of cumulative revenue), B (next 20%),
+    * C (tail) — the inventory-policy report (count/stock A tightly,
+    * spot-check C).
+    *
+    * Scale shape: the fact collapses map-side to the part grain
+    * FIRST; only then does one global ordered window (revenue desc,
+    * partkey tiebreak) compute the cumulative share — a range-
+    * partitioned sort of the part grain (~0.02% of fact rows), which
+    * is the irreducible cost of any exact Pareto cut. The cumulative
+    * and the class cut are exact integer permille, so the boundary
+    * parts land in the same class in any engine. Output: 3 cells. */
+  def abcParts(s: SparkSession, dir: String): DataFrame =
+    abcPartsOn(Tables.lineitem(s, dir))
+
+  private[graft] def abcPartsOn(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"), revCents4.as("__c"))
+    val w = Window.orderBy(col("__c").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = perPart.agg(sum(col("__c")).as("__total"))
+    perPart
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("__cum_permille", permille(col("__cum"), col("__total")))
+      .withColumn("abc_class",
+        when(col("__cum_permille") <= 700, "A")
+          .when(col("__cum_permille") <= 900, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("n_lines")).as("n_lines"),
+        (sum(col("__c")).cast("double") / lit(10000.0)).as("revenue"),
+        permille(sum(col("__c")), first(col("__total"))).as("share_permille"))
+      .orderBy("abc_class")
+  }
+
+  /** #120 week-over-week growth: ISO-week revenue with each week's
+    * level as an exact permille of the previous week — the growth
+    * headline. A missing calendar week breaks the chain honestly
+    * (the ratio compares adjacent OBSERVED weeks; `prev_week_start`
+    * exposes the gap).
+    *
+    * Scale shape: map-side-combined collapse to the week grain
+    * (calendar-bounded: 52 cells/year), then a lag window on that
+    * grain — bounded by calendar size, never data size. The ratio is
+    * current×1000 div previous on exact cent sums, kept
+    * ratio-formed (both sides positive) so integer-division
+    * semantics never meet a negative operand. */
+  def wowGrowth(s: SparkSession, dir: String): DataFrame =
+    wowGrowthOn(Tables.orders(s, dir))
+
+  private[graft] def wowGrowthOn(orders: DataFrame): DataFrame = {
+    val byWeek = orders
+      .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week_start"))
+      .agg(count(lit(1)).as("n_orders"), Money.scaledSum(col("o_totalprice"), 2).as("__c"))
+    val w = Window.orderBy(col("week_start"))
+    byWeek
+      .withColumn("__prev", lag(col("__c"), 1).over(w))
+      .select(
+        col("week_start"),
+        lag(col("week_start"), 1).over(w).as("prev_week_start"),
+        col("n_orders"),
+        (col("__c").cast("double") / lit(100.0)).as("revenue"),
+        permille(col("__c"), col("__prev")).as("wow_ratio_permille"))
+      .orderBy("week_start")
+  }
+
+  /** #121 hourly traffic heatmap: event count, exact value sum, and
+    * integer-permille share per (ISO weekday × hour-of-day) cell —
+    * the capacity-planning / anomaly-baseline grid behind any ops
+    * dashboard (a bot swarm lights up cells the human week never
+    * does).
+    *
+    * Scale shape: map-only projection to two small ints, map-side-
+    * combined agg into ≤168 cells, total recombined broadcast. */
+  def hourlyHeatmap(s: SparkSession, dir: String): DataFrame =
+    hourlyHeatmapOn(Tables.events(s, dir))
+
+  private[graft] def hourlyHeatmapOn(events: DataFrame): DataFrame = {
+    val d = events
+      .groupBy((weekday(col("ts")) + lit(1)).cast("long").as("dow_iso"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"), Money.sumExact(col("value")).as("total_value"))
+    val total = d.agg(sum(col("n_events")).as("__total"))
+    d.crossJoin(broadcast(total))
+      .select(col("dow_iso"), col("hour"), col("n_events"), col("total_value"),
+        permille(col("n_events"), col("__total")).as("share_permille"))
+      .orderBy("dow_iso", "hour")
+  }
+
+  def all: Map[String, Q] = Map(
+    "q_shipping_priority" -> (shippingPriority _),
+    "q_promo_share" -> (promoShare _),
+    "q_local_supplier_volume" -> (localSupplierVolume _),
+    "q_abc_parts" -> (abcParts _),
+    "q_wow_growth" -> (wowGrowth _),
+    "q_hourly_heatmap" -> (hourlyHeatmap _)
+  )
+}

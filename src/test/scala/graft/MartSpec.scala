@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Rows #116–#121 ([[QueriesMart]]): the TPC-H-shaped decision-support
+  * marts plus ABC / WoW / heatmap. Oracle hashes verify end-to-end
+  * values at verify SF; these pin the algebra on handcrafted inputs
+  * (exclusion rules, class boundaries, ratio exactness) and the plan
+  * shapes that decide scale behavior.
+  */
+class MartSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shipping priority: shipped lines, late orders, other segments excluded; ties break on orderkey") {
+    val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY"), (3L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, "2024-01-01", "1-URGENT"),  // in segment, placed before cut
+      (11L, 2L, "2024-01-01", "2-HIGH"),    // wrong segment
+      (12L, 3L, "2024-03-01", "3-MEDIUM"),  // placed AFTER cut
+      (13L, 3L, "2024-01-15", "2-HIGH")     // in segment, ties with 10 on revenue
+    ).toDF("o_orderkey", "o_custkey", "d", "o_orderpriority")
+      .select($"o_orderkey", $"o_custkey", to_timestamp($"d").as("o_orderdate"), $"o_orderpriority")
+    val li = Seq(
+      (10L, 100.0, 0.0, "2024-02-10"), // unshipped at cut
+      (10L, 999.0, 0.0, "2024-01-20"), // shipped before cut -> excluded
+      (11L, 500.0, 0.0, "2024-02-10"), // wrong segment
+      (12L, 500.0, 0.0, "2024-03-10"), // late order
+      (13L, 100.0, 0.0, "2024-02-11")  // revenue tie with order 10
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "d")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount", to_timestamp($"d").as("l_shipdate"))
+    val out = QueriesMart.shippingPriorityOn(li, orders, cust, "BUILDING", "2024-02-01").collect()
+    assert(out.map(_.getAs[Long]("orderkey")).toSeq == Seq(10L, 13L),
+      "only unshipped in-segment pre-cut orders; equal revenue orders by orderkey")
+    assert(out.forall(_.getAs[Double]("revenue") == 100.0))
+  }
+
+  test("shipping priority plan: distributed TakeOrdered head, broadcast segment filter") {
+    val p = QueriesMart.shippingPriority(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must never plan a global sort:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("promo share: exact permille of promo revenue per ship-month") {
+    val part = Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")
+    val li = Seq(
+      (1L, 30.0, 0.0, "2024-01-05"),  // promo    Jan: 30 of 100
+      (2L, 70.0, 0.0, "2024-01-20"),  // standard
+      (1L, 10.0, 0.5, "2024-02-01")   // promo    Feb: 5 of 5 (discounted)
+    ).toDF("l_partkey", "l_extendedprice", "l_discount", "d")
+      .select($"l_partkey", $"l_extendedprice", $"l_discount", to_timestamp($"d").as("l_shipdate"))
+    val out = QueriesMart.promoShareOn(li, part).collect()
+    assert(out.length == 2)
+    val jan = out(0)
+    assert(jan.getAs[Long]("n_lines") == 2L && jan.getAs[Double]("revenue") == 100.0)
+    assert(jan.getAs[Double]("promo_revenue") == 30.0)
+    assert(jan.getAs[Long]("promo_permille") == 300L)
+    val feb = out(1)
+    assert(feb.getAs[Double]("promo_revenue") == 5.0)
+    assert(feb.getAs[Long]("promo_permille") == 1000L)
+  }
+
+  test("local supplier volume: nation-equality, region, and year filters all bind") {
+    val region = Seq((0, "ASIA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10, "JAPAN", 0), (11, "INDIA", 0), (20, "FRANCE", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val cust = Seq((1L, 10), (2L, 11), (3L, 20)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq((100L, 10), (101L, 11), (102L, 20)).toDF("s_suppkey", "s_nationkey")
+    val orders = Seq(
+      (1L, 1L, "1997-05-01"), // JAPAN customer, in year
+      (2L, 2L, "1997-06-01"), // INDIA customer, in year
+      (3L, 1L, "1998-05-01"), // wrong year
+      (4L, 3L, "1997-05-01")  // FRANCE customer (wrong region)
+    ).toDF("o_orderkey", "o_custkey", "d")
+      .select($"o_orderkey", $"o_custkey", to_timestamp($"d").as("o_orderdate"))
+    val li = Seq(
+      (1L, 100L, 50.0, 0.0),  // JAPAN cust + JAPAN supp -> counts
+      (1L, 101L, 70.0, 0.0),  // JAPAN cust + INDIA supp -> nation mismatch
+      (2L, 101L, 30.0, 0.0),  // INDIA + INDIA -> counts
+      (3L, 100L, 99.0, 0.0),  // wrong year
+      (4L, 102L, 99.0, 0.0)   // wrong region
+    ).toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = QueriesMart
+      .localSupplierVolumeOn(li, orders, cust, supp, nation, region, "ASIA", 1997)
+      .collect()
+    assert(out.map(r => (r.getAs[String]("nation"), r.getAs[Double]("revenue"))).toSeq
+      == Seq(("JAPAN", 50.0), ("INDIA", 30.0)), out.mkString(", "))
+  }
+
+  test("abc parts: cumulative-permille class boundaries are exact and inclusive") {
+    // revenues 70/20/10 -> cum permille 700 (A, boundary inclusive), 900 (B), 1000 (C)
+    val li = Seq(
+      (1L, 70.0, 0.0), (2L, 20.0, 0.0), (3L, 10.0, 0.0)
+    ).toDF("l_partkey", "l_extendedprice", "l_discount")
+    val out = QueriesMart.abcPartsOn(li).collect()
+    assert(out.map(r => (r.getAs[String]("abc_class"), r.getAs[Long]("n_parts"),
+      r.getAs[Double]("revenue"), r.getAs[Long]("share_permille"))).toSeq
+      == Seq(("A", 1L, 70.0, 700L), ("B", 1L, 20.0, 200L), ("C", 1L, 10.0, 100L)))
+  }
+
+  test("abc parts: equal-revenue ties are deterministic on partkey") {
+    // four equal parts: cum 250/500/750/1000 -> A,A,B,C regardless of input order
+    val li = Seq((4L, 25.0, 0.0), (2L, 25.0, 0.0), (3L, 25.0, 0.0), (1L, 25.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val out = QueriesMart.abcPartsOn(li).collect()
+    assert(out.map(r => (r.getAs[String]("abc_class"), r.getAs[Long]("n_parts"))).toSeq
+      == Seq(("A", 2L), ("B", 1L), ("C", 1L)))
+  }
+
+  test("wow growth: permille ratio of adjacent observed weeks; calendar gap exposed") {
+    val orders = Seq(
+      ("2024-01-01", 100.0), // week of Jan 1 (Monday)
+      ("2024-01-08", 150.0), // next week: ratio 1500
+      ("2024-01-22", 75.0)   // SKIPS a week: prev_week_start shows Jan 8
+    ).toDF("d", "o_totalprice")
+      .select(to_timestamp($"d").as("o_orderdate"), $"o_totalprice")
+    val out = QueriesMart.wowGrowthOn(orders).collect()
+    assert(out.length == 3)
+    assert(out(0).isNullAt(out(0).fieldIndex("wow_ratio_permille")))
+    assert(out(0).isNullAt(out(0).fieldIndex("prev_week_start")))
+    assert(out(1).getAs[Long]("wow_ratio_permille") == 1500L)
+    assert(out(2).getAs[Long]("wow_ratio_permille") == 500L)
+    assert(out(2).getAs[java.sql.Date]("prev_week_start").toString == "2024-01-08",
+      "gap weeks compare adjacent OBSERVED weeks and say so")
+  }
+
+  test("hourly heatmap: cells, exact value sums, truncated permille shares") {
+    val ev = Seq(
+      ("2024-01-01 09:10:00", 1.50), // Mon 9h
+      ("2024-01-01 09:50:00", 2.50), // Mon 9h
+      ("2024-01-07 23:00:00", 4.00)  // Sun 23h
+    ).toDF("d", "value").select(to_timestamp($"d").as("ts"), $"value")
+    val out = QueriesMart.hourlyHeatmapOn(ev).collect()
+    assert(out.map(r => (r.getAs[Long]("dow_iso"), r.getAs[Long]("hour"),
+      r.getAs[Long]("n_events"), r.getAs[Double]("total_value"),
+      r.getAs[Long]("share_permille"))).toSeq
+      == Seq((1L, 9L, 2L, 4.0, 666L), (7L, 23L, 1L, 4.0, 333L)))
+  }
+
+  test("mart plans: no cartesian products beyond the 1-row total recombines") {
+    for (q <- Seq("q_promo_share", "q_local_supplier_volume", "q_wow_growth")) {
+      val p = Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    // abc_parts and hourly_heatmap recombine a broadcast 1-row total:
+    // the only nested-loop allowed is that single-row join
+    for (q <- Seq("q_abc_parts", "q_hourly_heatmap")) {
+      val p = Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, s"$q:\n$p")
+    }
+  }
+}

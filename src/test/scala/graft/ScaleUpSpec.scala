@@ -101,6 +101,9 @@ class ScaleUpSpec extends SparkSpec {
     "q_boilerplate",    // scalar corpus-total crossJoin
     "q_pmi_bigrams",    // scalar token-total crossJoin
     "q_vocab_coverage", // scalar coverage-total crossJoin
+    "q_weekday_seasonality", // scalar revenue-total crossJoin (≤7 cells)
+    "q_abc_parts",      // scalar revenue-total crossJoin onto the part grain
+    "q_hourly_heatmap", // scalar event-total crossJoin (≤168 cells)
     "q_ann_topk",       // brute-force baseline: bounded query set broadcast
     "q_ann_quantized")  // int8 twin of the same baseline
 
