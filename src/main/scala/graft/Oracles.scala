@@ -1881,6 +1881,53 @@ object Oracles {
   /** Classic decision-support marts (#116–#121, [[QueriesMart]])
     * plus the co-purchase PageRank (#122). */
   private def mart: Map[String, String] = Map(
+    "q_trend_slope" ->
+      """WITH pm AS (
+        |  SELECT l_partkey,
+        |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) AS BIGINT) AS t,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2
+        |), st AS (
+        |  SELECT l_partkey, count(*) AS n_months,
+        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(t * y) AS BIGINT) AS sty, CAST(sum(t * t) AS BIGINT) AS stt
+        |  FROM pm GROUP BY 1 HAVING count(*) >= 6
+        |)
+        |SELECT l_partkey AS partkey, n_months,
+        |  CAST(sy AS DOUBLE)/10000.0 AS revenue,
+        |  CAST(n_months * sty - st * sy AS DOUBLE)
+        |    / CAST(n_months * stt - st * st AS DOUBLE) / 10000.0 AS slope_per_month
+        |FROM st ORDER BY slope_per_month, partkey LIMIT 20""".stripMargin,
+    "q_anomaly_days" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1
+        |), dd AS (
+        |  SELECT *, CAST(isodow(day) AS BIGINT) AS dow_iso FROM d
+        |), m AS (
+        |  SELECT dow_iso, c AS med FROM (
+        |    SELECT dow_iso, c,
+        |      row_number() OVER (PARTITION BY dow_iso ORDER BY c, day) AS rn,
+        |      count(*) OVER (PARTITION BY dow_iso) AS n
+        |    FROM dd) WHERE rn = (50 * n + 99) // 100
+        |), dev AS (
+        |  SELECT dd.*, med, abs(c - med) AS dv FROM dd JOIN m USING (dow_iso)
+        |), md AS (
+        |  SELECT dow_iso, dv AS mad FROM (
+        |    SELECT dow_iso, dv,
+        |      row_number() OVER (PARTITION BY dow_iso ORDER BY dv, day) AS rn,
+        |      count(*) OVER (PARTITION BY dow_iso) AS n
+        |    FROM dev) WHERE rn = (50 * n + 99) // 100
+        |)
+        |SELECT day, dow_iso, n_orders,
+        |  CAST(c AS DOUBLE)/100.0 AS revenue,
+        |  CAST(med AS DOUBLE)/100.0 AS weekday_median,
+        |  CAST(dv AS DOUBLE)/100.0 AS deviation,
+        |  CAST(mad AS DOUBLE)/100.0 AS weekday_mad
+        |FROM dev JOIN md USING (dow_iso)
+        |WHERE dv > 3 * mad ORDER BY day""".stripMargin,
     "q_part_rank" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -251,7 +251,103 @@ object QueriesMart {
       .orderBy("dow_iso", "hour")
   }
 
+  /** #123 revenue trend slope: per-part OLS slope of monthly revenue
+    * on the month index — the "declining products" report (top-20
+    * steepest decline). All OLS moments are exact long sums
+    * (n·Σty − Σt·Σy over 10^4-scaled cents; month index ≤ ~130 keeps
+    * every product far inside Int64); the slope itself is ONE double
+    * division of two exact longs — a single correctly-rounded IEEE
+    * op, bit-identical in any engine — so ordering and the top-20
+    * cut are deterministic (partkey tiebreak). Parts need ≥6 observed
+    * months (which also forces den > 0: distinct month indices make
+    * n·Σt² − (Σt)² strictly positive by Cauchy-Schwarz). Absent
+    * months are absent points, not zeros — the slope is over
+    * OBSERVED months; `n_months` exposes sparsity.
+    *
+    * Scale shape: two keyed exchanges — the fact collapses map-side
+    * to the (part × month) grain, then that grain re-keys to the
+    * part grain (the month key must leave the hash for the moment
+    * sums, so a second small exchange is unavoidable); the head is a
+    * distributed TakeOrdered. The (part × month) grain is the
+    * standard cost of per-entity time series: bounded by
+    * parts × calendar, never by fact rows — at sf1 it approaches one
+    * group per input row (6.9 s, the honest price of a full-fact
+    * regression report), at 100 TB it is ~parts × months ≪ fact. */
+  def trendSlope(s: SparkSession, dir: String): DataFrame =
+    trendSlopeOn(Tables.lineitem(s, dir))
+
+  private[graft] def trendSlopeOn(lineitem: DataFrame): DataFrame = {
+    val t = ((year(col("l_shipdate")) - lit(1992)) * lit(12) + month(col("l_shipdate")))
+      .cast("long")
+    val pm = lineitem
+      .groupBy(col("l_partkey"), t.as("__t"))
+      .agg(revCents4.as("__y"))
+    val st = pm.groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("n_months"),
+        sum(col("__t")).as("__st"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__t") * col("__y")).as("__sty"),
+        sum(col("__t") * col("__t")).as("__stt"))
+      .where(col("n_months") >= 6)
+    st.select(
+        col("l_partkey").as("partkey"), col("n_months"),
+        (col("__sy").cast("double") / lit(10000.0)).as("revenue"),
+        ((col("n_months") * col("__sty") - col("__st") * col("__sy")).cast("double")
+          / (col("n_months") * col("__stt") - col("__st") * col("__st")).cast("double") / lit(10000.0))
+          .as("slope_per_month"))
+      .orderBy(col("slope_per_month").asc, col("partkey").asc)
+      .limit(20)
+  }
+
+  /** #124 anomaly days: days whose revenue deviates more than 3 MAD
+    * from their weekday's median — the robust outlier detector
+    * (means and stddevs are dragged by the very outliers they're
+    * meant to find; median/MAD are not). Flags promo spikes, outage
+    * holes, and backfill double-loads that a fixed threshold misses
+    * because Sundays and Mondays have different baselines.
+    *
+    * Exactness: both medians come from
+    * [[graft.operators.Quantiles.selectAtRanks]] (lower median, real
+    * data points, day tiebreak) on exact cent sums; the 3-MAD gate is
+    * an integer comparison. Scale shape: ONE fact collapse to the
+    * calendar-bounded day grain (persisted for its three consumers —
+    * two rank selections and the final gate — reaped before return);
+    * everything after runs on ≤ a few thousand rows. */
+  def anomalyDays(s: SparkSession, dir: String): DataFrame =
+    anomalyDaysOn(Tables.orders(s, dir))
+
+  private[graft] def anomalyDaysOn(orders: DataFrame): DataFrame = {
+    val d = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"), Money.scaledSum(col("o_totalprice"), 2).as("__c"))
+      .withColumn("dow_iso", (weekday(col("day")) + lit(1)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = graft.operators.Quantiles
+      .selectAtRanks(d, "dow_iso", col("__c"), col("day"),
+        call_function("div", col("__c"), lit(100000L)), Seq(50L), "__med")
+      .drop("pctl")
+    val dev = d.join(broadcast(med), "dow_iso")
+      .withColumn("__dev", abs(col("__c") - col("__med")))
+    val mad = graft.operators.Quantiles
+      .selectAtRanks(dev, "dow_iso", col("__dev"), col("day"),
+        call_function("div", col("__dev"), lit(100000L)), Seq(50L), "__mad")
+      .drop("pctl")
+    val out = dev.join(broadcast(mad), "dow_iso")
+      .where(col("__dev") > lit(3L) * col("__mad"))
+      .select(
+        col("day"), col("dow_iso"), col("n_orders"),
+        (col("__c").cast("double") / lit(100.0)).as("revenue"),
+        (col("__med").cast("double") / lit(100.0)).as("weekday_median"),
+        (col("__dev").cast("double") / lit(100.0)).as("deviation"),
+        (col("__mad").cast("double") / lit(100.0)).as("weekday_mad"))
+      .orderBy("day")
+    Caching.reap(out)(d)
+  }
+
   def all: Map[String, Q] = Map(
+    "q_trend_slope" -> (trendSlope _),
+    "q_anomaly_days" -> (anomalyDays _),
     "q_shipping_priority" -> (shippingPriority _),
     "q_promo_share" -> (promoShare _),
     "q_local_supplier_volume" -> (localSupplierVolume _),

@@ -158,6 +158,46 @@ class MartSpec extends SparkSpec {
       r1 > r2 || (r1 == r2 && k1 < k2); case _ => true })
   }
 
+  test("trend slope: hand-built linear decline recovers the exact slope; sparse parts excluded") {
+    // part 1: revenue 70-10t over t=1..6 -> slope exactly -10.0/month
+    // part 2: 3 observed months -> excluded by the >=6 gate
+    val rows = (1 to 6).map(m => (1L, 70.0 - 10.0 * m, 0.0, f"1992-$m%02d-15")) ++
+      (1 to 3).map(m => (2L, 50.0, 0.0, f"1992-$m%02d-15"))
+    val li = rows.toDF("l_partkey", "l_extendedprice", "l_discount", "d")
+      .select($"l_partkey", $"l_extendedprice", $"l_discount", to_timestamp($"d").as("l_shipdate"))
+    val out = QueriesMart.trendSlopeOn(li).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("partkey") == 1L)
+    assert(out(0).getAs[Long]("n_months") == 6L)
+    assert(out(0).getAs[Double]("revenue") == 210.0)
+    assert(out(0).getAs[Double]("slope_per_month") == -10.0,
+      "exact integer moments must recover the exact slope")
+  }
+
+  test("anomaly days: 3-MAD weekday gate flags the planted spike only") {
+    // five Mondays, one 10x spike: median 100, MAD 0, only the spike
+    // has deviation > 3*MAD
+    val orders = Seq(
+      ("2024-01-01", 100.0), ("2024-01-08", 100.0), ("2024-01-15", 100.0),
+      ("2024-01-22", 100.0), ("2024-01-29", 1000.0)
+    ).toDF("d", "o_totalprice")
+      .select(to_timestamp($"d").as("o_orderdate"), $"o_totalprice")
+    val out = QueriesMart.anomalyDaysOn(orders).collect()
+    assert(out.length == 1, out.mkString(", "))
+    val r = out(0)
+    assert(r.getAs[java.sql.Date]("day").toString == "2024-01-29")
+    assert(r.getAs[Double]("revenue") == 1000.0)
+    assert(r.getAs[Double]("weekday_median") == 100.0)
+    assert(r.getAs[Double]("deviation") == 900.0)
+    assert(r.getAs[Double]("weekday_mad") == 0.0)
+  }
+
+  test("trend slope plan: distributed TakeOrdered head, one exchange to the part grain") {
+    val p = QueriesMart.trendSlope(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must never plan a global sort:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("mart plans: no cartesian products beyond the 1-row total recombines") {
     for (q <- Seq("q_promo_share", "q_local_supplier_volume", "q_wow_growth")) {
       val p = Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
