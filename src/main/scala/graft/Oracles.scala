@@ -1881,6 +1881,51 @@ object Oracles {
   /** Classic decision-support marts (#116–#121, [[QueriesMart]])
     * plus the co-purchase PageRank (#122). */
   private def mart: Map[String, String] = Map(
+    "q_order_lines_profile" ->
+      """WITH sz AS (
+        |  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1
+        |), h AS (
+        |  SELECT n_lines, count(*) AS n_orders FROM sz GROUP BY 1
+        |), t AS (
+        |  SELECT *, CAST(sum(n_orders) OVER () AS BIGINT) AS total FROM h
+        |)
+        |SELECT n_lines, n_orders, 1000 * n_orders // total AS share_permille
+        |FROM t ORDER BY n_lines""".stripMargin,
+    "q_customer_migration" ->
+      """WITH cy AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CASE WHEN count(*) = 1 THEN 'one'
+        |         WHEN count(*) <= 4 THEN 'few'
+        |         ELSE 'many' END AS band
+        |  FROM orders GROUP BY 1, 2
+        |), m AS (
+        |  SELECT a.yr AS year_from, a.band AS band_from,
+        |    coalesce(b.band, 'gone') AS band_to, count(*) AS n_customers
+        |  FROM cy a LEFT JOIN cy b
+        |    ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+        |  GROUP BY 1, 2, 3
+        |), w AS (
+        |  SELECT *,
+        |    CAST(sum(n_customers) OVER (PARTITION BY year_from, band_from) AS BIGINT) AS cohort,
+        |    max(year_from) OVER () AS maxy
+        |  FROM m
+        |)
+        |SELECT year_from, band_from, band_to, n_customers,
+        |  1000 * n_customers // cohort AS cohort_permille
+        |FROM w WHERE year_from < maxy
+        |ORDER BY year_from, band_from, band_to""".stripMargin,
+    "q_dq_freshness" ->
+      """WITH u AS (
+        |  SELECT 'orders' AS table_name, count(*) AS n_rows,
+        |    CAST(max(o_orderdate) AS DATE) AS max_day FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', count(*), CAST(max(l_shipdate) AS DATE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events', count(*), CAST(max(ts) AS DATE) FROM events
+        |)
+        |SELECT table_name, n_rows, max_day,
+        |  CAST(date_diff('day', max_day, max(max_day) OVER ()) AS BIGINT) AS days_behind
+        |FROM u ORDER BY table_name""".stripMargin,
     "q_trend_slope" ->
       """WITH pm AS (
         |  SELECT l_partkey,

@@ -345,9 +345,99 @@ object QueriesMart {
     Caching.reap(out)(d)
   }
 
+  /** #125 order-size profile: how many lines an order carries —
+    * histogram with integer-permille shares. The basket-shape
+    * baseline behind picking/packing capacity and the sanity floor
+    * under #66's pair expansion (max basket size bounds the pair
+    * blowup). One orderkey collapse, then a ≤max-lines histogram;
+    * the share denominator is a window over the histogram grain
+    * (bounded by max basket size), not a second scan. */
+  def orderLinesProfile(s: SparkSession, dir: String): DataFrame =
+    orderLinesProfileOn(Tables.lineitem(s, dir))
+
+  private[graft] def orderLinesProfileOn(lineitem: DataFrame): DataFrame = {
+    val sz = lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+    val h = sz.groupBy(col("n_lines")).agg(count(lit(1)).as("n_orders"))
+    h.withColumn("__total", sum(col("n_orders")).over(Window.partitionBy()))
+      .select(col("n_lines"), col("n_orders"),
+        permille(col("n_orders"), col("__total")).as("share_permille"))
+      .orderBy("n_lines")
+  }
+
+  /** #126 customer migration: year-over-year transitions between
+    * activity bands (one / few / many orders) including churn to
+    * `gone` — the retention matrix behind any subscription-style
+    * report: which cohorts deepen, which evaporate. Bands are
+    * rule-based on exact counts (partition-independent); the
+    * permille is of the source (year, band) cohort.
+    *
+    * Scale shape: ONE customer×year collapse (persisted — both join
+    * sides and the matrix read it), self-joined on
+    * (custkey, year+1) — a custkey-keyed hash join, no interval —
+    * then a ≤ years×3×4-cell matrix; the cohort denominator and the
+    * final-year trim are windows over that bounded grain. */
+  def customerMigration(s: SparkSession, dir: String): DataFrame =
+    customerMigrationOn(Tables.orders(s, dir))
+
+  private[graft] def customerMigrationOn(orders: DataFrame): DataFrame = {
+    val band = (n: Column) =>
+      when(n === 1, "one").when(n <= 4, "few").otherwise("many")
+    val cy = orders
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("o_custkey"), col("yr"), band(col("__n")).as("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nxt = cy.select(col("o_custkey").as("__ck"), (col("yr") - lit(1)).as("__py"),
+      col("band").as("band_to"))
+    val matrix = cy
+      .join(nxt, col("o_custkey") === col("__ck") && col("yr") === col("__py"), "left")
+      .groupBy(col("yr").as("year_from"), col("band").as("band_from"),
+        coalesce(col("band_to"), lit("gone")).as("band_to"))
+      .agg(count(lit(1)).as("n_customers"))
+    // both the cohort denominator and the final-year trim (everyone
+    // is vacuously `gone` after the last observed year) are windows
+    // over the bounded matrix grain — no second scan, no 1-row join
+    val out = matrix
+      .withColumn("__cohort",
+        sum(col("n_customers")).over(Window.partitionBy("year_from", "band_from")))
+      .withColumn("__maxy", max(col("year_from")).over(Window.partitionBy()))
+      .where(col("year_from") < col("__maxy"))
+      .select(col("year_from"), col("band_from"), col("band_to"), col("n_customers"),
+        permille(col("n_customers"), col("__cohort")).as("cohort_permille"))
+      .orderBy("year_from", "band_from", "band_to")
+    Caching.reap(out)(cy)
+  }
+
+  /** #127 freshness audit: per fact table — row count, latest
+    * business timestamp, and days-behind the freshest table. The
+    * staleness check an incremental pipeline reads FIRST (a stuck
+    * watermark shows up here before any value is wrong; the
+    * reference's watermark manager implies exactly this view).
+    * Three map-side-combined 1-row aggregates unioned; the lag is a
+    * window over the 3-row frame. */
+  def dqFreshness(s: SparkSession, dir: String): DataFrame =
+    dqFreshnessOn(Tables.orders(s, dir), Tables.lineitem(s, dir), Tables.events(s, dir))
+
+  private[graft] def dqFreshnessOn(orders: DataFrame, lineitem: DataFrame,
+      events: DataFrame): DataFrame = {
+    def one(df: DataFrame, name: String, ts: Column) =
+      df.agg(count(lit(1)).as("n_rows"), max(ts.cast("date")).as("max_day"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("max_day"))
+    val u = one(orders, "orders", col("o_orderdate"))
+      .unionAll(one(lineitem, "lineitem", col("l_shipdate")))
+      .unionAll(one(events, "events", col("ts")))
+    u.withColumn("__freshest", max(col("max_day")).over(Window.partitionBy()))
+      .select(col("table_name"), col("n_rows"), col("max_day"),
+        datediff(col("__freshest"), col("max_day")).cast("long").as("days_behind"))
+      .orderBy("table_name")
+  }
+
   def all: Map[String, Q] = Map(
     "q_trend_slope" -> (trendSlope _),
     "q_anomaly_days" -> (anomalyDays _),
+    "q_order_lines_profile" -> (orderLinesProfile _),
+    "q_customer_migration" -> (customerMigration _),
+    "q_dq_freshness" -> (dqFreshness _),
     "q_shipping_priority" -> (shippingPriority _),
     "q_promo_share" -> (promoShare _),
     "q_local_supplier_volume" -> (localSupplierVolume _),

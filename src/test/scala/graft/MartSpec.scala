@@ -198,6 +198,48 @@ class MartSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("order lines profile: histogram cells and truncated shares") {
+    val li = Seq((1L, 1), (2L, 1), (3L, 1), (3L, 2))
+      .toDF("l_orderkey", "l_linenumber")
+    val out = QueriesMart.orderLinesProfileOn(li).collect()
+    assert(out.map(r => (r.getAs[Long]("n_lines"), r.getAs[Long]("n_orders"),
+      r.getAs[Long]("share_permille"))).toSeq
+      == Seq((1L, 2L, 666L), (2L, 1L, 333L)))
+  }
+
+  test("customer migration: band transitions, churn to gone, final-year trim") {
+    // c1: 1 order in 2000 (one) -> 5 in 2001 (many) -> absent 2002 (gone)
+    // c2: 2 in 2000 (few) -> 1 in 2001 (one) -> 1 in 2002 (trimmed as source)
+    val rows =
+      Seq((1L, "2000-05-01")) ++ (1 to 5).map(i => (1L, f"2001-0$i%d-01")) ++
+        Seq((2L, "2000-03-01"), (2L, "2000-04-01"), (2L, "2001-06-01"), (2L, "2002-02-01"))
+    val orders = rows.toDF("o_custkey", "d")
+      .select($"o_custkey", to_timestamp($"d").as("o_orderdate"))
+    val out = QueriesMart.customerMigrationOn(orders).collect()
+    assert(out.map(r => (r.getAs[Long]("year_from"), r.getAs[String]("band_from"),
+      r.getAs[String]("band_to"), r.getAs[Long]("n_customers"),
+      r.getAs[Long]("cohort_permille"))).toSeq
+      == Seq(
+        (2000L, "few", "one", 1L, 1000L),
+        (2000L, "one", "many", 1L, 1000L),
+        (2001L, "many", "gone", 1L, 1000L),
+        (2001L, "one", "one", 1L, 1000L)),
+      "2002 sources must be trimmed (vacuously gone)")
+  }
+
+  test("freshness audit: days behind the freshest table") {
+    val orders = Seq(("2024-01-10", 1.0)).toDF("d", "o_totalprice")
+      .select(to_timestamp($"d").as("o_orderdate"), $"o_totalprice")
+    val li = Seq(("2024-01-12", 1L)).toDF("d", "l_orderkey")
+      .select(to_timestamp($"d").as("l_shipdate"), $"l_orderkey")
+    val ev = Seq(("2024-01-15", 1L)).toDF("d", "user_id")
+      .select(to_timestamp($"d").as("ts"), $"user_id")
+    val out = QueriesMart.dqFreshnessOn(orders, li, ev).collect()
+    assert(out.map(r => (r.getAs[String]("table_name"), r.getAs[Long]("n_rows"),
+      r.getAs[Long]("days_behind"))).toSeq
+      == Seq(("events", 1L, 0L), ("lineitem", 1L, 3L), ("orders", 1L, 5L)))
+  }
+
   test("mart plans: no cartesian products beyond the 1-row total recombines") {
     for (q <- Seq("q_promo_share", "q_local_supplier_volume", "q_wow_growth")) {
       val p = Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
