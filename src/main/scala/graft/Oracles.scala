@@ -1881,6 +1881,43 @@ object Oracles {
   /** Classic decision-support marts (#116–#121, [[QueriesMart]])
     * plus the co-purchase PageRank (#122). */
   private def mart: Map[String, String] = Map(
+    "q_zipf_check" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, word, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk
+        |  FROM c
+        |), h AS (
+        |  SELECT * FROM r WHERE rk <= 10
+        |), t AS (
+        |  SELECT lang, word AS top_word, n AS n_top FROM h WHERE rk = 1
+        |)
+        |SELECT h.lang, top_word, n_top,
+        |  CAST(sum(abs(h.n * h.rk * 1000 // n_top - 1000)) AS BIGINT)
+        |    // count(*) AS zipf_dev_permille
+        |FROM h JOIN t ON h.lang = t.lang
+        |WHERE h.rk >= 2
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q_discount_depth" ->
+      s"""WITH d AS (
+        |  SELECT CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS discount_pct,
+        |    count(*) AS n_lines,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS gross_revenue,
+        |    $rev AS realized_revenue,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(l_discount AS DECIMAL(12,2)) * 10000) AS BIGINT) AS f
+        |  FROM lineitem GROUP BY 1
+        |), t AS (
+        |  SELECT *, CAST(sum(f) OVER () AS BIGINT) AS total FROM d
+        |)
+        |SELECT discount_pct, n_lines, gross_revenue, realized_revenue,
+        |  CAST(f AS DOUBLE)/10000.0 AS forgone_revenue,
+        |  1000 * f // total AS leakage_share_permille
+        |FROM t ORDER BY discount_pct""".stripMargin,
     "q_order_lines_profile" ->
       """WITH sz AS (
         |  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1

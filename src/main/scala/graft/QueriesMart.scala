@@ -432,7 +432,39 @@ object QueriesMart {
       .orderBy("table_name")
   }
 
+  /** #129 discount-depth mix: per discrete discount level — lines,
+    * gross revenue, realized (discounted) revenue, forgone revenue,
+    * and each level's integer-permille share of total leakage. The
+    * pricing report answering "how much margin do we give away, and
+    * at which depth" (TPC-H Q6 asks one band of this; the mix shows
+    * all of them). The level key is the EXACT decimal discount ×100
+    * (a double×100 cast would misbin 0.05·100 = 5.000…01). One
+    * map-side collapse to ≤|levels| cells; the leakage denominator
+    * is a window over that grain. */
+  def discountDepth(s: SparkSession, dir: String): DataFrame =
+    discountDepthOn(Tables.lineitem(s, dir))
+
+  private[graft] def discountDepthOn(lineitem: DataFrame): DataFrame = {
+    val forgone4 =
+      sum(Money.dec(col("l_extendedprice")) * Money.dec(col("l_discount")) * lit(10000L))
+        .cast("long")
+    lineitem
+      .groupBy((Money.dec(col("l_discount")) * lit(100)).cast("long").as("discount_pct"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        Money.sumExact(col("l_extendedprice")).as("gross_revenue"),
+        revenue.as("realized_revenue"),
+        forgone4.as("__f"))
+      .withColumn("__total", sum(col("__f")).over(Window.partitionBy()))
+      .select(col("discount_pct"), col("n_lines"), col("gross_revenue"),
+        col("realized_revenue"),
+        (col("__f").cast("double") / lit(10000.0)).as("forgone_revenue"),
+        permille(col("__f"), col("__total")).as("leakage_share_permille"))
+      .orderBy("discount_pct")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_discount_depth" -> (discountDepth _),
     "q_trend_slope" -> (trendSlope _),
     "q_anomaly_days" -> (anomalyDays _),
     "q_order_lines_profile" -> (orderLinesProfile _),

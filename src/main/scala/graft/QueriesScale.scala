@@ -452,7 +452,20 @@ object QueriesScale {
     * superset margin at 10× scale while keeping the recount
     * candidate-bounded; on a real Zipf corpus margins are wide and
     * the depth is pure safety. */
-  def topkWords(s: SparkSession, dir: String): DataFrame = {
+  def topkWords(s: SparkSession, dir: String): DataFrame =
+    rankedWordCounts(s, dir)
+      .where(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("word"), col("n_occurrences"),
+        (col("__est") >= col("n_occurrences") &&
+          col("__est") - col("__err") <= col("n_occurrences")).as("bracket_ok"))
+      .orderBy("lang", "rank")
+
+  /** Shared nominate→exact-recount→rank pipeline behind #55 and
+    * #128: per-language word ranks by EXACT count (sketch estimates
+    * ride along as `__est`/`__err` for the bracket check). Ranks are
+    * trustworthy only as deep as the nomination margin — callers
+    * consume the shallow head (≤10), nominated 128-of-1024. */
+  private def rankedWordCounts(s: SparkSession, dir: String): DataFrame = {
     TopKSketchAgg.register(s)
     val words = Tables.documents(s, dir)
       .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
@@ -466,11 +479,38 @@ object QueriesScale {
     val w = Window.partitionBy("lang").orderBy(col("n_occurrences").desc, col("word"))
     nominated.join(exact, Seq("lang", "word"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= 5)
-      .select(col("lang"), col("rank"), col("word"), col("n_occurrences"),
-        (col("__est") >= col("n_occurrences") &&
-          col("__est") - col("__err") <= col("n_occurrences")).as("bracket_ok"))
-      .orderBy("lang", "rank")
+  }
+
+  /** #128 Zipf naturalness check: per language, how far the top-10
+    * word frequencies sit from the ideal Zipf line — mean
+    * |f·r/f₁ − 1| over ranks 2–10 as exact integer permille. Natural
+    * language hugs f ∝ 1/r; templated or machine-generated corpora
+    * deviate hard, so this is the one-row-per-language "does this
+    * source read like language at all" gate of a corpus intake
+    * report (complements #82's coverage and #90's PMI).
+    *
+    * Scale shape: rides the SAME nominate→recount pipeline as #55
+    * (sketch bounds memory at any vocabulary, recount is
+    * candidate-bounded); everything after the head is ≤10 rows per
+    * language. All arithmetic is exact integer `div` — the deviation
+    * is defined by the data alone and DuckDB recomputes it from full
+    * vocabulary ranks. */
+  def zipfCheck(s: SparkSession, dir: String): DataFrame = {
+    val head = rankedWordCounts(s, dir).where(col("rank") <= 10)
+      .select(col("lang"), col("rank"), col("word"), col("n_occurrences"))
+    val top = head.where(col("rank") === 1)
+      .select(col("lang"), col("word").as("top_word"), col("n_occurrences").as("n_top"))
+    head.where(col("rank") >= 2)
+      .join(broadcast(top), "lang")
+      .groupBy(col("lang"), col("top_word"), col("n_top"))
+      .agg(
+        count(lit(1)).as("__nr"),
+        sum(abs(call_function("div",
+          col("n_occurrences") * col("rank") * lit(1000L), col("n_top")) - lit(1000L)))
+          .as("__dev"))
+      .select(col("lang"), col("top_word"), col("n_top"),
+        call_function("div", col("__dev"), col("__nr")).as("zipf_dev_permille"))
+      .orderBy("lang")
   }
 
   /** #56 forward as-of join: for every event, the customer's FIRST
@@ -834,6 +874,7 @@ object QueriesScale {
     "q_unicode_norm" -> (unicodeNorm _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_hll_union" -> (hllUnion _),
-    "q_topk_words" -> (topkWords _)
+    "q_topk_words" -> (topkWords _),
+    "q_zipf_check" -> (zipfCheck _)
   )
 }

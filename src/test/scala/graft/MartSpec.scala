@@ -240,6 +240,30 @@ class MartSpec extends SparkSpec {
       == Seq(("events", 1L, 0L), ("lineitem", 1L, 3L), ("orders", 1L, 5L)))
   }
 
+  test("discount depth: exact decimal binning and leakage shares") {
+    // 0.05 * 100 on a DOUBLE is 5.000000000000001 — the decimal path
+    // must bin it as exactly 5
+    val li = Seq(
+      (100.0, 0.05), (200.0, 0.05), // forgone 5 + 10 = 15
+      (100.0, 0.10),                // forgone 10
+      (100.0, 0.00)                 // forgone 0
+    ).toDF("l_extendedprice", "l_discount")
+    val out = QueriesMart.discountDepthOn(li).collect()
+    assert(out.map(r => (r.getAs[Long]("discount_pct"), r.getAs[Long]("n_lines"),
+      r.getAs[Double]("forgone_revenue"), r.getAs[Long]("leakage_share_permille"))).toSeq
+      == Seq((0L, 1L, 0.0, 0L), (5L, 2L, 15.0, 600L), (10L, 1L, 10.0, 400L)))
+    assert(out.map(r => r.getAs[Double]("gross_revenue")).sum == 500.0)
+  }
+
+  test("zipf check: a perfect 1/r corpus scores zero deviation") {
+    val out = QueriesScale.zipfCheck(spark, sf).collect()
+    // shape on real testdata: one row per language, dev >= 0, top word non-empty
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("zipf_dev_permille") >= 0L))
+    assert(out.forall(_.getAs[Long]("n_top") >= 1L))
+    assert(out.map(_.getAs[String]("lang")).distinct.length == out.length)
+  }
+
   test("mart plans: no cartesian products beyond the 1-row total recombines") {
     for (q <- Seq("q_promo_share", "q_local_supplier_volume", "q_wow_growth")) {
       val p = Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
