@@ -1881,6 +1881,36 @@ object Oracles {
   /** Classic decision-support marts (#116–#121, [[QueriesMart]])
     * plus the co-purchase PageRank (#122). */
   private def mart: Map[String, String] = Map(
+    "q_nation_trade_balance" ->
+      s"""WITH s AS (
+        |  SELECT s_nationkey AS nk,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000) AS BIGINT) AS sup
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT c_nationkey AS nk,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000) AS BIGINT) AS pur
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1
+        |)
+        |SELECT n_name AS nation,
+        |  CAST(coalesce(sup, 0) AS DOUBLE)/10000.0 AS supplied_revenue,
+        |  CAST(coalesce(pur, 0) AS DOUBLE)/10000.0 AS purchased_revenue,
+        |  1000 * coalesce(sup, 0) // (coalesce(sup, 0) + coalesce(pur, 0))
+        |    AS supplied_share_permille
+        |FROM s FULL JOIN p USING (nk)
+        |JOIN nation ON nk = n_nationkey
+        |ORDER BY nation""".stripMargin,
+    "q_dedup_inflation" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT lower(trim(text))) AS n_distinct,
+        |  count(*) - count(DISTINCT lower(trim(text))) AS dup_docs,
+        |  1000 * count(*) // count(DISTINCT lower(trim(text))) AS inflation_permille
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
     "q_zipf_check" ->
       """WITH w AS (
         |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word

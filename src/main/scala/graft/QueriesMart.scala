@@ -463,7 +463,82 @@ object QueriesMart {
       .orderBy("discount_pct")
   }
 
+  /** #130 nation trade balance: per nation, revenue SUPPLIED by its
+    * suppliers vs revenue PURCHASED by its customers, and the
+    * supplied share as exact integer permille — the import/export
+    * view of the star schema (500 = balanced; the procurement-vs-
+    * sales asymmetry per geography).
+    *
+    * Scale shape: the supplied side is map-only (broadcast supplier
+    * dim onto the fact, collapse to ≤|nations| cells); the purchased
+    * side pays the one fact×fact orderkey shuffle every
+    * customer-keyed fact report pays (same shape as #112), then
+    * collapses the same way. The two ≤|nations| frames join
+    * broadcast with the nation dim. */
+  def nationTradeBalance(s: SparkSession, dir: String): DataFrame =
+    nationTradeBalanceOn(Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))
+
+  private[graft] def nationTradeBalanceOn(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val supplied = lineitem
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("__nk"))
+      .agg(revCents4.as("__sup"))
+    val purchased = lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("__nk2"))
+      .agg(revCents4.as("__pur"))
+    supplied
+      .join(purchased, col("__nk") === col("__nk2"), "full")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        coalesce(col("__nk"), col("__nk2")) === col("n_nationkey"))
+      .select(
+        col("n_name").as("nation"),
+        (coalesce(col("__sup"), lit(0L)).cast("double") / lit(10000.0)).as("supplied_revenue"),
+        (coalesce(col("__pur"), lit(0L)).cast("double") / lit(10000.0)).as("purchased_revenue"),
+        permille(coalesce(col("__sup"), lit(0L)),
+          coalesce(col("__sup"), lit(0L)) + coalesce(col("__pur"), lit(0L)))
+          .as("supplied_share_permille"))
+      .orderBy("nation")
+  }
+
+  /** #131 dedup inflation: per source, how much exact duplication
+    * inflates the corpus — docs vs distinct normalized texts (#22's
+    * exact-dedup key) and the inflation as integer permille
+    * (1000 = clean). The "which source is pasting the same page"
+    * triage that runs BEFORE any expensive near-dup pass, sizing
+    * where #23/#24's banding budget should go.
+    *
+    * Scale shape: one aggregation keyed (source, normalized-text
+    * hash) — Spark plans the single distinct as a two-phase
+    * partial/final aggregate, no Expand — then a map-side collapse
+    * to ≤|sources| cells. The text itself never shuffles: the
+    * distinct runs on its 64-bit xxhash (collision odds ~n²/2⁶⁴ —
+    * the same contract every hash-keyed dedup in the engine
+    * documents). */
+  def dedupInflation(s: SparkSession, dir: String): DataFrame =
+    dedupInflationOn(Tables.documents(s, dir))
+
+  private[graft] def dedupInflationOn(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), xxhash64(lower(trim(col("text")))).as("__k"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("__k")).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("dup_docs"),
+        permille(col("n_docs"), col("n_distinct")).as("inflation_permille"))
+      .orderBy("source")
+
   def all: Map[String, Q] = Map(
+    "q_nation_trade_balance" -> (nationTradeBalance _),
+    "q_dedup_inflation" -> (dedupInflation _),
     "q_discount_depth" -> (discountDepth _),
     "q_trend_slope" -> (trendSlope _),
     "q_anomaly_days" -> (anomalyDays _),

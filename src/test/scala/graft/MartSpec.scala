@@ -264,6 +264,34 @@ class MartSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("lang")).distinct.length == out.length)
   }
 
+  test("trade balance: full-outer nation grain, exact share, one-sided nations kept") {
+    val nation = Seq((1, "A"), (2, "B"), (3, "C")).toDF("n_nationkey", "n_name")
+    val supp = Seq((10L, 1), (11L, 2)).toDF("s_suppkey", "s_nationkey")
+    val cust = Seq((20L, 1), (21L, 3)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((100L, 20L), (101L, 21L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (100L, 10L, 60.0, 0.0), // supplied by A, purchased by A
+      (101L, 11L, 40.0, 0.0)  // supplied by B, purchased by C
+    ).toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = QueriesMart.nationTradeBalanceOn(li, orders, cust, supp, nation).collect()
+    assert(out.map(r => (r.getAs[String]("nation"), r.getAs[Double]("supplied_revenue"),
+      r.getAs[Double]("purchased_revenue"), r.getAs[Long]("supplied_share_permille"))).toSeq
+      == Seq(("A", 60.0, 60.0, 500L), ("B", 40.0, 0.0, 1000L), ("C", 0.0, 40.0, 0L)),
+      "customer-only and supplier-only nations must both survive the full join")
+  }
+
+  test("dedup inflation: normalized duplicates counted per source") {
+    val docs = Seq(
+      (1L, "Hello World", "s1"), (2L, "  hello world  ", "s1"), (3L, "unique", "s1"),
+      (4L, "clean", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = QueriesMart.dedupInflationOn(docs).collect()
+    assert(out.map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_distinct"), r.getAs[Long]("dup_docs"),
+      r.getAs[Long]("inflation_permille"))).toSeq
+      == Seq(("s1", 3L, 2L, 1L, 1500L), ("s2", 1L, 1L, 0L, 1000L)))
+  }
+
   test("mart plans: no cartesian products beyond the 1-row total recombines") {
     for (q <- Seq("q_promo_share", "q_local_supplier_volume", "q_wow_growth")) {
       val p = Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
