@@ -1881,6 +1881,25 @@ object Oracles {
   /** Classic decision-support marts (#116–#121, [[QueriesMart]])
     * plus the co-purchase PageRank (#122). */
   private def mart: Map[String, String] = Map(
+    "q_open_orders" ->
+      """WITH placed AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_placed
+        |  FROM orders GROUP BY 1
+        |), done AS (
+        |  SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS day
+        |  FROM lineitem GROUP BY 1
+        |), shipped AS (
+        |  SELECT day, count(*) AS n_shipped FROM done GROUP BY 1
+        |), cal AS (
+        |  SELECT coalesce(p.day, s.day) AS day,
+        |    coalesce(n_placed, 0) AS n_placed,
+        |    coalesce(n_shipped, 0) AS n_shipped_complete
+        |  FROM placed p FULL JOIN shipped s ON p.day = s.day
+        |)
+        |SELECT day, n_placed, n_shipped_complete,
+        |  CAST(sum(n_placed - n_shipped_complete) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_backlog
+        |FROM cal ORDER BY day""".stripMargin,
     "q_nation_trade_balance" ->
       s"""WITH s AS (
         |  SELECT s_nationkey AS nk,

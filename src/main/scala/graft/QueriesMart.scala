@@ -536,7 +536,47 @@ object QueriesMart {
         permille(col("n_docs"), col("n_distinct")).as("inflation_permille"))
       .orderBy("source")
 
+  /** #132 open-order backlog: per day, orders placed, orders FULLY
+    * shipped (the max ship date across an order's lines is its
+    * completion), and the running open backlog — operational state
+    * over time reconstructed from two event streams, the
+    * event-sourcing pattern behind any "how deep is the queue"
+    * dashboard (a rising backlog flags a fulfillment stall long
+    * before latency percentiles move).
+    *
+    * Scale shape: completion needs ONE orderkey-grain collapse of
+    * the fact (max per order — map-side combined); both streams then
+    * collapse to the calendar-bounded day grain, full-outer join on
+    * day, and the backlog is a cumulative window ABOVE that
+    * aggregate — bounded by calendar size, never data size. */
+  def openOrders(s: SparkSession, dir: String): DataFrame =
+    openOrdersOn(Tables.orders(s, dir), Tables.lineitem(s, dir))
+
+  private[graft] def openOrdersOn(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val placed = orders
+      .groupBy(to_date(col("o_orderdate")).as("__pd"))
+      .agg(count(lit(1)).as("__np"))
+    val shipped = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("__done"))
+      .groupBy(col("__done").as("__sd"))
+      .agg(count(lit(1)).as("__ns"))
+    val cal = placed
+      .join(shipped, col("__pd") === col("__sd"), "full")
+      .select(
+        coalesce(col("__pd"), col("__sd")).as("day"),
+        coalesce(col("__np"), lit(0L)).as("n_placed"),
+        coalesce(col("__ns"), lit(0L)).as("n_shipped_complete"))
+    cal
+      .withColumn("open_backlog",
+        sum(col("n_placed") - col("n_shipped_complete"))
+          .over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_open_orders" -> (openOrders _),
     "q_nation_trade_balance" -> (nationTradeBalance _),
     "q_dedup_inflation" -> (dedupInflation _),
     "q_discount_depth" -> (discountDepth _),

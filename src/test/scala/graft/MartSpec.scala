@@ -292,6 +292,25 @@ class MartSpec extends SparkSpec {
       == Seq(("s1", 3L, 2L, 1L, 1500L), ("s2", 1L, 1L, 0L, 1000L)))
   }
 
+  test("open orders: backlog accumulates placements and releases full shipments") {
+    // day1: 2 placed; day2: 1 placed, order 1 completes (last line day2);
+    // day3: order 2 completes. Backlog: 2, 2, 1
+    val orders = Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-02"))
+      .toDF("o_orderkey", "d")
+      .select($"o_orderkey", to_timestamp($"d").as("o_orderdate"))
+    val li = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), // order 1 completes day2
+      (2L, "2024-01-03"),                     // order 2 completes day3
+      (3L, "2024-01-02")                      // order 3 completes day2
+    ).toDF("l_orderkey", "d")
+      .select($"l_orderkey", to_timestamp($"d").as("l_shipdate"))
+    val out = QueriesMart.openOrdersOn(orders, li).collect()
+    assert(out.map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("n_placed"),
+      r.getAs[Long]("n_shipped_complete"), r.getAs[Long]("open_backlog"))).toSeq
+      == Seq(("2024-01-01", 2L, 0L, 2L), ("2024-01-02", 1L, 2L, 1L),
+        ("2024-01-03", 0L, 1L, 0L)))
+  }
+
   test("mart plans: no cartesian products beyond the 1-row total recombines") {
     for (q <- Seq("q_promo_share", "q_local_supplier_volume", "q_wow_growth")) {
       val p = Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
