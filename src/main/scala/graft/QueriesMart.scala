@@ -307,33 +307,35 @@ object QueriesMart {
     * holes, and backfill double-loads that a fixed threshold misses
     * because Sundays and Mondays have different baselines.
     *
-    * Exactness: both medians come from
-    * [[graft.operators.Quantiles.selectAtRanks]] (lower median, real
-    * data points, day tiebreak) on exact cent sums; the 3-MAD gate is
-    * an integer comparison. Scale shape: ONE fact collapse to the
-    * calendar-bounded day grain (persisted for its three consumers —
-    * two rank selections and the final gate — reaped before return);
-    * everything after runs on ≤ a few thousand rows. */
+    * Exactness: both medians are lower medians at the exact rank
+    * `div(50n+99, 100)` over (value, day) order — real data points,
+    * deterministic ties; the 3-MAD gate is an integer comparison.
+    * Scale shape: ONE fact collapse to the calendar-bounded day
+    * grain; the medians are weekday-partitioned windows over that
+    * grain (≤ a few thousand rows at ANY fact size — the big-grain
+    * rank-selection machinery of #94/#119 would be overkill here,
+    * exactly as the calendar-grain windows of #88 argue). The grain
+    * persists for the median pass and the gate; reaped on return. */
   def anomalyDays(s: SparkSession, dir: String): DataFrame =
     anomalyDaysOn(Tables.orders(s, dir))
 
   private[graft] def anomalyDaysOn(orders: DataFrame): DataFrame = {
+    def lowerMedian(df: DataFrame, value: Column, out: String): DataFrame = {
+      val w = Window.partitionBy("dow_iso").orderBy(value, col("day"))
+      val n = Window.partitionBy("dow_iso")
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(n))
+        .where(col("__rn") === call_function("div", lit(50L) * col("__n") + lit(99L), lit(100L)))
+        .select(col("dow_iso"), value.as(out))
+    }
     val d = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n_orders"), Money.scaledSum(col("o_totalprice"), 2).as("__c"))
       .withColumn("dow_iso", (weekday(col("day")) + lit(1)).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val med = graft.operators.Quantiles
-      .selectAtRanks(d, "dow_iso", col("__c"), col("day"),
-        call_function("div", col("__c"), lit(100000L)), Seq(50L), "__med")
-      .drop("pctl")
-    val dev = d.join(broadcast(med), "dow_iso")
+    val dev = d.join(broadcast(lowerMedian(d, col("__c"), "__med")), "dow_iso")
       .withColumn("__dev", abs(col("__c") - col("__med")))
-    val mad = graft.operators.Quantiles
-      .selectAtRanks(dev, "dow_iso", col("__dev"), col("day"),
-        call_function("div", col("__dev"), lit(100000L)), Seq(50L), "__mad")
-      .drop("pctl")
-    val out = dev.join(broadcast(mad), "dow_iso")
+    val out = dev.join(broadcast(lowerMedian(dev, col("__dev"), "__mad")), "dow_iso")
       .where(col("__dev") > lit(3L) * col("__mad"))
       .select(
         col("day"), col("dow_iso"), col("n_orders"),
