@@ -311,6 +311,33 @@ class MartSpec extends SparkSpec {
         ("2024-01-03", 0L, 1L, 0L)))
   }
 
+  test("degenerate inputs: empty facts return zero rows, never throw") {
+    val emptyLi = Seq.empty[(Long, Long, Double, Double, String)]
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount", "d")
+      .select($"l_orderkey", $"l_partkey", $"l_extendedprice", $"l_discount",
+        to_timestamp($"d").as("l_shipdate"))
+    val emptyOrders = Seq.empty[(Long, Double, String)]
+      .toDF("o_custkey", "o_totalprice", "d")
+      .select($"o_custkey", $"o_totalprice", to_timestamp($"d").as("o_orderdate"))
+    assert(QueriesMart.abcPartsOn(emptyLi).count() == 0)
+    assert(QueriesMart.trendSlopeOn(emptyLi).count() == 0)
+    assert(QueriesMart.orderLinesProfileOn(emptyLi).count() == 0)
+    assert(QueriesMart.discountDepthOn(emptyLi).count() == 0)
+    assert(QueriesMart.wowGrowthOn(emptyOrders).count() == 0)
+    assert(QueriesMart.anomalyDaysOn(emptyOrders).count() == 0)
+    assert(QueriesMart.customerMigrationOn(emptyOrders).count() == 0)
+  }
+
+  test("single-grain inputs: one week has no ratio; one year migrates nowhere") {
+    val one = Seq((1L, 100.0, "2024-01-03")).toDF("o_custkey", "o_totalprice", "d")
+      .select($"o_custkey", $"o_totalprice", to_timestamp($"d").as("o_orderdate"))
+    val wow = QueriesMart.wowGrowthOn(one.drop("o_custkey")).collect()
+    assert(wow.length == 1 && wow(0).isNullAt(wow(0).fieldIndex("wow_ratio_permille")))
+    // a single observed year: every source row is the final year -> trimmed
+    assert(QueriesMart.customerMigrationOn(one).count() == 0,
+      "single-year data must not report everyone as churned")
+  }
+
   test("mart plans: no cartesian products beyond the 1-row total recombines") {
     for (q <- Seq("q_promo_share", "q_local_supplier_volume", "q_wow_growth")) {
       val p = Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
