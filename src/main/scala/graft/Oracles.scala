@@ -1878,8 +1878,10 @@ object Oracles {
         |FROM documents""".stripMargin
   )
 
-  /** Classic decision-support marts (#116–#121, [[QueriesMart]])
-    * plus the co-purchase PageRank (#122). */
+  /** Classic decision-support marts and DQ/corpus reports of the
+    * round-9 continuation (#116–#132: [[QueriesMart]] plus the
+    * co-purchase PageRank #122 and Zipf check #128 in
+    * [[QueriesScale]]). */
   private def mart: Map[String, String] = Map(
     "q_open_orders" ->
       """WITH placed AS (
@@ -1919,7 +1921,8 @@ object Oracles {
         |SELECT n_name AS nation,
         |  CAST(coalesce(sup, 0) AS DOUBLE)/10000.0 AS supplied_revenue,
         |  CAST(coalesce(pur, 0) AS DOUBLE)/10000.0 AS purchased_revenue,
-        |  1000 * coalesce(sup, 0) // (coalesce(sup, 0) + coalesce(pur, 0))
+        |  CAST(1000 * CAST(coalesce(sup, 0) AS HUGEINT)
+        |    // (CAST(coalesce(sup, 0) AS HUGEINT) + coalesce(pur, 0)) AS BIGINT)
         |    AS supplied_share_permille
         |FROM s FULL JOIN p USING (nk)
         |JOIN nation ON nk = n_nationkey
@@ -1965,7 +1968,7 @@ object Oracles {
         |)
         |SELECT discount_pct, n_lines, gross_revenue, realized_revenue,
         |  CAST(f AS DOUBLE)/10000.0 AS forgone_revenue,
-        |  1000 * f // total AS leakage_share_permille
+        |  CAST(1000 * CAST(f AS HUGEINT) // total AS BIGINT) AS leakage_share_permille
         |FROM t ORDER BY discount_pct""".stripMargin,
     "q_order_lines_profile" ->
       """WITH sz AS (
@@ -2120,7 +2123,7 @@ object Oracles {
         |)
         |SELECT ship_year, ship_month, n_lines, revenue,
         |  CAST(promo AS DOUBLE)/10000.0 AS promo_revenue,
-        |  1000 * promo // c AS promo_permille
+        |  CAST(1000 * CAST(promo AS HUGEINT) // c AS BIGINT) AS promo_permille
         |FROM a ORDER BY ship_year, ship_month""".stripMargin,
     "q_local_supplier_volume" ->
       s"""SELECT n_name AS nation, count(*) AS n_lines, $rev AS revenue
@@ -2148,15 +2151,15 @@ object Oracles {
         |  FROM p
         |), k AS (
         |  SELECT *,
-        |    CASE WHEN 1000 * cum // total <= 700 THEN 'A'
-        |         WHEN 1000 * cum // total <= 900 THEN 'B'
+        |    CASE WHEN 1000 * CAST(cum AS HUGEINT) // total <= 700 THEN 'A'
+        |         WHEN 1000 * CAST(cum AS HUGEINT) // total <= 900 THEN 'B'
         |         ELSE 'C' END AS abc_class
         |  FROM w
         |)
         |SELECT abc_class, count(*) AS n_parts,
         |  CAST(sum(n_lines) AS BIGINT) AS n_lines,
         |  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)/10000.0 AS revenue,
-        |  1000 * CAST(sum(c) AS BIGINT) // CAST(min(total) AS BIGINT) AS share_permille
+        |  CAST(1000 * sum(CAST(c AS HUGEINT)) // CAST(min(total) AS HUGEINT) AS BIGINT) AS share_permille
         |FROM k GROUP BY 1 ORDER BY abc_class""".stripMargin,
     "q_wow_growth" ->
       """WITH d AS (
@@ -2169,7 +2172,8 @@ object Oracles {
         |  lag(week_start) OVER (ORDER BY week_start) AS prev_week_start,
         |  n_orders,
         |  CAST(c AS DOUBLE)/100.0 AS revenue,
-        |  1000 * c // lag(c) OVER (ORDER BY week_start) AS wow_ratio_permille
+        |  CAST(1000 * CAST(c AS HUGEINT) // lag(c) OVER (ORDER BY week_start) AS BIGINT)
+        |    AS wow_ratio_permille
         |FROM d ORDER BY week_start""".stripMargin,
     "q_hourly_heatmap" ->
       """WITH d AS (

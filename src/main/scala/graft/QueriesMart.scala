@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Money
 
-/** Classic decision-support marts (SURVEY §2 #116–#121): the
+/** Classic decision-support marts and DQ/ops reports (SURVEY §2
+  * #116–#132, minus #122/#128 which live in [[QueriesScale]]): the
   * TPC-H-shaped join/top-k reports every warehouse team ships
   * (shipping priority, regional volume, promo share) plus the
   * Pareto/ABC, week-over-week, and traffic-heatmap reports the
@@ -27,8 +28,17 @@ object QueriesMart {
     sum(Money.dec(col("l_extendedprice")) * (lit(1) - Money.dec(col("l_discount"))) * lit(10000L))
       .cast("long")
 
+  /** Integer permille with the ×1000 widened to DECIMAL(38,0): on
+    * [[revCents4]]-scaled sums a long `num * 1000` would overflow at
+    * ~3× the sf1 corpus (measured: sf1 total revenue ×10^4 ×1000 =
+    * 3.0e18, Int64 max 9.2e18) — the widen keeps permille valid to
+    * the same ~9e14-currency-unit bound as revCents4 itself instead
+    * of 1000× below it. `div` on decimal operands still returns
+    * BIGINT, so result types (and DuckDB hash parity) are unchanged;
+    * the oracles widen identically via HUGEINT. */
   private def permille(num: Column, den: Column): Column =
-    call_function("div", num * lit(1000L), den)
+    call_function("div",
+      num.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(1000L), den)
 
   /** #116 shipping priority (TPC-H Q3 shape): the 10 highest-value
     * orders from one market segment that were placed before the
@@ -530,7 +540,12 @@ object QueriesMart {
 
   private[graft] def dedupInflationOn(documents: DataFrame): DataFrame =
     documents
-      .select(col("source"), xxhash64(lower(trim(col("text")))).as("__k"))
+      // NULL text must stay NULL: xxhash64(NULL) returns the seed, so
+      // an unguarded hash would count all NULL texts as ONE distinct
+      // value while the oracle's count(DISTINCT) skips NULLs —
+      // a hash-verification divergence on any corpus with NULL docs
+      .select(col("source"),
+        when(col("text").isNotNull, xxhash64(lower(trim(col("text"))))).as("__k"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("__k")).as("n_distinct"))
       .select(col("source"), col("n_docs"), col("n_distinct"),

@@ -162,13 +162,30 @@ object QueriesScale {
     * plan-shape spec asserts on the result BEFORE the checkpoint
     * truncates its lineage. */
   private[graft] def copurchaseRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (pairs, baskets) = basketPairsRaw(s, dir)
+    val support = baskets.select(explode(col("parts")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    // per-part support is bounded by the part dimension (tiny next to
+    // the pair matrix): broadcast both enrichment joins
+    val out = pairs
+      .join(broadcast(support.select(col("l_partkey").as("p1"), col("n").as("n1"))), "p1")
+      .join(broadcast(support.select(col("l_partkey").as("p2"), col("n").as("n2"))), "p2")
+      .select("p1", "p2", "n_orders", "n1", "n2")
+    (out, baskets)
+  }
+
+  /** The thresholded qualifying-pair matrix WITHOUT support
+    * enrichment (pairs, persisted baskets) — #122 consumes this bare
+    * form: the optimizer cannot prune the support joins out of
+    * [[copurchaseRaw]]'s output (inner joins filter semantically),
+    * so a PageRank built on it would pay the support aggregation and
+    * two broadcast joins just to drop n1/n2. */
+  private[graft] def basketPairsRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val baskets = Tables.lineitem(s, dir)
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .select("parts")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val support = baskets.select(explode(col("parts")).as("l_partkey"))
-      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
     // sorted basket → ordered (parts[i], parts[j>i]) pairs, all map-side
     val pairList = flatten(transform(col("parts"), (x, i) =>
       transform(slice(col("parts"), i + lit(2), size(col("parts"))), y =>
@@ -179,13 +196,7 @@ object QueriesScale {
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_orders"))
       .where(col("n_orders") >= 3)
-    // per-part support is bounded by the part dimension (tiny next to
-    // the pair matrix): broadcast both enrichment joins
-    val out = pairs
-      .join(broadcast(support.select(col("l_partkey").as("p1"), col("n").as("n1"))), "p1")
-      .join(broadcast(support.select(col("l_partkey").as("p2"), col("n").as("n2"))), "p2")
-      .select("p1", "p2", "n_orders", "n1", "n2")
-    (out, baskets)
+    (pairs, baskets)
   }
 
   /** #110 association rules over the co-purchase matrix: confidence
@@ -245,7 +256,7 @@ object QueriesScale {
     * matrix feeds all three rounds; fixed iteration count keeps the
     * lineage shallow. The head is a distributed TakeOrdered. */
   def partRank(s: SparkSession, dir: String): DataFrame = {
-    val (pairs0, baskets) = copurchaseRaw(s, dir)
+    val (pairs0, baskets) = basketPairsRaw(s, dir)
     // the thresholded pair matrix is read by the degree pass plus
     // every iteration — persist it, not the basket-scale temps
     val pairs = pairs0.select("p1", "p2")
@@ -495,12 +506,23 @@ object QueriesScale {
     * language. All arithmetic is exact integer `div` — the deviation
     * is defined by the data alone and DuckDB recomputes it from full
     * vocabulary ranks. */
-  def zipfCheck(s: SparkSession, dir: String): DataFrame = {
-    val head = rankedWordCounts(s, dir).where(col("rank") <= 10)
+  def zipfCheck(s: SparkSession, dir: String): DataFrame =
+    zipfCheckOn(rankedWordCounts(s, dir))
+
+  /** Deviation algebra over a ranked (lang, rank, word,
+    * n_occurrences) frame — split out so the spec can drive a
+    * handcrafted perfect-Zipf corpus. */
+  private[graft] def zipfCheckOn(ranked: DataFrame): DataFrame = {
+    // the ≤10-rows-per-language head feeds BOTH the top-word side and
+    // the rank≥2 side — without the persist each side re-runs the
+    // whole corpus nominate→recount pipeline (~4 tokenization passes
+    // for a 5-row result)
+    val head = ranked.where(col("rank") <= 10)
       .select(col("lang"), col("rank"), col("word"), col("n_occurrences"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = head.where(col("rank") === 1)
       .select(col("lang"), col("word").as("top_word"), col("n_occurrences").as("n_top"))
-    head.where(col("rank") >= 2)
+    val out = head.where(col("rank") >= 2)
       .join(broadcast(top), "lang")
       .groupBy(col("lang"), col("top_word"), col("n_top"))
       .agg(
@@ -511,6 +533,7 @@ object QueriesScale {
       .select(col("lang"), col("top_word"), col("n_top"),
         call_function("div", col("__dev"), col("__nr")).as("zipf_dev_permille"))
       .orderBy("lang")
+    Caching.reap(out)(head)
   }
 
   /** #56 forward as-of join: for every event, the customer's FIRST

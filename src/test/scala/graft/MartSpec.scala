@@ -148,7 +148,7 @@ class MartSpec extends SparkSpec {
       == Seq((2L, 2L, 1741624L), (1L, 1L, 629187L), (3L, 1L, 629187L)))
   }
 
-  test("part rank: symmetric-pair ranks are equal; total mass is plausible") {
+  test("part rank on real data: damping floor holds, head ordering is deterministic") {
     val out = QueriesScale.partRank(spark, sf).collect()
     assert(out.nonEmpty)
     // ranks are positive and ordered; tie-break is ascending partkey
@@ -156,6 +156,38 @@ class MartSpec extends SparkSpec {
     assert(ranked.forall(_._1 >= 150000L), "damping floor")
     assert(ranked.sliding(2).forall { case Array((r1, k1), (r2, k2)) =>
       r1 > r2 || (r1 == r2 && k1 < k2); case _ => true })
+  }
+
+  test("part rank: structurally mirrored nodes get exactly equal ranks") {
+    // two disjoint mirrored triangles plus the 1-2-3 path's symmetric
+    // endpoints: every mirrored pair must land on the same integer rank
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), // path: 1 and 3 are mirrors
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle A
+      (20L, 21L), (21L, 22L), (20L, 22L) // triangle B, mirror of A
+    ).toDF("p1", "p2")
+    val r = QueriesScale.partRankFromPairs(pairs).collect()
+      .map(x => x.getAs[Long]("partkey") -> x.getAs[Long]("rank_ppm")).toMap
+    assert(r(1L) == r(3L), "path endpoints are mirrors")
+    assert(Set(10L, 11L, 12L, 20L, 21L, 22L).map(r).size == 1,
+      "all six triangle nodes are structurally identical")
+  }
+
+  test("zipf check: a perfect 1/r head scores zero deviation; a flat head does not") {
+    // f = 60/r for r=1..5 is exactly Zipf -> every term's permille is
+    // 1000, deviation 0. A flat 60,60,60 head deviates by (r-1)*1000.
+    val perfect = Seq(
+      ("xx", 1L, "a", 60L), ("xx", 2L, "b", 30L), ("xx", 3L, "c", 20L),
+      ("xx", 4L, "d", 15L), ("xx", 5L, "e", 12L),
+      ("yy", 1L, "a", 60L), ("yy", 2L, "b", 60L), ("yy", 3L, "c", 60L)
+    ).toDF("lang", "rank", "word", "n_occurrences")
+    val out = QueriesScale.zipfCheckOn(perfect).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[String]("top_word"), r.getAs[Long]("n_top"),
+          r.getAs[Long]("zipf_dev_permille"))).toMap
+    assert(out("xx") == (("a", 60L, 0L)), "exact 1/r must score 0")
+    // flat head: dev terms are |r*1000 - 1000| = 1000, 2000 -> mean 1500
+    assert(out("yy") == (("a", 60L, 1500L)))
   }
 
   test("trend slope: hand-built linear decline recovers the exact slope; sparse parts excluded") {
@@ -255,7 +287,7 @@ class MartSpec extends SparkSpec {
     assert(out.map(r => r.getAs[Double]("gross_revenue")).sum == 500.0)
   }
 
-  test("zipf check: a perfect 1/r corpus scores zero deviation") {
+  test("zipf check on real data: one row per language, shape sane") {
     val out = QueriesScale.zipfCheck(spark, sf).collect()
     // shape on real testdata: one row per language, dev >= 0, top word non-empty
     assert(out.nonEmpty)
