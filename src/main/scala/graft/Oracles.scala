@@ -358,7 +358,7 @@ object Oracles {
         |  FROM r JOIN n USING (o_orderpriority) GROUP BY 1
         |)
         |SELECT o_orderpriority, n.n AS n_lines, p50_days, p90_days, p99_days,
-        |  (n.sd * 1000) // n.n AS mean_days_permille
+        |  CAST(CAST(n.sd AS HUGEINT) * 1000 // n.n AS BIGINT) AS mean_days_permille
         |FROM q JOIN n USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
     "q_discount_corr" ->
@@ -460,8 +460,8 @@ object Oracles {
         |)
         |SELECT dow_iso, n_orders,
         |  CAST(c AS DOUBLE)/100.0 AS revenue,
-        |  1000 * c // tc AS share_permille,
-        |  7000 * c // tc AS idx_permille
+        |  CAST(1000 * CAST(c AS HUGEINT) // tc AS BIGINT) AS share_permille,
+        |  CAST(7000 * CAST(c AS HUGEINT) // tc AS BIGINT) AS idx_permille
         |FROM d CROSS JOIN t ORDER BY dow_iso""".stripMargin,
     "q_supplier_scorecard" ->
       s"""WITH a AS (
@@ -1552,7 +1552,7 @@ object Oracles {
         |  CAST(s0 AS DOUBLE) / 100.0 AS total_revenue,
         |  CAST(2 * s1 - (CAST(n AS HUGEINT) + 1) * s0 AS DOUBLE) /
         |    CAST(CAST(n AS HUGEINT) * s0 AS DOUBLE) AS gini,
-        |  (top * 1000) // s0 AS top_decile_permille
+        |  CAST(CAST(top AS HUGEINT) * 1000 // s0 AS BIGINT) AS top_decile_permille
         |FROM t""".stripMargin,
     "q_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,

@@ -420,8 +420,9 @@ object QueriesAnalytics {
       .groupBy("o_orderpriority", "days").agg(count(lit(1)).as("__c"))
     val totals = cells.groupBy("o_orderpriority").agg(
       sum(col("__c")).as("n_lines"),
-      call_function("div", sum(col("days") * col("__c")) * lit(1000L), sum(col("__c")))
-        .as("mean_days_permille"))
+      call_function("div",
+        sum(col("days") * col("__c")).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * lit(1000L), sum(col("__c"))).as("mean_days_permille"))
     val cumW = Window.partitionBy("o_orderpriority").orderBy("days")
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = cells.withColumn("__before", coalesce(sum(col("__c")).over(cumW), lit(0L)))
@@ -576,10 +577,15 @@ object QueriesAnalytics {
       .select(
         col("dow_iso"), col("n_orders"),
         (col("__cents").cast("double") / lit(100.0)).as("revenue"),
-        call_function("div", col("__cents") * lit(1000L), col("__total"))
-          .as("share_permille"),
-        call_function("div", col("__cents") * lit(7000L), col("__total"))
-          .as("idx_permille"))
+        // ×1000/×7000 widened to DECIMAL(38,0): cents×7000 would pass
+        // Int64 at ~60× the sf1 corpus — far below the 100 TB target.
+        // `div` on decimals still returns BIGINT (hash parity kept).
+        call_function("div",
+          col("__cents").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(1000L),
+          col("__total")).as("share_permille"),
+        call_function("div",
+          col("__cents").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(7000L),
+          col("__total")).as("idx_permille"))
       .orderBy("dow_iso")
   }
 

@@ -799,7 +799,9 @@ object QueriesScale {
         ((lit(2).cast(dec38) * col("__s1") -
             (col("n_customers") + lit(1L)).cast(dec38) * col("__s0").cast(dec38)).cast("double") /
           (col("n_customers").cast(dec38) * col("__s0").cast(dec38)).cast("double")).as("gini"),
-        call_function("div", col("__top") * lit(1000L), col("__s0")).as("top_decile_permille"))
+        // widened: top-decile cents ×1000 passes Int64 at ~300× sf1
+        call_function("div", col("__top").cast(dec38) * lit(1000L), col("__s0"))
+          .as("top_decile_permille"))
     (out, ranked, x)
   }
 
