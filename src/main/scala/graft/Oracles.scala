@@ -1883,6 +1883,45 @@ object Oracles {
     * co-purchase PageRank #122 and Zipf check #128 in
     * [[QueriesScale]]). */
   private def mart: Map[String, String] = Map(
+    "q_supplier_concentration" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), t AS (
+        |  SELECT *, CAST(sum(c) OVER (PARTITION BY l_partkey) AS BIGINT) AS total
+        |  FROM ps
+        |), s AS (
+        |  SELECT l_partkey, total,
+        |    CAST(1000 * CAST(c AS HUGEINT) // total AS BIGINT) AS sh
+        |  FROM t
+        |)
+        |SELECT l_partkey AS partkey, count(*) AS n_suppliers,
+        |  CAST(CAST(min(total) AS BIGINT) AS DOUBLE)/10000.0 AS revenue,
+        |  CAST(sum(sh * sh) AS BIGINT) AS hhi
+        |FROM s GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY hhi DESC, partkey LIMIT 20""".stripMargin,
+    "q_bot_regularity" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events
+        |), g AS (
+        |  SELECT user_id,
+        |    date_diff('second', lag(ts_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id), ts_s) AS gap
+        |  FROM e
+        |), m AS (
+        |  SELECT user_id, count(*) AS n_events, count(gap) AS n,
+        |    CAST(sum(gap) AS BIGINT) AS sg,
+        |    sum(CAST(gap AS HUGEINT) * gap) AS sgg
+        |  FROM g GROUP BY 1
+        |  HAVING count(*) >= 50 AND CAST(sum(gap) AS BIGINT) > 0
+        |)
+        |SELECT user_id, n_events,
+        |  CAST(sg * 1000 // n AS BIGINT) AS mean_gap_s_permille,
+        |  CAST((CAST(n AS HUGEINT) * sgg - CAST(sg AS HUGEINT) * sg) * 1000
+        |    // (CAST(sg AS HUGEINT) * sg) AS BIGINT) AS burstiness_permille
+        |FROM m ORDER BY burstiness_permille, user_id LIMIT 20""".stripMargin,
     "q_open_orders" ->
       """WITH placed AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_placed

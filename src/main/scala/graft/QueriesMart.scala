@@ -592,7 +592,84 @@ object QueriesMart {
       .orderBy("day")
   }
 
+  /** #133 supplier concentration: per part, the Herfindahl index of
+    * its suppliers' revenue shares — the supply-chain risk screen
+    * (a part at HHI 900k is one vendor outage from a stockout even
+    * if it HAS two suppliers). Shares are truncated integer permille
+    * of exact revenue, HHI their sum of squares (≤10^6) — both
+    * engines truncate identically, so the top-20 riskiest
+    * multi-supplier parts are deterministic (hhi desc, partkey).
+    * Single-supplier parts are excluded (vacuous 10^6).
+    *
+    * Scale shape: one map-side collapse to the (part × supplier)
+    * grain, re-keyed to the part grain (the same two bounded
+    * exchanges as #123), TakeOrdered head. */
+  def supplierConcentration(s: SparkSession, dir: String): DataFrame =
+    supplierConcentrationOn(Tables.lineitem(s, dir))
+
+  private[graft] def supplierConcentrationOn(lineitem: DataFrame): DataFrame = {
+    // the part-partitioned window rides the exchange the second
+    // groupBy needs anyway; shares stay relational (no per-part
+    // array, whose size an adversarial vendor graph wouldn't bound)
+    val share = call_function("div",
+      col("__c").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(1000L),
+      col("__total"))
+    lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(revCents4.as("__c"))
+      .withColumn("__total", sum(col("__c")).over(Window.partitionBy("l_partkey")))
+      .withColumn("__sh", share)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_suppliers"), first(col("__total")).as("__t"),
+        sum(col("__sh") * col("__sh")).as("hhi"))
+      .where(col("n_suppliers") >= 2)
+      .select(col("l_partkey").as("partkey"), col("n_suppliers"),
+        (col("__t").cast("double") / lit(10000.0)).as("revenue"), col("hhi"))
+      .orderBy(col("hhi").desc, col("partkey").asc)
+      .limit(20)
+  }
+
+  /** #134 bot regularity screen: users whose event stream is too
+    * metronomic to be human — burstiness as the exact integer ratio
+    * `1000·(n·Σg² − (Σg)²) / (Σg)²` over inter-event gaps (0 = a
+    * perfect metronome; humans are bursty). The corpus-hygiene
+    * filter a training pipeline runs over behavioral logs before
+    * trusting engagement signals (complements #100's
+    * transition-determinism angle). Top-20 most-regular users with
+    * ≥50 events, tiebreak user_id; all moments are exact integer
+    * sums (gap² widened to DECIMAL(38,0) — second-scale gaps square
+    * past Int64 at year-long idle spans).
+    *
+    * Scale shape: ONE user-keyed shuffle shared by the lag window
+    * and the user-grain moment aggregation (same sharing as #113);
+    * the head is a distributed TakeOrdered. */
+  def botRegularity(s: SparkSession, dir: String): DataFrame =
+    botRegularityOn(Tables.events(s, dir))
+
+  private[graft] def botRegularityOn(events: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), date_trunc("second", col("ts")).as("ts_s"))
+      .withColumn("__g",
+        (col("ts_s").cast("long") - lag(col("ts_s"), 1).over(w).cast("long")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), count(col("__g")).as("__n"),
+        sum(col("__g")).as("__sg"),
+        sum(col("__g").cast(dec38) * col("__g")).as("__sgg"))
+      .where(col("n_events") >= 50 && col("__sg") > 0)
+      .select(col("user_id"), col("n_events"),
+        call_function("div", col("__sg") * lit(1000L), col("__n")).as("mean_gap_s_permille"),
+        call_function("div",
+          (col("__n").cast(dec38) * col("__sgg") - col("__sg").cast(dec38) * col("__sg")) * lit(1000L),
+          col("__sg").cast(dec38) * col("__sg")).as("burstiness_permille"))
+      .orderBy(col("burstiness_permille").asc, col("user_id").asc)
+      .limit(20)
+  }
+
   def all: Map[String, Q] = Map(
+    "q_supplier_concentration" -> (supplierConcentration _),
+    "q_bot_regularity" -> (botRegularity _),
     "q_open_orders" -> (openOrders _),
     "q_nation_trade_balance" -> (nationTradeBalance _),
     "q_dedup_inflation" -> (dedupInflation _),

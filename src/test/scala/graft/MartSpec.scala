@@ -370,6 +370,42 @@ class MartSpec extends SparkSpec {
       "single-year data must not report everyone as churned")
   }
 
+  test("supplier concentration: exact truncated-share HHI, single-supplier parts excluded") {
+    val li = Seq(
+      (1L, 10L, 50.0, 0.0), (1L, 11L, 50.0, 0.0),                  // 500/500 -> HHI 500000
+      (2L, 10L, 90.0, 0.0), (2L, 11L, 10.0, 0.0),                  // 900/100 -> HHI 820000
+      (3L, 10L, 70.0, 0.0)                                          // single supplier -> excluded
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = QueriesMart.supplierConcentrationOn(li).collect()
+    assert(out.map(r => (r.getAs[Long]("partkey"), r.getAs[Long]("n_suppliers"),
+      r.getAs[Long]("hhi"))).toSeq
+      == Seq((2L, 2L, 820000L), (1L, 2L, 500000L)),
+      "riskiest (most concentrated) part first; vacuous monopolies excluded")
+  }
+
+  test("bot regularity: a metronome scores 0, a bursty stream scores high") {
+    // user 1: 60 events exactly 10 s apart -> variance 0 -> burstiness 0
+    // user 2: 59 gaps alternating 1 s / 99 s -> strongly bursty
+    // user 3: only 10 events -> below the n>=50 gate
+    val rows =
+      (0 until 60).map(i => (1L, 100L + i, i * 10L)) ++
+        (0 until 60).map { i =>
+          val t = (i / 2) * 100L + (if (i % 2 == 1) 1L else 0L)
+          (2L, 200L + i, t)
+        } ++
+        (0 until 10).map(i => (3L, 300L + i, i * 7L))
+    val ev = rows.toDF("user_id", "event_id", "off")
+      .select($"user_id", $"event_id",
+        (lit(1700000000L) + $"off").cast("timestamp").as("ts"))
+    val out = QueriesMart.botRegularityOn(ev).collect()
+    val byUser = out.map(r => r.getAs[Long]("user_id") ->
+      (r.getAs[Long]("n_events"), r.getAs[Long]("burstiness_permille"))).toMap
+    assert(!byUser.contains(3L), "below the event-count gate")
+    assert(byUser(1L) == ((60L, 0L)), "constant gaps = perfect metronome")
+    assert(byUser(2L)._2 > 500L, s"alternating 1/99 gaps must read bursty: ${byUser(2L)}")
+    assert(out.head.getAs[Long]("user_id") == 1L, "most regular user first")
+  }
+
   test("mart plans: no cartesian products beyond the 1-row total recombines") {
     for (q <- Seq("q_promo_share", "q_local_supplier_volume", "q_wow_growth")) {
       val p = Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
