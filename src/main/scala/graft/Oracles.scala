@@ -1883,6 +1883,28 @@ object Oracles {
     * co-purchase PageRank #122 and Zipf check #128 in
     * [[QueriesScale]]). */
   private def mart: Map[String, String] = Map(
+    "q_category_affinity" ->
+      """WITH oc AS (
+        |  SELECT DISTINCT l_orderkey, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), s AS (
+        |  SELECT p_type, count(*) AS n FROM oc GROUP BY 1
+        |), t AS (
+        |  SELECT count(DISTINCT l_orderkey) AS n_baskets FROM oc
+        |), pairs AS (
+        |  SELECT a.p_type AS cat_1, b.p_type AS cat_2, count(*) AS n_both
+        |  FROM oc a JOIN oc b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cat_1, cat_2, n_both, s1.n AS n1, s2.n AS n2, n_baskets,
+        |  CAST(CAST(n_both AS HUGEINT) * n_baskets * 1000
+        |    // (CAST(s1.n AS HUGEINT) * s2.n) AS BIGINT) AS lift_permille
+        |FROM pairs
+        |JOIN s s1 ON cat_1 = s1.p_type
+        |JOIN s s2 ON cat_2 = s2.p_type
+        |CROSS JOIN t
+        |ORDER BY cat_1, cat_2""".stripMargin,
     "q_supplier_concentration" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,

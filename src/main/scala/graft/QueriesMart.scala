@@ -667,7 +667,61 @@ object QueriesMart {
       .limit(20)
   }
 
+  /** #135 category affinity: the COMPLETE co-purchase lift matrix at
+    * the category grain — for every unordered category pair, baskets
+    * containing both vs what independence predicts (exact integer
+    * permille; 1000 = independent). The assortment-planning
+    * complement of #110's part-level rules: parts need support
+    * thresholds (the pair space is quadratic in parts), categories
+    * are a FIXED tiny dimension, so the whole matrix ships.
+    *
+    * Scale shape: broadcast part dim onto the fact, collapse to the
+    * DISTINCT (order, category) grain — one orderkey-partitioned
+    * shuffle — then per-basket category sets (≤|categories| each)
+    * expand map-side into ≤C(|categories|,2) cells; supports and the
+    * basket total recombine broadcast. Lift arithmetic mirrors #110:
+    * `1000·n_both·N div (n_a·n_b)`, widened to decimal so basket
+    * counts never meet the Int64 product bound. */
+  def categoryAffinity(s: SparkSession, dir: String): DataFrame =
+    categoryAffinityOn(Tables.lineitem(s, dir), Tables.part(s, dir))
+
+  private[graft] def categoryAffinityOn(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // NO pre-distinct: collect_set dedups (map-side partials
+    // included), so the category-set assembly is the ONE fact-size
+    // shuffle — a distinct first would be a second one
+    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p_type"))).as("cats"))
+      .select("cats")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val support = baskets.select(explode(col("cats")).as("cat"))
+      .groupBy("cat").agg(count(lit(1)).as("n"))
+    val pairList = flatten(transform(col("cats"), (x, i) =>
+      transform(slice(col("cats"), i + lit(2), size(col("cats"))), y =>
+        struct(x.as("c1"), y.as("c2")))))
+    val pairs = baskets
+      .select(explode(pairList).as("pr"))
+      .select(col("pr.c1").as("cat_1"), col("pr.c2").as("cat_2"))
+      .groupBy("cat_1", "cat_2").agg(count(lit(1)).as("n_both"))
+    val total = baskets.agg(count(lit(1)).as("n_baskets"))
+    val out = pairs
+      .join(broadcast(support.select(col("cat").as("cat_1"), col("n").as("n1"))), "cat_1")
+      .join(broadcast(support.select(col("cat").as("cat_2"), col("n").as("n2"))), "cat_2")
+      .crossJoin(broadcast(total))
+      .select(col("cat_1"), col("cat_2"), col("n_both"), col("n1"), col("n2"),
+        col("n_baskets"),
+        call_function("div",
+          col("n_both").cast(dec38) * col("n_baskets") * lit(1000L),
+          col("n1").cast(dec38) * col("n2")).as("lift_permille"))
+      .orderBy("cat_1", "cat_2")
+    Caching.reap(out)(baskets)
+  }
+
   def all: Map[String, Q] = Map(
+    "q_category_affinity" -> (categoryAffinity _),
     "q_supplier_concentration" -> (supplierConcentration _),
     "q_bot_regularity" -> (botRegularity _),
     "q_open_orders" -> (openOrders _),

@@ -406,6 +406,25 @@ class MartSpec extends SparkSpec {
     assert(out.head.getAs[Long]("user_id") == 1L, "most regular user first")
   }
 
+  test("category affinity: exact lift vs independence on a handcrafted matrix") {
+    val part = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("p_partkey", "p_type")
+    // baskets: {A,B} x2, {A} x1, {B} x1, {A,C} x1 -> 5 baskets
+    // n(A)=4, n(B)=3, n(C)=1; both(A,B)=2, both(A,C)=1
+    val li = Seq(
+      (1L, 1L), (1L, 2L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (4L, 2L), (5L, 1L), (5L, 3L),
+      (5L, 1L) // duplicate line, must not double-count the category
+    ).toDF("l_orderkey", "l_partkey")
+    val out = QueriesMart.categoryAffinityOn(li, part).collect()
+    assert(out.map(r => (r.getAs[String]("cat_1"), r.getAs[String]("cat_2"),
+      r.getAs[Long]("n_both"), r.getAs[Long]("lift_permille"))).toSeq
+      == Seq(
+        ("A", "B", 2L, 833L),  // 2*5*1000 / (4*3) = 833
+        ("A", "C", 1L, 1250L)) // 1*5*1000 / (4*1) = 1250
+      , out.mkString(", "))
+  }
+
   test("mart plans: no cartesian products beyond the 1-row total recombines") {
     for (q <- Seq("q_promo_share", "q_local_supplier_volume", "q_wow_growth")) {
       val p = Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
