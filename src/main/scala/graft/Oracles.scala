@@ -1992,7 +1992,7 @@ object Oracles {
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT lower(trim(text))) AS n_distinct,
         |  count(*) - count(DISTINCT lower(trim(text))) AS dup_docs,
-        |  1000 * count(*) // count(DISTINCT lower(trim(text))) AS inflation_permille
+        |  1000 * count(*) // nullif(count(DISTINCT lower(trim(text))), 0) AS inflation_permille
         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
     "q_zipf_check" ->
       """WITH w AS (

@@ -550,7 +550,13 @@ object QueriesMart {
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("__k")).as("n_distinct"))
       .select(col("source"), col("n_docs"), col("n_distinct"),
         (col("n_docs") - col("n_distinct")).as("dup_docs"),
-        permille(col("n_docs"), col("n_distinct")).as("inflation_permille"))
+        // an all-NULL-text source has n_distinct = 0 (the guarded hash
+        // above keeps NULLs out of countDistinct, matching SQL
+        // count(DISTINCT)); ANSI div would throw DIVIDE_BY_ZERO, so
+        // NULL the denominator and report NULL inflation instead —
+        // the oracle mirrors with nullif()
+        permille(col("n_docs"),
+          when(col("n_distinct") > 0, col("n_distinct"))).as("inflation_permille"))
       .orderBy("source")
 
   /** #132 open-order backlog: per day, orders placed, orders FULLY

@@ -528,7 +528,13 @@ object QueriesScale {
       .agg(
         count(lit(1)).as("__nr"),
         sum(abs(call_function("div",
-          col("n_occurrences") * col("rank") * lit(1000L), col("n_top")) - lit(1000L)))
+          // widen the n·rank·1000 product to DECIMAL(38,0) for policy
+          // consistency with the money-scaled permille sites (Int64
+          // would hold to ~10^14 occurrences of one word — theoretical,
+          // but one overflow rule beats two); div still returns BIGINT,
+          // and the DuckDB BIGINT // BIGINT oracle shares the bound
+          col("n_occurrences").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("rank") * lit(1000L), col("n_top")) - lit(1000L)))
           .as("__dev"))
       .select(col("lang"), col("top_word"), col("n_top"),
         call_function("div", col("__dev"), col("__nr")).as("zipf_dev_permille"))

@@ -32,7 +32,7 @@ object RegularityStream {
   final case class Moments(
       lastTs: Long, lastId: Long, n: Long, gaps: Long, sg: Long, sgg: BigDecimal)
   final case class Regularity(
-      user_id: Long, n_events: Long, n_gaps: Long,
+      user_id: Long, n_events: Long, n_gaps: Long, sum_gap_s: Long,
       mean_gap_s_permille: Long, burstiness_permille: Long)
 
   /** Exact floor division on nonnegative operands, matching the
@@ -76,7 +76,11 @@ object RegularityStream {
             val burst =
               if (m.sg <= 0L) 0L
               else divBI((BigInt(m.gaps) * sgg - sg * sg) * 1000, sg * sg)
-            Iterator.single(Regularity(user, m.n, m.gaps,
+            // sum_gap_s is emitted raw so downstream gates can use the
+            // batch twin's exact `sg > 0` condition — the truncated
+            // mean is 0 both when sg = 0 AND when 1000·sg < gaps, so
+            // filtering on the mean would diverge from the batch gate
+            Iterator.single(Regularity(user, m.n, m.gaps, m.sg,
               if (m.sg <= 0L) 0L else divBI(sg * 1000, BigInt(m.gaps)), burst))
           }
       }

@@ -14,8 +14,11 @@ class RegularityStreamSpec extends SparkSpec {
       .as[RegularityStream.UserEvent]
     // one batch, empty state: the same code path streaming runs per
     // micro-batch; apply the batch query's gate/sort/head in the spec
+    // gate on sum_gap_s > 0: the exact condition the batch twin uses
+    // (__sg > 0). Gating on the derived truncated mean would diverge
+    // on a user whose floor(1000*sg/gaps) is 0 despite sg > 0.
     val streamed = RegularityStream.regularity(ev)
-      .where($"n_events" >= 50 && $"mean_gap_s_permille" > 0)
+      .where($"n_events" >= 50 && $"sum_gap_s" > 0)
       .select($"user_id", $"n_events", $"mean_gap_s_permille", $"burstiness_permille")
       .orderBy($"burstiness_permille".asc, $"user_id".asc)
       .limit(20)
