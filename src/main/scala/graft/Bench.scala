@@ -140,10 +140,15 @@ object Bench {
         java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
           .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
       }
+      // stamped copies live under bench/ (with bench/MANIFEST.md) so
+      // the repo root holds only the driver-stamped round artifacts
+      val benchDir = java.nio.file.Paths.get("bench")
+      try java.nio.file.Files.createDirectories(benchDir)
+      catch { case _: Throwable => () }
       val base = s"bench_times_$stamp"
       val target = Iterator.single(s"$base.json")
         .concat(Iterator.from(1).map(i => s"$base-$i.json"))
-        .map(java.nio.file.Paths.get(_))
+        .map(benchDir.resolve(_))
         .find(p => !java.nio.file.Files.exists(p)).get
       try java.nio.file.Files.writeString(target, line + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] could not write $target: ${e.getMessage}") }
