@@ -82,10 +82,33 @@ object Bench {
     only.foreach { set =>
       System.err.println(s"\n${"!" * 72}\n[bench] SPARK_GRAFT_ONLY active — PARTIAL bench of ${set.size} queries: ${set.toSeq.sorted.mkString(",")}\n${"!" * 72}\n")
     }
+    // candidate-volume telemetry: the dedup/sketch operators emit
+    // named `observe` counters (DedupOps.observeCount); a listener
+    // collects them per query so sf-to-sf candidate growth is a
+    // tracked artifact in the bench line, not something inferred from
+    // seconds. Attribution is by the query name current at onSuccess —
+    // the bus drains within the inter-query hygiene window, and a
+    // misattributed metric would name a query that never emits it
+    // (names are per-operator), so the failure mode is visible.
+    val observed = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val currentQuery = new java.util.concurrent.atomic.AtomicReference[String]("")
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val q = currentQuery.get()
+        if (q.nonEmpty) qe.observedMetrics.foreach { case (metric, row) =>
+          if (row.schema.nonEmpty && row.get(0).isInstanceOf[Long])
+            observed.put(s"$q:$metric", row.getLong(0))
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+    })
     val calPre = calibrate()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      currentQuery.set(name)
       // min of `runs` full executions (data is re-read and recomputed
       // each time — hygiene() drops all storage between them; only JIT
       // and codegen caches stay warm). A single cold run is hostage to
@@ -116,11 +139,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val partial = if (only.isDefined) s""","partial":true""" else ""
+    currentQuery.set("")
+    val obsJson = {
+      import scala.jdk.CollectionConverters._
+      val m = observed.asScala.toSeq.sortBy(_._1)
+      if (m.isEmpty) ""
+      else m.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","observed":{""", ",", "}")
+    }
     // runs is part of the artifact: a 1-run and a 3-run-min total are
     // not comparable, and the methodology must not live only in notes
     // cal_pre/cal_post make a loaded box self-identifying (see
     // BENCH_NOTES "Calibration sentinel" for the normalization rule)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cal_pre":${fmt(calPre)},"cal_post":${fmt(calPost)}$partial}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cal_pre":${fmt(calPre)},"cal_post":${fmt(calPost)}$obsJson$partial}"""
     println(line)
     // the driver's artifact keeps only a bounded TAIL of stdout, which
     // silently drops the first ~23 queries' timings once the line grows

@@ -44,25 +44,30 @@ object QueriesText {
     val cands = DedupOps.minhashLshPairs(sigs, "doc_id", k = 48, bands = 24, minEst = 0.25)
     DedupOps.verifyPairsExact(cands, docs, "doc_id", col("text"), n = 3, minJaccardPct = 50)
       .orderBy("doc1", "doc2")
+      .transform(DedupOps.observeCount(_, "verified_pairs"))
   }
 
-  /** #24 SimHash near-dup detection, end to end: 64-bit GRAM-level
-    * signatures (see [[DedupOps.simhashGrams]] — token-level SimHash
-    * collapses on templated corpora) → 16 bands × 4 bits → hamming
-    * <= 15 gate — the full pigeonhole budget (dist < bands), so every
-    * pair within the gate is GUARANTEED a band hit, with 3 bits of
-    * margin over the corpus max of 12 — → EXACT n-gram Jaccard
-    * verification at >= 50% on the ~candidate-sized remainder. Same
-    * contract as #23: the exact threshold defines the output, the
-    * sketch accelerates, the oracle checks the decision. (A J>=50
-    * pair at hamming > 15 would need a wider fingerprint — that's the
-    * 128-bit dial documented on simhashPairs.) */
+  /** #24 SimHash near-dup detection, end to end: 128-bit GRAM-level
+    * signatures (see [[DedupOps.simhashGrams128]] — token-level
+    * SimHash collapses on templated corpora) → 16 bands × 8 bits →
+    * hamming <= 31 gate → EXACT n-gram Jaccard verification at >= 50%
+    * on the candidate remainder. Same contract as #23: the exact
+    * threshold defines the output, the sketch accelerates, the oracle
+    * checks the decision.
+    *
+    * The 64-bit/4-bit-band predecessor had a 16-value band keyspace —
+    * an n²/32 candidate FLOOR independent of the data (measured 7.1×
+    * time per 10× docs, round 9's one `weak` flag). 8-bit keys cut
+    * chance band collisions 16×; recall is pigeonhole-guaranteed to
+    * d128 < 16 and probe-measured complete to the corpus max of 22
+    * with a 9-bit gate margin (tools/Simhash128Probe, BENCH_NOTES). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val hashes = DedupOps.simhashGrams(docs, "doc_id", col("text"), n = 3)
-    val cands = DedupOps.simhashPairs(hashes, "doc_id", maxDist = 15, bands = 16)
+    val hashes = DedupOps.simhashGrams128(docs, "doc_id", col("text"), n = 3)
+    val cands = DedupOps.simhashPairs128(hashes, "doc_id", maxDist = 31, bands = 16)
     DedupOps.verifyPairsExact(cands, docs, "doc_id", col("text"), n = 3, minJaccardPct = 50)
       .orderBy("doc1", "doc2")
+      .transform(DedupOps.observeCount(_, "verified_pairs"))
   }
 
   /** #29 heuristic language identification vs the labeled lang. */
@@ -357,6 +362,7 @@ object QueriesText {
     DedupOps.verifyPairsExact(cands, docs, "doc_id", col("text"), n = 3, minJaccardPct = 50)
       .select(col("doc1").as("new_doc_id"), col("doc2").as("known_doc_id"), col("jaccard_pct"))
       .orderBy("new_doc_id", "known_doc_id")
+      .transform(DedupOps.observeCount(_, "verified_pairs"))
   }
 
   /** #72 deterministic train/val/test split: bucket on the first hex

@@ -172,7 +172,7 @@ object DedupOps {
     // the pair set is orders of magnitude smaller than the postings:
     // materialize it and release the postings storage (leaked caches
     // tax every later query in the session)
-    graft.Caching.reap(pairs)(kept)
+    graft.Caching.reap(observeCount(pairs, "cand_ngram"))(kept)
   }
 
   /** Exact n-gram CONTAINMENT pairs: shared / min(|A|, |B|) — the
@@ -199,7 +199,7 @@ object DedupOps {
           minc * 2L
         ).as("containment_pct")
       )
-    graft.Caching.reap(pairs)(kept)
+    graft.Caching.reap(observeCount(pairs, "cand_containment"))(kept)
   }
 
   /** Shared core of the exact pair generators: df-gated postings
@@ -314,7 +314,7 @@ object DedupOps {
       .where(col("est_sim") >= minEst)
       .select("doc1", "doc2", "est_sim")
       .distinct()
-    graft.Caching.reap(pairs)(sigs)
+    graft.Caching.reap(observeCount(pairs, "cand_minhash"))(sigs)
   }
 
   /** 64-bit SimHash per doc from the token multiset, via the native
@@ -348,6 +348,24 @@ object DedupOps {
         i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))
     docs.select(col(id), toks.as("__t"))
       .select(col(id), call_function("simhash64", grams).as("simhash"))
+  }
+
+  /** 128-bit variant of [[simhashGrams]]: emits `simhash0`/`simhash1`
+    * (two independent 64-bit halves, h0 bit-identical to `simhash`).
+    * Same single narrow map pass — the width buys band selectivity,
+    * see [[graft.functions.SimHash128]]. */
+  def simhashGrams128(docs: DataFrame, id: String, text: Column, n: Int): DataFrame = {
+    graft.functions.SimHash128.register(docs.sparkSession)
+    val toks = TextOps.tokens(text)
+    val grams = when(size(col("__t")) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(col("__t")) - n),
+        i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))
+    docs.select(col(id), toks.as("__t"))
+      .select(col(id), call_function("simhash128", grams).as("__h"))
+      .select(col(id),
+        element_at(col("__h"), 1).as("simhash0"),
+        element_at(col("__h"), 2).as("simhash1"))
   }
 
   /** Near-dup pairs by SimHash hamming distance <= maxDist, using
@@ -390,8 +408,85 @@ object DedupOps {
       .where(col("hamming") <= maxDist)
       .select("doc1", "doc2", "hamming")
       .distinct()
-    graft.Caching.reap(pairs)(hashes)
+    graft.Caching.reap(observeCount(pairs, "cand_simhash"))(hashes)
   }
+
+  /** 128-bit variant of [[simhashPairs]] over [[simhashGrams128]]
+    * output: near-dup pairs with 128-bit hamming <= maxDist, banded
+    * as `bands` equal slices across BOTH halves (bands/2 per half).
+    *
+    * Why 128 bits: band-key chance collisions scale as
+    * n²·bands·2^-width. The 64-bit/16-band layout leaves 4-bit keys —
+    * 16 possible values per band, so every band partitions the corpus
+    * into <=16 buckets and candidate volume has an n²/32 FLOOR
+    * regardless of data (measured round 9: 7.1× time per 10× docs).
+    * 8-bit keys widen the band keyspace 16×, dropping the chance-
+    * collision constant 16× while the fingerprint stays one narrow
+    * map pass.
+    *
+    * Recall contract (measured, like MinHash's — see
+    * tools/Simhash128Probe): pigeonhole guarantees a band hit for
+    * d128 < bands (16); true J>=50 pairs measure d128 <= 22 on the
+    * testdata corpus (max d0 11, d1 12 at sf0.1), and the probe
+    * verifies ZERO banding misses at every tested SF — deterministic
+    * for fixed data/seeds, re-checked per corpus the way MinHash's
+    * band recall is. maxDist defaults to 31 (corpus max + 9 margin);
+    * the gate only prunes the exact-verify input, so a looser gate
+    * costs a few extra verify pairs, never correctness. A corpus with
+    * a deeper distance tail wants a second independently-permuted
+    * band table (OR of two generators: miss odds multiply) before it
+    * wants narrower bands back. */
+  def simhashPairs128(hashes0: DataFrame, id: String, maxDist: Int, bands: Int = 16): DataFrame = {
+    require(bands % 2 == 0 && 128 % bands == 0, s"bands must split 128 evenly in two halves (got $bands)")
+    val perHalf = bands / 2
+    val width = 128 / bands
+    val mask = (1L << width) - 1
+    val hashes = hashes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hashes.select(
+      col(id), col("simhash0"), col("simhash1"),
+      explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            call_function("shiftright",
+              when(b < perHalf, col("simhash0")).otherwise(col("simhash1")),
+              (when(b < perHalf, b).otherwise(b - perHalf) * width).cast("int"))
+              .bitwiseAND(lit(mask)).as("bkey")))
+      ).as("bb")
+    ).select(col(id), col("simhash0"), col("simhash1"),
+      col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+    val a = banded.select(col(id).as("doc1"),
+      col("simhash0").as("a0"), col("simhash1").as("a1"), col("band"), col("bkey"))
+    val b = banded.select(col(id).as("doc2"),
+      col("simhash0").as("b0"), col("simhash1").as("b1"), col("band"), col("bkey"))
+    // hamming-filter BEFORE the pair distinct, same ordering argument
+    // as [[simhashPairs]]: chance collisions die on two xors instead
+    // of flooding the distinct's exchange
+    val pairs = a.join(b, Seq("band", "bkey"))
+      .where(col("doc1") < col("doc2"))
+      .withColumn("hamming",
+        bit_count(col("a0").bitwiseXOR(col("b0"))) +
+          bit_count(col("a1").bitwiseXOR(col("b1"))))
+      .where(col("hamming") <= maxDist)
+      .select("doc1", "doc2", "hamming")
+      .distinct()
+    graft.Caching.reap(observeCount(pairs, "cand_simhash"))(hashes)
+  }
+
+  /** Candidate-volume telemetry: a named `observe` counter on the
+    * pair stream, surfaced per query by Bench's execution listener
+    * (BENCH JSON `observed`). Sketch quality at scale IS the
+    * candidate count — sf-to-sf candidate growth becomes a tracked
+    * artifact instead of something inferred from seconds. Metrics
+    * ride the existing action; no extra job.
+    *
+    * Placement: BELOW a [[graft.Caching.reap]] checkpoint (counted in
+    * the one materializing pass) or ABOVE any orderBy — a counter
+    * under a range-partitioned Sort double-fires on the sampling
+    * pass. */
+  def observeCount(df: DataFrame, name: String): DataFrame =
+    df.observe(name, count(lit(1)).as("n"))
 
   /** EXACT n-gram Jaccard verification of candidate pairs: the
     * refine step of the candidate-generate → verify dedup pipeline.
@@ -459,6 +554,7 @@ object DedupOps {
       .where(col("est_sim") >= minEst)
       .select("doc1", "doc2", "est_sim")
       .distinct()
+      .transform(observeCount(_, "cand_minhash_across"))
   }
 
   /** Benchmark-contamination report: for every corpus doc sharing at

@@ -24,6 +24,11 @@ object StageProbe {
           DedupOps.verifyPairsExact(c, docs, "doc_id", col("text"), 3, 50).count())
       }
     }
+    val h128 = DedupOps.simhashGrams128(docs, "doc_id", col("text"), 3)
+    time("simhash cands (16x8/128b, d<=31)") {
+      val c = DedupOps.simhashPairs128(h128, "doc_id", maxDist = 31, bands = 16)
+      println("  n_cands = " + c.count())
+    }
     val sigs = DedupOps.minhashSignaturesNative(docs, "doc_id", col("text"), 3, 48)
     time("minhash cands (16x3, est>=.25)") {
       val c = DedupOps.minhashLshPairs(sigs, "doc_id", k = 48, bands = 16, minEst = 0.25)

@@ -89,6 +89,9 @@ class PlanSpec extends SparkSpec {
     val mh = graft.text.DedupOps.minhashSignaturesNative(docs, "doc_id", col("text"), 3, 32)
       .queryExecution.executedPlan.toString
     assert(!mh.contains("Exchange") && mh.contains("minhash_sig"), mh)
+    val sh128 = graft.text.DedupOps.simhashGrams128(docs, "doc_id", col("text"), 3)
+      .queryExecution.executedPlan.toString
+    assert(!sh128.contains("Exchange") && sh128.contains("simhash128"), sh128)
   }
 
   test("kpi summary: distinct counts avoid the multi-distinct Expand") {
