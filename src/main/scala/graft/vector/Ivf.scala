@@ -117,6 +117,81 @@ object Ivf {
     // use repartition(cid) first to bound open writers per task)
     index.lists.write.mode("overwrite").partitionBy("cid")
       .parquet(s"$path/lists.parquet")
+    // build-time assignment-quality baseline (k rows): per list, how
+    // many members and how close they sit to their centroid. [[drift]]
+    // compares the current lists against this frozen snapshot — the
+    // staleness signal for an index maintained by [[append]].
+    index.lists.groupBy("cid")
+      .agg(count(lit(1)).as("n_build"), avg(col("__c")).as("mean_cos_build"))
+      .write.mode("overwrite").parquet(s"$path/stats.parquet")
+  }
+
+  /** Append new vectors to a [[save]]d index WITHOUT rebuilding:
+    * assign each to its nearest stored centroid (map-only — the
+    * centroids are k driver-side rows, exactly like a build round)
+    * and append the rows into the cid-partitioned lists artifact.
+    * Returns the number of rows appended.
+    *
+    * This is the maintenance path of a production ANN deployment:
+    * daily embedding batches land in O(batch) work while probes keep
+    * running against the artifact. Correctness is unaffected —
+    * [[probeExact]]'s triangle-inequality bound derives the angular
+    * radii from the CURRENT lists at probe time, so appended members
+    * widen their list's radius and stay reachable; what degrades as
+    * the corpus distribution shifts is PERFORMANCE (wider radii prune
+    * fewer lists). [[drift]] quantifies exactly that degradation;
+    * rebuild when it crosses the caller's threshold.
+    *
+    * Column names must match the artifact's schema (same idCol/vecCol
+    * as the build) — enforced here rather than discovered at probe
+    * time as a corrupt artifact. */
+  def append(s: SparkSession, path: String, vectors: DataFrame,
+             idCol: String, vecCol: String): Long = {
+    implicit val sp: SparkSession = s
+    val lists = s.read.parquet(s"$path/lists.parquet")
+    require(lists.columns.contains(idCol) && lists.columns.contains(vecCol),
+      s"Ivf.append: artifact schema ${lists.columns.mkString(",")} lacks $idCol/$vecCol")
+    val pairs = s.read.parquet(s"$path/centroids.parquet").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1) // NearestCentroid requires cid-ascending order
+    require(pairs.nonEmpty, s"Ivf.append: empty centroid set at $path")
+    val rows = assign(vectors.where(col(vecCol).isNotNull), pairs.map(_._1), pairs.map(_._2), vecCol)
+      .select(col(idCol), col("__a.cid").as("cid"), col("__a.cos").as("__c"), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rows.count()
+    // dynamic-partition append: new files land inside the existing
+    // cid=... directories; a concurrent reader sees whole files only
+    rows.write.mode("append").partitionBy("cid").parquet(s"$path/lists.parquet")
+    rows.unpersist(blocking = false)
+    n
+  }
+
+  /** Staleness of a [[save]]d+[[append]]ed index: per list, the mean
+    * assigned cosine NOW vs at build time, plus the member growth.
+    * `drift = mean_cos_build − mean_cos_now` (in cosine units —
+    * positive means members sit farther from their centroid than the
+    * Lloyd iterations left them, i.e. the appended distribution has
+    * shifted and probes prune less). The overall row (`cid` NULL)
+    * aggregates corpus-wide; rebuild when it crosses the deployment's
+    * threshold. One k-group scan of the lists — never the vectors. */
+  def drift(s: SparkSession, path: String): DataFrame = {
+    val now = s.read.parquet(s"$path/lists.parquet")
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_now"), avg(col("__c")).as("mean_cos_now"))
+    val base = s.read.parquet(s"$path/stats.parquet")
+    val per = now.join(base, Seq("cid"), "left")
+      .select(col("cid"), col("n_build"), col("n_now"),
+        col("mean_cos_build"), col("mean_cos_now"),
+        (col("mean_cos_build") - col("mean_cos_now")).as("drift"))
+    // corpus-wide row: weighted by list size via a straight re-average
+    val overall = s.read.parquet(s"$path/lists.parquet")
+      .agg(count(lit(1)).as("n_now"), avg(col("__c")).as("mean_cos_now"))
+      .crossJoin(broadcast(
+        base.agg(sum(col("n_build")).as("n_build"),
+          (sum(col("mean_cos_build") * col("n_build")) / sum(col("n_build"))).as("mean_cos_build"))))
+      .select(lit(null).cast("int").as("cid"), col("n_build"), col("n_now"),
+        col("mean_cos_build"), col("mean_cos_now"),
+        (col("mean_cos_build") - col("mean_cos_now")).as("drift"))
+    per.unionByName(overall)
   }
 
   /** Load a [[save]]d index. Driver footprint is k centroid vectors —

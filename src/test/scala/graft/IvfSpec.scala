@@ -117,6 +117,56 @@ class IvfSpec extends SparkSpec {
     loaded.release()
   }
 
+  test("append maintains the saved index: probe stays exact, drift flags a shifted batch") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.where($"vec_id" < 150)
+    val batch = emb.where($"vec_id" >= 150 && $"vec_id" < 200)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    val built = Ivf.build(base, "vec_id", "embedding", k = 6, iters = 2)
+    Ivf.save(built, dir)
+    built.release()
+
+    // append an in-distribution batch: O(batch) work, no rebuild
+    val appended = Ivf.append(spark, dir, batch, "vec_id", "embedding")
+    assert(appended == batch.count())
+    val loaded = Ivf.load(spark, dir)
+    val corpus = base.unionByName(batch)
+    assert(loaded.lists.count() == corpus.count(), "lists must hold build + appended rows")
+
+    // exact probe over the maintained artifact == brute force over the
+    // grown corpus: appended members widen their list's radius at
+    // probe time, so the triangle-inequality bound still covers them
+    val queries = emb.where($"vec_id" >= 150 && $"vec_id" < 155)
+    val probed = Ivf.probeExact(loaded, queries, "vec_id", "embedding", nprobe = 2, topK = 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val brute = graft.vector.VectorOps.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(probed == brute, "append must not cost probe exactness")
+    loaded.release()
+
+    // staleness: in-distribution appends barely move the metric; a
+    // distribution-shifted batch (negated vectors — maximally far in
+    // cosine) drives corpus-wide drift up, signaling rebuild
+    val driftBefore = Ivf.drift(spark, dir)
+      .where($"cid".isNull).select($"drift").as[Double].head()
+    val shifted = emb.where($"vec_id" >= 200 && $"vec_id" < 260)
+      .select($"vec_id" + 100000, transform($"embedding", x => -x).as("embedding"))
+      .toDF("vec_id", "embedding")
+    Ivf.append(spark, dir, shifted, "vec_id", "embedding")
+    val driftAfter = Ivf.drift(spark, dir)
+      .where($"cid".isNull).select($"drift").as[Double].head()
+    // measured: ~0.040 -> ~0.061 on this corpus (the shifted rows are
+    // 60/260 of the index; their assignment cosine is ~0.25 lower).
+    // The bar is a >25% relative rise — the signal, not a magic value.
+    assert(driftAfter > driftBefore * 1.25 && driftAfter > driftBefore + 0.01,
+      s"shifted batch must raise corpus-wide drift (before=$driftBefore after=$driftAfter)")
+    // per-list rows carry the build baseline for every list
+    val per = Ivf.drift(spark, dir).where($"cid".isNotNull)
+    assert(per.where($"n_build".isNull).isEmpty, "every list existed at build time")
+  }
+
   implicit class MapOps2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
