@@ -65,6 +65,64 @@ class SalesPipelineDagSpec extends SparkSpec {
     }
   }
 
+  test("crash between gold and mart writes: restart converges to the uninterrupted run") {
+    // the Airflow retry story in data-plane form: a crash window after
+    // gold lands but mid-mart leaves gold complete and the mart layer
+    // TORN (partial part-file, no _SUCCESS). The nightly restart is a
+    // plain rerun — every stage writes mode(overwrite) and reads only
+    // WRITTEN upstream layers, so the rerun must produce byte-equal
+    // layers with no duplicate rows and no leftover torn files.
+    val refRoot = tmp()  // uninterrupted reference run
+    val refReports = SalesPipelineDag.run(spark, sf, refRoot)
+    assert(refReports.forall(_.status == Succeeded))
+
+    val root = tmp()
+    val layout = SalesPipelineDag.Layout(root)
+    val firstRun = SalesPipelineDag.run(spark, sf, root)
+    assert(firstRun.forall(_.status == Succeeded))
+
+    // simulate the crash artifact state: marts half-written
+    def tear(dir: String): Unit = {
+      val d = new java.io.File(dir)
+      new java.io.File(d, "_SUCCESS").delete()
+      // delete one real part-file (torn), add a stray in-progress file
+      d.listFiles().filter(_.getName.startsWith("part-")).take(1).foreach(_.delete())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-99999-in-progress.snappy.parquet"),
+        Array[Byte](1, 2, 3))
+    }
+    tear(layout.customerMetrics)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(layout.monthlyMart))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => p.toFile.delete())  // the other mart never started
+
+    // restart: full rerun of the same graph on the same root
+    val restart = SalesPipelineDag.run(spark, sf, root)
+    assert(restart.forall(_.status == Succeeded),
+      s"restart statuses: ${restart.map(r => r.id -> r.status)}")
+
+    // layers equal the uninterrupted run's, row for row (no dupes, no
+    // loss) — overwrite semantics must have cleared the torn files
+    val refLayout = SalesPipelineDag.Layout(refRoot)
+    for ((a, b) <- Seq(
+        layout.bronzeValid -> refLayout.bronzeValid,
+        layout.silverFact -> refLayout.silverFact,
+        layout.scdDim -> refLayout.scdDim,
+        layout.goldEnriched -> refLayout.goldEnriched,
+        layout.customerMetrics -> refLayout.customerMetrics,
+        layout.monthlyMart -> refLayout.monthlyMart)) {
+      val da = spark.read.parquet(a)
+      val db = spark.read.parquet(b)
+      assert(da.count() == db.count() && da.exceptAll(db).isEmpty && db.exceptAll(da).isEmpty,
+        s"restart layer $a must equal uninterrupted layer $b")
+    }
+    assert(!new java.io.File(layout.customerMetrics, "part-99999-in-progress.snappy.parquet").exists(),
+      "overwrite must clear torn in-progress files")
+    // the report table is identical to the uninterrupted run's
+    assert(restart.map(r => (r.id, r.status, r.metric)) ==
+      refReports.map(r => (r.id, r.status, r.metric)))
+  }
+
   test("concurrent run produces the same report as sequential") {
     val seqR = SalesPipelineDag.run(spark, sf, tmp()).map(r => (r.id, r.status, r.metric))
     val parR = SalesPipelineDag.build(spark, sf, SalesPipelineDag.Layout(tmp()))
