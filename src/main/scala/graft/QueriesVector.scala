@@ -116,7 +116,14 @@ object QueriesVector {
     * cluster-then-keep step of embedding-space dedup, with every
     * decision integer-exact (vote counts, min ids) so DuckDB
     * reproduces it bit-for-bit. Scale shape: pairs from the tiled
-    * exact join (no corpus broadcast), label propagation is
+    * exact join (no corpus broadcast) — optimal for THIS corpus,
+    * whose near-orthogonal vectors admit 100% of cluster blocks (list
+    * radii ≈ 75°, measured by tools/BlockProbe); a clustered corpus
+    * should generate pairs via
+    * [[graft.vector.Ivf.cosinePairsExact]] instead, which prunes
+    * whole list-pair blocks by triangle-inequality bounds, decides
+    * from the k² bound table whether pruning pays, and equals the
+    * tiled join bit-for-bit (spec-asserted) — label propagation is
     * O(component diameter) keyed shuffles, votes partial-aggregate to
     * ≤ |labels| rows per group, and the argmax window sorts within
     * one group's label votes — never the corpus. */

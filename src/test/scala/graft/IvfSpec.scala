@@ -117,6 +117,61 @@ class IvfSpec extends SparkSpec {
     loaded.release()
   }
 
+  test("cosinePairsExact == brute-force tiled pairs at multiple thresholds") {
+    val emb = Tables.embeddings(spark, sf)
+    for (minCos <- Seq(0.30, 0.40, 0.60)) {
+      val brute = graft.vector.VectorOps.cosinePairs(emb, "vec_id", "embedding", minCos)
+        .select("id1", "id2", "cosine").as[(Long, Long, Double)].collect().toSet
+      val pruned = Ivf.cosinePairsExact(emb, "vec_id", "embedding", minCos)
+        .select("id1", "id2", "cosine").as[(Long, Long, Double)].collect().toSet
+      assert(pruned == brute,
+        s"block-pruned threshold join must equal brute force at minCos=$minCos " +
+          s"(missing=${(brute -- pruned).take(5)}, extra=${(pruned -- brute).take(5)})")
+    }
+  }
+
+  test("cosinePairsExact on a clustered corpus: blocks prune hard, result still equals brute") {
+    // 5 tight clusters on distinct axes of an 8-dim space: within-
+    // cluster cosine ≈ 0.99, across ≈ 0.1 — the shape of a real
+    // embedding corpus (deterministic perturbations, no randomness)
+    val rows = (0 until 200).map { i =>
+      val c = i % 5
+      val v = Array.tabulate(8) { d =>
+        val perturb = (((i * 31 + d * 7) % 11) - 5) * 0.01f
+        (if (d == c) 1.0f else 0.0f) + perturb
+      }
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+
+    // the bound table itself: with minCos=0.8, only near-diagonal
+    // blocks can qualify — assert the pruning is real, not vacuous
+    val k = 15
+    val idx = Ivf.build(emb, "vec_id", "embedding", k, iters = 2)
+    graft.functions.VectorFunctions.register(spark)
+    val clamp = (c: org.apache.spark.sql.Column) => greatest(lit(-1.0), least(lit(1.0), c))
+    val radii = idx.lists.groupBy("cid").agg(max(acos(clamp($"__c"))).as("__r"))
+    val cents = idx.centroids.join(radii, "cid")
+    val nBlocks = cents.select($"cid".as("i"), $"centroid".as("vi"), $"__r".as("ri"))
+      .crossJoin(cents.select($"cid".as("j"), $"centroid".as("vj"), $"__r".as("rj")))
+      .where($"i" <= $"j")
+      .withColumn("best", cos(greatest(
+        acos(clamp(call_function("cosine_sim", $"vi", $"vj"))) - $"ri" - $"rj", lit(0.0))))
+    val admitted = nBlocks.where($"best" >= 0.8 - 1e-4).count()
+    val total = nBlocks.count()
+    idx.release()
+    assert(admitted * 3 <= total,
+      s"clustered corpus must prune most blocks (admitted $admitted of $total)")
+
+    // and the pruned path's output is still the exact pair set
+    val brute = graft.vector.VectorOps.cosinePairs(emb, "vec_id", "embedding", 0.8)
+      .select("id1", "id2", "cosine").as[(Long, Long, Double)].collect().toSet
+    val pruned = Ivf.cosinePairsExact(emb, "vec_id", "embedding", 0.8, k = k)
+      .select("id1", "id2", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(pruned == brute && brute.nonEmpty,
+      s"pruned threshold join must equal brute force (|brute|=${brute.size})")
+  }
+
   test("append maintains the saved index: probe stays exact, drift flags a shifted batch") {
     val emb = Tables.embeddings(spark, sf)
     val base = emb.where($"vec_id" < 150)
