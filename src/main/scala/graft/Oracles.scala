@@ -706,6 +706,24 @@ object Oracles {
       |WHERE s*100 >= (c1.n + c2.n - s)*$minPct""".stripMargin
 
   val text: Map[String, String] = Map(
+    "q_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS gram
+        |  FROM toks
+        |), counts AS (
+        |  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1
+        |), owners AS (
+        |  SELECT gram, min(doc_id) AS doc_id FROM grams GROUP BY 1
+        |), novel AS (
+        |  SELECT doc_id, count(*) AS n_novel FROM owners GROUP BY 1
+        |)
+        |SELECT c.doc_id, c.n_grams, coalesce(n.n_novel, 0) AS n_novel,
+        |  1000 * coalesce(n.n_novel, 0) // c.n_grams AS novelty_permille
+        |FROM counts c LEFT JOIN novel n USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_lexical_diversity" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -841,7 +841,52 @@ object QueriesText {
           col("__c.ssq").cast("double")).as("eff_vocab"))
   }
 
+  /** #136 n-gram novelty: per document, how many of its DISTINCT
+    * 3-grams appear for the FIRST time in the corpus (first = the
+    * smallest doc_id containing the gram — the ingestion-order proxy
+    * this corpus carries), and the integer-permille novelty rate.
+    * THE marginal-value metric of data curation: a feed whose
+    * novelty_permille trends to zero is re-delivering the corpus and
+    * stops earning its ingestion cost (complement of the dedup
+    * family: dedup finds whole near-duplicate DOCS, novelty measures
+    * sub-document redundancy growth even when no pair crosses a
+    * dedup threshold). Docs with fewer than 3 tokens have no grams
+    * and drop out, matching the gram-family convention.
+    *
+    * Scale shape: the corpus tokenizes ONCE into persisted distinct-
+    * gram postings (hashes not strings — 8-byte shuffle cells, same
+    * as the rest of the gram family) consumed by both grains: the
+    * doc-keyed gram counts and the gram-keyed map-side-combined
+    * min(doc_id) ownership pass; owner counts collapse back to ≤
+    * |docs| rows, the doc-grain result is checkpointed and the
+    * postings released ([[graft.Caching.reap]]). At 100 TB the
+    * postings exchange is the same one every df/tfidf operator pays,
+    * and novelty needs no second pass. (An earlier draft gated an
+    * array-form gram SET on `size(__grams) > 0` — the alias-inline
+    * trap documented on [[DedupOps.wordGramHashes]]: the pushed
+    * filter re-evaluates the whole tokenize+hash chain per consumer,
+    * measured 12× this query's cost.) */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOn(Tables.documents(s, dir))
+
+  private[graft] def ngramNoveltyOn(docs: DataFrame): DataFrame = {
+    val postings = DedupOps.wordGramHashes(docs, "doc_id", col("text"), n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val novel = postings.groupBy(col("gram")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    val out = counts.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        call_function("div",
+          coalesce(col("n_novel"), lit(0L)) * lit(1000L), col("n_grams"))
+          .as("novelty_permille"))
+      .orderBy("doc_id")
+    Caching.reap(out)(postings)
+  }
+
   def all: Map[String, Q] = Map(
+    "q_ngram_novelty" -> (ngramNovelty _),
     "q_lexical_diversity" -> (lexicalDiversity _),
     "q_source_quality" -> (sourceQuality _),
     "q_lang_confusion" -> (langConfusion _),

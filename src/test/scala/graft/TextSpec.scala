@@ -113,6 +113,22 @@ class TextSpec extends SparkSpec {
       "exact verification must kill every sub-threshold candidate")
   }
 
+  test("ngram novelty: first-occurrence ownership, duplicates at zero, short docs out") {
+    val df = Seq(
+      (1L, "a b c d"),        // grams {a b c, b c d} — both novel
+      (2L, "a b c d"),        // identical: every gram owned by doc 1
+      (3L, "a b c x y z"),    // {a b c(owned), b c x, c x y, x y z} -> 3/4
+      (4L, "p q")             // < 3 tokens: no grams, excluded
+    ).toDF("doc_id", "text")
+    val out = QueriesText.ngramNoveltyOn(df)
+      .select("doc_id", "n_grams", "n_novel", "novelty_permille")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 1000L),
+      (2L, 2L, 0L, 0L),
+      (3L, 4L, 3L, 750L)))
+  }
+
   test("native minhash signature is bit-identical to the explode+vec_min pipeline") {
     val docs = Tables.documents(spark, sf).where($"doc_id" < 50).select($"doc_id", $"text")
     val grams = DedupOps.wordGramHashes(docs, "doc_id", $"text", 3)
