@@ -1026,6 +1026,27 @@ object Oracles {
       s"""$resolveCte
         |SELECT id AS doc_id, least(id, min(r)) AS group_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dup_cluster_sizes" ->
+      s"""$resolveCte, groups AS (
+        |  SELECT id, least(id, min(r)) AS g FROM reach GROUP BY id
+        |), sizes AS (
+        |  SELECT g, count(*) AS cluster_size FROM groups GROUP BY 1
+        |)
+        |SELECT cluster_size, count(*) AS n_clusters
+        |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+    "q_gram_df_histogram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS gram
+        |  FROM toks
+        |), df AS (
+        |  SELECT gram, count(*) AS df FROM grams GROUP BY 1
+        |)
+        |SELECT least(df, 101) AS df_bucket, count(*) AS n_grams,
+        |  CAST(sum(df) AS BIGINT) AS n_postings
+        |FROM df GROUP BY 1 ORDER BY df_bucket""".stripMargin,
     // keeper selection: the resolve CTE + the #30 quality score + a
     // per-group argmax window — every step integer-exact
     "q_dedup_keeper" ->

@@ -885,8 +885,54 @@ object QueriesText {
     Caching.reap(out)(postings)
   }
 
+  /** #137 gram document-frequency histogram: for every distinct
+    * 3-gram, in how many docs it appears (df), reported as exact
+    * counts for df 1..100 and one ">cap" bucket at 101 — with the
+    * postings-row mass (Σdf) each bucket carries. This is the
+    * statistic BEHIND the gram family's df ≤ 100 informativeness cap
+    * (#25/#84/#38): the top bucket's n_postings is exactly the
+    * shuffle volume the cap deletes, so the cap is data-justified
+    * per corpus instead of folklore. Integer-exact everywhere.
+    *
+    * Scale shape: one tokenize pass into hash postings, ONE
+    * gram-keyed map-side-combined count, then a ≤101-row histogram
+    * collapse — the same single exchange every df/tfidf operator
+    * pays, with a bounded output. */
+  def gramDfHistogram(s: SparkSession, dir: String): DataFrame =
+    gramDfHistogramOn(Tables.documents(s, dir))
+
+  private[graft] def gramDfHistogramOn(docs: DataFrame): DataFrame =
+    DedupOps.wordGramHashes(docs, "doc_id", col("text"), n = 3)
+      .groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+      .groupBy(least(col("__df"), lit(101L)).as("df_bucket"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__df")).as("n_postings"))
+      .orderBy("df_bucket")
+
+  /** #138 near-dup cluster-size histogram: the resolved connected
+    * components of the exact Jaccard pair graph (#38's groups:
+    * df ≤ 100, J ≥ 20%) collapsed to (cluster_size → n_clusters) —
+    * the one-screen shape of a corpus's duplication structure
+    * (pairwise twins vs template families vs a percolating
+    * mega-cluster demand different dedup policies; a size-2-heavy
+    * histogram dedups by keeper choice, a mega-cluster means the
+    * threshold is below the corpus's phase transition).
+    *
+    * Scale shape: everything #38 pays (df-capped postings join,
+    * pointer-jumping components) plus two bounded collapses — group
+    * grain, then the ≤ max-size histogram. */
+  def dupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.ngramJaccardPairs(
+      Tables.documents(s, dir), "doc_id", col("text"), n = 3, maxDf = 100, minJaccardPct = 20)
+    DedupOps.resolveGroups(pairs)
+      .groupBy(col("group_id")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("__n").as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
   def all: Map[String, Q] = Map(
     "q_ngram_novelty" -> (ngramNovelty _),
+    "q_gram_df_histogram" -> (gramDfHistogram _),
+    "q_dup_cluster_sizes" -> (dupClusterSizes _),
     "q_lexical_diversity" -> (lexicalDiversity _),
     "q_source_quality" -> (sourceQuality _),
     "q_lang_confusion" -> (langConfusion _),

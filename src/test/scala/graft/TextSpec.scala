@@ -129,6 +129,36 @@ class TextSpec extends SparkSpec {
       (3L, 4L, 3L, 750L)))
   }
 
+  test("gram df histogram: exact buckets, cap bucket aggregates the tail") {
+    // gram "a b c" in 3 docs (df 3); "b c d" in 1; "x y z" in 1
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c d"), (3L, "a b c"), (4L, "x y z")
+    ).toDF("doc_id", "text")
+    val out = QueriesText.gramDfHistogramOn(df)
+      .select("df_bucket", "n_grams", "n_postings")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L), (3L, 1L, 3L)))
+  }
+
+  test("dup cluster sizes: transitive components collapse to a size histogram") {
+    // docs 1-2-3 chain into one component via shared grams; 4-5 are
+    // exact twins; 6 is isolated (drops out: no pair, no cluster)
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, base + " one"),
+      (2L, base + " two"),
+      (3L, base + " three"),
+      (4L, "totally different words entirely here now okay right"),
+      (5L, "totally different words entirely here now okay right"),
+      (6L, "isolated document with its very own vocabulary set")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardPairs(df, "doc_id", $"text", 3, 100, 20)
+    val sizes = DedupOps.resolveGroups(pairs)
+      .groupBy($"group_id").agg(count(lit(1)).as("n"))
+      .select($"n").as[Long].collect().toSeq.sorted
+    assert(sizes == Seq(2L, 3L), s"components must be {4,5} and {1,2,3}: $sizes")
+  }
+
   test("native minhash signature is bit-identical to the explode+vec_min pipeline") {
     val docs = Tables.documents(spark, sf).where($"doc_id" < 50).select($"doc_id", $"text")
     val grams = DedupOps.wordGramHashes(docs, "doc_id", $"text", 3)
