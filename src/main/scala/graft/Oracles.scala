@@ -1026,6 +1026,36 @@ object Oracles {
       s"""$resolveCte
         |SELECT id AS doc_id, least(id, min(r)) AS group_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_cross_source_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS gram
+        |  FROM toks
+        |), kept AS (
+        |  SELECT g.doc_id, g.gram FROM grams g
+        |  JOIN (SELECT gram, count(*) AS df FROM grams GROUP BY gram) d USING (gram)
+        |  WHERE d.df <= 100
+        |), counts AS (
+        |  SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY doc_id
+        |), shared AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS s
+        |  FROM kept a JOIN kept b USING (gram)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc1, doc2 FROM shared
+        |  JOIN counts c1 ON doc1 = c1.doc_id
+        |  JOIN counts c2 ON doc2 = c2.doc_id
+        |  WHERE s*100 >= (c1.n_grams + c2.n_grams - s)*50
+        |)
+        |SELECT least(s1.source, s2.source) AS source_a,
+        |  greatest(s1.source, s2.source) AS source_b,
+        |  count(*) AS n_dup_pairs
+        |FROM pairs
+        |JOIN documents s1 ON doc1 = s1.doc_id
+        |JOIN documents s2 ON doc2 = s2.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_dup_cluster_sizes" ->
       s"""$resolveCte, groups AS (
         |  SELECT id, least(id, min(r)) AS g FROM reach GROUP BY id

@@ -929,7 +929,37 @@ object QueriesText {
       .orderBy("cluster_size")
   }
 
+  /** #139 cross-source duplication matrix: doc-level exact near-dup
+    * pairs (J ≥ 50, #25's generator) rolled up to the UNORDERED
+    * source-pair grain — which feed copies which, with the diagonal
+    * (within-source duplication) kept. The syndication screen: #91
+    * says two sources share vocabulary (gram-level, source-grain);
+    * this says actual documents are near-copies across them
+    * (doc-level evidence), which is what decides dedup-before-mix.
+    * min/max source normalization makes the pair unordered so both
+    * directions land in one cell.
+    *
+    * Scale shape: everything #25 pays (df-capped postings join) plus
+    * two broadcast-able doc→source joins (the doc-grain source map is
+    * bounded by the corpus, joined on the pair frame — orders of
+    * magnitude smaller than postings) and a ≤ #sources² collapse. */
+  def crossSourceDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = DedupOps.ngramJaccardPairs(
+      docs, "doc_id", col("text"), n = 3, maxDf = 100, minJaccardPct = 50)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs.select("doc1", "doc2")
+      .join(src.select(col("doc_id").as("doc1"), col("source").as("__s1")), "doc1")
+      .join(src.select(col("doc_id").as("doc2"), col("source").as("__s2")), "doc2")
+      .groupBy(
+        least(col("__s1"), col("__s2")).as("source_a"),
+        greatest(col("__s1"), col("__s2")).as("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   def all: Map[String, Q] = Map(
+    "q_cross_source_dup" -> (crossSourceDup _),
     "q_ngram_novelty" -> (ngramNovelty _),
     "q_gram_df_histogram" -> (gramDfHistogram _),
     "q_dup_cluster_sizes" -> (dupClusterSizes _),

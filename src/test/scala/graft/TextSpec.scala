@@ -159,6 +159,28 @@ class TextSpec extends SparkSpec {
     assert(sizes == Seq(2L, 3L), s"components must be {4,5} and {1,2,3}: $sizes")
   }
 
+  test("cross-source dup matrix: pairs land in unordered cells, diagonal kept") {
+    // 1 (src A) ~ 2 (src B): cross cell (A,B); 3 ~ 4 both src B:
+    // diagonal cell (B,B); 5 matches nothing
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val long2 = "kappa lambda mu nu xi omicron pi rho sigma"
+    val docs = Seq(
+      (1L, long1, "A"), (2L, long1 + " tail", "B"),
+      (3L, long2, "B"), (4L, long2, "B"),
+      (5L, "nothing shared with anyone here at all today", "A")
+    ).toDF("doc_id", "text", "source")
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", $"text", 3, 100, 50)
+      .select("doc1", "doc2")
+    val src = docs.select($"doc_id", $"source")
+    val out = pairs
+      .join(src.select($"doc_id".as("doc1"), $"source".as("__s1")), "doc1")
+      .join(src.select($"doc_id".as("doc2"), $"source".as("__s2")), "doc2")
+      .groupBy(least($"__s1", $"__s2").as("a"), greatest($"__s1", $"__s2").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("A", "B", 1L), ("B", "B", 1L)))
+  }
+
   test("native minhash signature is bit-identical to the explode+vec_min pipeline") {
     val docs = Tables.documents(spark, sf).where($"doc_id" < 50).select($"doc_id", $"text")
     val grams = DedupOps.wordGramHashes(docs, "doc_id", $"text", 3)
