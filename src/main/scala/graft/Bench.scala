@@ -86,10 +86,15 @@ object Bench {
     // named `observe` counters (DedupOps.observeCount); a listener
     // collects them per query so sf-to-sf candidate growth is a
     // tracked artifact in the bench line, not something inferred from
-    // seconds. Attribution is by the query name current at onSuccess —
-    // the bus drains within the inter-query hygiene window, and a
-    // misattributed metric would name a query that never emits it
-    // (names are per-operator), so the failure mode is visible.
+    // seconds. Attribution is by the query name current at onSuccess.
+    // The listener bus is ASYNC: delivery normally lands within the
+    // inter-query hygiene window (blocking unpersist + GC), and the
+    // JSON snapshot below additionally drains until the map goes
+    // quiet — but a pathologically late event could still attribute a
+    // metric to the next query sharing the name (several queries emit
+    // `verified_pairs`/`cand_ngram`), where the next run's own event
+    // overwrites it. Values are per-execution counts, so the
+    // worst case is a transiently stale number, never an accumulation.
     val observed = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     val currentQuery = new java.util.concurrent.atomic.AtomicReference[String]("")
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
@@ -139,6 +144,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val partial = if (only.isDefined) s""","partial":true""" else ""
+    // drain the async listener bus before snapshotting: poll until
+    // the observed map is stable for two consecutive reads (bounded
+    // at ~2 s) so the LAST query's metrics can't be dropped by a
+    // still-queued onSuccess. currentQuery stays set to the last
+    // query until the drain completes for the same reason.
+    locally {
+      var last = -1
+      var stable = 0
+      var spins = 0
+      while (stable < 2 && spins < 10) {
+        Thread.sleep(200)
+        val size = observed.size()
+        if (size == last) stable += 1 else { stable = 0; last = size }
+        spins += 1
+      }
+    }
     currentQuery.set("")
     val obsJson = {
       import scala.jdk.CollectionConverters._

@@ -339,15 +339,21 @@ object DedupOps {
     * uses the same unit as the n-gram Jaccard ground truth, so
     * unrelated docs diverge (~32 bits) while true near-dups stay
     * close. Still one narrow map pass. */
-  def simhashGrams(docs: DataFrame, id: String, text: Column, n: Int): DataFrame = {
-    graft.functions.SimHash64.register(docs.sparkSession)
-    val toks = TextOps.tokens(text)
-    val grams = when(size(col("__t")) < n, array().cast("array<string>"))
+  /** Sliding word-gram STRING window over the materialized token
+    * array `__t` (short docs → empty array; the `size < n` guard also
+    * keeps the `sequence` bound non-negative). Shared by both SimHash
+    * widths so the two fingerprints are built from the SAME gram set
+    * — the spec-asserted h0 == simhash64 parity depends on it. */
+  private def gramStringWindow(n: Int): Column =
+    when(size(col("__t")) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(col("__t")) - n),
         i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))
-    docs.select(col(id), toks.as("__t"))
-      .select(col(id), call_function("simhash64", grams).as("simhash"))
+
+  def simhashGrams(docs: DataFrame, id: String, text: Column, n: Int): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
+    docs.select(col(id), TextOps.tokens(text).as("__t"))
+      .select(col(id), call_function("simhash64", gramStringWindow(n)).as("simhash"))
   }
 
   /** 128-bit variant of [[simhashGrams]]: emits `simhash0`/`simhash1`
@@ -356,13 +362,8 @@ object DedupOps {
     * see [[graft.functions.SimHash128]]. */
   def simhashGrams128(docs: DataFrame, id: String, text: Column, n: Int): DataFrame = {
     graft.functions.SimHash128.register(docs.sparkSession)
-    val toks = TextOps.tokens(text)
-    val grams = when(size(col("__t")) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(col("__t")) - n),
-        i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))
-    docs.select(col(id), toks.as("__t"))
-      .select(col(id), call_function("simhash128", grams).as("__h"))
+    docs.select(col(id), TextOps.tokens(text).as("__t"))
+      .select(col(id), call_function("simhash128", gramStringWindow(n)).as("__h"))
       .select(col(id),
         element_at(col("__h"), 1).as("simhash0"),
         element_at(col("__h"), 2).as("simhash1"))
@@ -377,7 +378,10 @@ object DedupOps {
     * and (measured on the testdata) catch every planted near-dup up
     * to dist 12. */
   def simhashPairs(hashes0: DataFrame, id: String, maxDist: Int, bands: Int = 4): DataFrame = {
-    require(64 % bands == 0)
+    // bands >= 2: at bands = 1 the 64-bit band width makes
+    // `(1L << 64) - 1` wrap to mask 0 (JVM shifts are mod 64) and
+    // every key degenerates to 0 — a silent full n² self-join
+    require(bands >= 2 && 64 % bands == 0)
     require(maxDist < bands,
       s"pigeonhole completeness needs maxDist < bands (got $maxDist vs $bands): " +
         "a pair can differ in every band otherwise and silently vanish")
@@ -437,7 +441,12 @@ object DedupOps {
     * band table (OR of two generators: miss odds multiply) before it
     * wants narrower bands back. */
   def simhashPairs128(hashes0: DataFrame, id: String, maxDist: Int, bands: Int = 16): DataFrame = {
-    require(bands % 2 == 0 && 128 % bands == 0, s"bands must split 128 evenly in two halves (got $bands)")
+    // bands >= 4 keeps the per-half band width under 64 bits: at
+    // bands = 2 the width-64 mask `(1L << 64) - 1` wraps to 0 (JVM
+    // shifts are mod 64), every key degenerates to 0, and the LSH
+    // join silently becomes the full n² self-join it exists to avoid
+    require(bands >= 4 && bands % 2 == 0 && 128 % bands == 0,
+      s"bands must split 128 evenly in two halves with width < 64 (got $bands)")
     val perHalf = bands / 2
     val width = 128 / bands
     val mask = (1L << width) - 1

@@ -182,9 +182,12 @@ object Ivf {
       .select(col("cid"), col("n_build"), col("n_now"),
         col("mean_cos_build"), col("mean_cos_now"),
         (col("mean_cos_build") - col("mean_cos_now")).as("drift"))
-    // corpus-wide row: weighted by list size via a straight re-average
-    val overall = s.read.parquet(s"$path/lists.parquet")
-      .agg(count(lit(1)).as("n_now"), avg(col("__c")).as("mean_cos_now"))
+    // corpus-wide row: both sides re-averaged size-weighted FROM THE
+    // k-ROW AGGREGATES (Σn·mean / Σn ≡ the corpus mean) — the lists
+    // are scanned exactly once, in `now` above
+    val overall = now
+      .agg(sum(col("n_now")).as("n_now"),
+        (sum(col("mean_cos_now") * col("n_now")) / sum(col("n_now"))).as("mean_cos_now"))
       .crossJoin(broadcast(
         base.agg(sum(col("n_build")).as("n_build"),
           (sum(col("mean_cos_build") * col("n_build")) / sum(col("n_build"))).as("mean_cos_build"))))
