@@ -1026,6 +1026,29 @@ object Oracles {
       s"""$resolveCte
         |SELECT id AS doc_id, least(id, min(r)) AS group_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_novelty_by_source" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS gram
+        |  FROM toks
+        |), counts AS (
+        |  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1
+        |), owners AS (
+        |  SELECT gram, min(doc_id) AS doc_id FROM grams GROUP BY 1
+        |), novel AS (
+        |  SELECT doc_id, count(*) AS n_novel FROM owners GROUP BY 1
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(c.n_grams) AS BIGINT) AS n_grams,
+        |  CAST(sum(coalesce(n.n_novel, 0)) AS BIGINT) AS n_novel,
+        |  1000 * CAST(sum(coalesce(n.n_novel, 0)) AS BIGINT)
+        |    // CAST(sum(c.n_grams) AS BIGINT) AS novelty_permille
+        |FROM counts c
+        |LEFT JOIN novel n USING (doc_id)
+        |JOIN documents USING (doc_id)
+        |GROUP BY 1 ORDER BY source""".stripMargin,
     "q_cross_source_dup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

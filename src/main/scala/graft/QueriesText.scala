@@ -958,7 +958,44 @@ object QueriesText {
       .orderBy("source_a", "source_b")
   }
 
+  /** #140 novelty by source: #136's first-occurrence gram ownership
+    * rolled to the SOURCE grain — per feed, docs-with-grams, total
+    * distinct-per-doc grams, grams first seen in this feed's docs,
+    * and the permille rate. The operational form of the novelty
+    * metric: the per-doc report says which documents are redundant,
+    * this says which FEED has stopped earning its ingestion cost —
+    * the number a curation dashboard actually pages on.
+    *
+    * Scale shape: identical postings work to #136 (one tokenize pass,
+    * one gram-keyed exchange), then the rollup happens on the
+    * doc-grain novel/count frames (≤ |docs| rows) joined to the
+    * doc→source map before a ≤ #sources collapse — the corpus never
+    * shuffles a second time. */
+  def noveltyBySource(s: SparkSession, dir: String): DataFrame =
+    noveltyBySourceOn(Tables.documents(s, dir))
+
+  private[graft] def noveltyBySourceOn(docs: DataFrame): DataFrame = {
+    val postings = DedupOps.wordGramHashes(docs, "doc_id", col("text"), n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val novel = postings.groupBy(col("gram")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    val out = counts
+      .join(novel, Seq("doc_id"), "left")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(coalesce(col("n_novel"), lit(0L))).as("n_novel"))
+      .select(col("source"), col("n_docs"), col("n_grams"), col("n_novel"),
+        call_function("div", col("n_novel") * lit(1000L), col("n_grams"))
+          .as("novelty_permille"))
+      .orderBy("source")
+    Caching.reap(out)(postings)
+  }
+
   def all: Map[String, Q] = Map(
+    "q_novelty_by_source" -> (noveltyBySource _),
     "q_cross_source_dup" -> (crossSourceDup _),
     "q_ngram_novelty" -> (ngramNovelty _),
     "q_gram_df_histogram" -> (gramDfHistogram _),

@@ -48,4 +48,24 @@ class NoveltyPropertySpec extends SparkSpec {
       assert(got == ref(corpus), s"corpus: $corpus")
     }
   }
+
+  test("source rollup equals the per-doc reference aggregated by feed") {
+    val withSources = for {
+      corpus <- corpusGen
+      srcs <- Gen.listOfN(corpus.size, Gen.oneOf("feedA", "feedB", "feedC"))
+    } yield corpus.zip(srcs).map { case ((id, t), s) => (id, t, s) }
+    samples(withSources, 12, 7L).foreach { corpus =>
+      val perDoc = ref(corpus.map { case (id, t, _) => (id, t) })
+      val srcOf = corpus.map { case (id, _, s) => id -> s }.toMap
+      val expected = perDoc.groupBy { case (id, _, _, _) => srcOf(id) }
+        .map { case (s, rows) =>
+          val grams = rows.map(_._2).sum
+          val novel = rows.map(_._3).sum
+          (s, rows.size.toLong, grams, novel, novel * 1000L / grams)
+        }.toSeq.sortBy(_._1)
+      val got = QueriesText.noveltyBySourceOn(corpus.toDF("doc_id", "text", "source"))
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(got == expected, s"corpus: $corpus")
+    }
+  }
 }
