@@ -96,14 +96,20 @@ object Bench {
     // overwrites it. Values are per-execution counts, so the
     // worst case is a transiently stale number, never an accumulation.
     val observed = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    // bumped on EVERY delivered event (not just new keys): the
+    // post-loop drain polls this, so a pending overwrite of an
+    // existing key counts as "not yet quiet" too
+    val obsVersion = new java.util.concurrent.atomic.AtomicLong(0L)
     val currentQuery = new java.util.concurrent.atomic.AtomicReference[String]("")
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
         val q = currentQuery.get()
         if (q.nonEmpty) qe.observedMetrics.foreach { case (metric, row) =>
-          if (row.schema.nonEmpty && row.get(0).isInstanceOf[Long])
+          if (row.schema.nonEmpty && row.get(0).isInstanceOf[Long]) {
             observed.put(s"$q:$metric", row.getLong(0))
+            obsVersion.incrementAndGet()
+          }
         }
       }
       override def onFailure(funcName: String,
@@ -150,13 +156,13 @@ object Bench {
     // still-queued onSuccess. currentQuery stays set to the last
     // query until the drain completes for the same reason.
     locally {
-      var last = -1
+      var last = -1L
       var stable = 0
       var spins = 0
       while (stable < 2 && spins < 10) {
         Thread.sleep(200)
-        val size = observed.size()
-        if (size == last) stable += 1 else { stable = 0; last = size }
+        val v = obsVersion.get()
+        if (v == last) stable += 1 else { stable = 0; last = v }
         spins += 1
       }
     }

@@ -869,17 +869,29 @@ object QueriesText {
   def ngramNovelty(s: SparkSession, dir: String): DataFrame =
     ngramNoveltyOn(Tables.documents(s, dir))
 
-  private[graft] def ngramNoveltyOn(docs: DataFrame): DataFrame = {
+  /** Per-doc novelty core shared by #136 and #140: one tokenize pass
+    * into persisted hash postings, the doc-keyed gram counts and the
+    * gram-keyed min(doc_id) ownership pass joined to one doc-grain
+    * frame (doc_id, n_grams, n_novel). Returns the postings handle
+    * too — the CALLER must release it via [[Caching.reap]] on its
+    * final frame (the reap-after-shape contract of the gram family). */
+  private def perDocNovelty(docs: DataFrame): (DataFrame, DataFrame) = {
     val postings = DedupOps.wordGramHashes(docs, "doc_id", col("text"), n = 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val novel = postings.groupBy(col("gram")).agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
-    val out = counts.join(novel, Seq("doc_id"), "left")
+    val perDoc = counts.join(novel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        call_function("div",
-          coalesce(col("n_novel"), lit(0L)) * lit(1000L), col("n_grams"))
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+    (perDoc, postings)
+  }
+
+  private[graft] def ngramNoveltyOn(docs: DataFrame): DataFrame = {
+    val (perDoc, postings) = perDocNovelty(docs)
+    val out = perDoc
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        call_function("div", col("n_novel") * lit(1000L), col("n_grams"))
           .as("novelty_permille"))
       .orderBy("doc_id")
     Caching.reap(out)(postings)
@@ -975,18 +987,13 @@ object QueriesText {
     noveltyBySourceOn(Tables.documents(s, dir))
 
   private[graft] def noveltyBySourceOn(docs: DataFrame): DataFrame = {
-    val postings = DedupOps.wordGramHashes(docs, "doc_id", col("text"), n = 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val novel = postings.groupBy(col("gram")).agg(min(col("doc_id")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
-    val out = counts
-      .join(novel, Seq("doc_id"), "left")
+    val (perDoc, postings) = perDocNovelty(docs)
+    val out = perDoc
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_grams")).as("n_grams"),
-        sum(coalesce(col("n_novel"), lit(0L))).as("n_novel"))
+        sum(col("n_novel")).as("n_novel"))
       .select(col("source"), col("n_docs"), col("n_grams"), col("n_novel"),
         call_function("div", col("n_novel") * lit(1000L), col("n_grams"))
           .as("novelty_permille"))
