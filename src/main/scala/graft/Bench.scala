@@ -87,14 +87,16 @@ object Bench {
     // collects them per query so sf-to-sf candidate growth is a
     // tracked artifact in the bench line, not something inferred from
     // seconds. Attribution is by the query name current at onSuccess.
-    // The listener bus is ASYNC: delivery normally lands within the
-    // inter-query hygiene window (blocking unpersist + GC), and the
-    // JSON snapshot below additionally drains until the map goes
-    // quiet — but a pathologically late event could still attribute a
-    // metric to the next query sharing the name (several queries emit
-    // `verified_pairs`/`cand_ngram`), where the next run's own event
-    // overwrites it. Values are per-execution counts, so the
-    // worst case is a transiently stale number, never an accumulation.
+    // The listener bus is ASYNC, so after each query's runs the loop
+    // BLOCKS on the bus's own quiescence barrier
+    // (GraftBusFlush.flush → LiveListenerBus.waitUntilEmpty) before
+    // advancing currentQuery — every event raised during query X is
+    // delivered while currentQuery == X, which closes the
+    // late-delivery misattribution window (several queries share
+    // metric names like `verified_pairs`/`cand_ngram`). The flush sits
+    // OUTSIDE the per-run timer, so it never distorts timings; if it
+    // throws (bus timeout), the bounded version-polling drain below is
+    // the fallback.
     val observed = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     // bumped on EVERY delivered event (not just new keys): the
     // post-loop drain polls this, so a pending overwrite of an
@@ -137,6 +139,10 @@ object Bench {
         hygiene()
         if (ok) dt else -1.0
       }.min // a crash in any run reports -1 — never read as a fast run
+      // drain the listener bus BEFORE the next query takes over the
+      // attribution name (see the observed-metrics comment above)
+      try org.apache.spark.GraftBusFlush.flush(spark.sparkContext)
+      catch { case _: Throwable => () }
       name -> t
     }
     val calPost = calibrate()
@@ -150,20 +156,24 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val partial = if (only.isDefined) s""","partial":true""" else ""
-    // drain the async listener bus before snapshotting: poll until
-    // the observed map is stable for two consecutive reads (bounded
-    // at ~2 s) so the LAST query's metrics can't be dropped by a
-    // still-queued onSuccess. currentQuery stays set to the last
-    // query until the drain completes for the same reason.
-    locally {
-      var last = -1L
-      var stable = 0
-      var spins = 0
-      while (stable < 2 && spins < 10) {
-        Thread.sleep(200)
-        val v = obsVersion.get()
-        if (v == last) stable += 1 else { stable = 0; last = v }
-        spins += 1
+    // drain the async listener bus before snapshotting so the LAST
+    // query's metrics can't be dropped by a still-queued onSuccess:
+    // the deterministic barrier first, then (only if it threw) poll
+    // until the observed map is stable for two consecutive reads
+    // (bounded at ~2 s). currentQuery stays set to the last query
+    // until the drain completes for the same reason.
+    try org.apache.spark.GraftBusFlush.flush(spark.sparkContext)
+    catch { case _: Throwable =>
+      locally {
+        var last = -1L
+        var stable = 0
+        var spins = 0
+        while (stable < 2 && spins < 10) {
+          Thread.sleep(200)
+          val v = obsVersion.get()
+          if (v == last) stable += 1 else { stable = 0; last = v }
+          spins += 1
+        }
       }
     }
     currentQuery.set("")

@@ -355,10 +355,11 @@ object QueriesText {
     // frame instead of re-running the native sig map per side
     val sigsAll = DedupOps.minhashSignaturesNative(docs, "doc_id", col("text"), n = 3, k = 48)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = graft.Caching.reap(
-      DedupOps.minhashLshPairsAcross(
-        sigsAll.where(isNew), sigsAll.where(!isNew), "doc_id", k = 48, bands = 24, minEst = 0.25)
-    )(sigsAll)
+    // the across-generator checkpoints its own (counted) result, so
+    // the signature cache can be released as soon as it returns
+    val cands = DedupOps.minhashLshPairsAcross(
+      sigsAll.where(isNew), sigsAll.where(!isNew), "doc_id", k = 48, bands = 24, minEst = 0.25)
+    sigsAll.unpersist(blocking = false)
     DedupOps.verifyPairsExact(cands, docs, "doc_id", col("text"), n = 3, minJaccardPct = 50)
       .select(col("doc1").as("new_doc_id"), col("doc2").as("known_doc_id"), col("jaccard_pct"))
       .orderBy("new_doc_id", "known_doc_id")

@@ -558,12 +558,18 @@ object DedupOps {
       .select(col(id).as("doc2"), col("sig").as("sig2"), col("band"), col("bkey"))
     // same est-before-distinct ordering as [[minhashLshPairs]]: kill
     // sub-threshold collisions before the exchange, dedup narrow rows
-    a.join(b, Seq("band", "bkey"))
+    val pairs = a.join(b, Seq("band", "bkey"))
       .withColumn("est_sim", estSim(col("sig1"), col("sig2"), k))
       .where(col("est_sim") >= minEst)
       .select("doc1", "doc2", "est_sim")
       .distinct()
-      .transform(observeCount(_, "cand_minhash_across"))
+    // checkpoint under the counter like every other cand_* generator:
+    // verifyPairsExact consumes the candidate frame twice (endpoint
+    // gate + main join), and an un-checkpointed CollectMetrics node
+    // would be duplicated into both subtrees of ONE physical plan —
+    // double-fire/overwrite behavior is version-dependent, and some
+    // Spark versions reject duplicate observed-metric subtrees outright
+    graft.Caching.reap(observeCount(pairs, "cand_minhash_across"))()
   }
 
   /** Benchmark-contamination report: for every corpus doc sharing at

@@ -160,7 +160,15 @@ object Ivf {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = rows.count()
     // dynamic-partition append: new files land inside the existing
-    // cid=... directories; a concurrent reader sees whole files only
+    // cid=... directories. Each FILE is atomic (parquet footers commit
+    // last), but the BATCH is not: a reader listing mid-append can see
+    // some cid directories updated and others not, and on object
+    // stores failed-task temp/rename artifacts can surface — there is
+    // no cross-file commit protocol here. Probes tolerate that (a torn
+    // batch reads as "some appends not landed yet", never as corrupt
+    // rows); a deployment needing batch-atomic visibility should stage
+    // the batch and publish via a manifest/_SUCCESS flow like
+    // [[graft.sources.ParquetSink]]'s job-level commit.
     rows.write.mode("append").partitionBy("cid").parquet(s"$path/lists.parquet")
     rows.unpersist(blocking = false)
     n
@@ -310,8 +318,13 @@ object Ivf {
                        fallbackAt: Double = 0.6)(
       implicit s: SparkSession): DataFrame = {
     // k ≈ √n balances per-block pair volume (n²/k on the diagonal)
-    // against bound-table size (k²) — both ≈ n at the balance point
-    val n = corpus.count()
+    // against bound-table size (k²) — both ≈ n at the balance point.
+    // n counts the NULL-FILTERED frame — the rows build() actually
+    // indexes and the pair join actually sees; counting the raw corpus
+    // would inflate both the k heuristic and the fallbackAt·(n²/2)
+    // brute-volume comparison on a null-heavy corpus, biasing the plan
+    // decision toward block-scanning (output exact either way).
+    val n = corpus.where(col(vecCol).isNotNull).count()
     val kk =
       if (k > 0) k
       else math.min(512L, math.max(16L, math.round(math.sqrt(n.toDouble)))).toInt

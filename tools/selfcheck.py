@@ -4,10 +4,12 @@
 Mimics the driver's t2 gate: for each query, run the oracle SQL in
 DuckDB over the sf parquet tables, sort columns by name, sort rows,
 and compare values (floats to 1e-9 relative after rounding parity).
-Usage: selfcheck.py <sfdir> <verify_outdir> [--skip q1,q2,...]
+Usage: selfcheck.py <sfdir> <verify_outdir> [--skip q1,q2,...] [--only q1,q2,...]
 (--skip: exclude oracles that are themselves super-linear in DuckDB —
  e.g. exact all-pairs SQL at sf1 — and report them as SKIPPED so a
- partial run is self-describing, never silently complete)
+ partial run is self-describing, never silently complete;
+ --only: check just the named queries — the complement of a
+ SPARK_GRAFT_ONLY subset Verify run — reported as a PARTIAL check)
 """
 import sys, json, glob
 import duckdb
@@ -32,7 +34,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def main(sfdir, outdir, skip=()):
+def main(sfdir, outdir, skip=(), only=None):
     import os
     con = duckdb.connect()
     for t in TABLES:
@@ -45,8 +47,12 @@ def main(sfdir, outdir, skip=()):
     fails = []
     for name in sorted(skip):
         print(f"SKIP {name} (oracle excluded by --skip)")
+    if only is not None:
+        print(f"PARTIAL check: only {sorted(only)}")
     for name, sql in sorted(oracle.items()):
         if name in skip:
+            continue
+        if only is not None and name not in only:
             continue
         try:
             exp = con.execute(sql).df()
@@ -99,12 +105,18 @@ def main(sfdir, outdir, skip=()):
     if fails:
         for n, m in fails: print(f"FAIL {n}: {m}")
         sys.exit(1)
-    print(f"ALL PASS (skipped {len(skip)})" if skip else "ALL PASS")
+    suffix = " [PARTIAL --only run]" if only is not None else ""
+    print((f"ALL PASS (skipped {len(skip)})" if skip else "ALL PASS") + suffix)
 
 if __name__ == "__main__":
     _skip = ()
+    _only = None
     if "--skip" in sys.argv:
         i = sys.argv.index("--skip")
         _skip = tuple(sys.argv[i + 1].split(","))
         del sys.argv[i:i + 2]
-    main(sys.argv[1], sys.argv[2], _skip)
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only")
+        _only = frozenset(sys.argv[i + 1].split(","))
+        del sys.argv[i:i + 2]
+    main(sys.argv[1], sys.argv[2], _skip, _only)
