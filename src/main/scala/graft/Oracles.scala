@@ -1231,6 +1231,26 @@ object Oracles {
         |  count(*) AS n_copies,
         |  min(length(lower(trim(text)))) AS n_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // paragraph grain = non-overlapping 20-token blocks; list_slice is
+    // end-inclusive and truncates past len(w), mirroring Spark's slice
+    "q_paragraph_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL
+        |), paras AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS para_idx,
+        |    md5(array_to_string(list_slice(w, i*20 + 1, i*20 + 20), ' ')) AS h
+        |  FROM toks, UNNEST(range(CAST(ceil(len(w)/20.0) AS BIGINT))) AS t(i)
+        |), ranked AS (
+        |  SELECT doc_id, para_idx,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, para_idx) AS rn
+        |  FROM paras
+        |)
+        |SELECT doc_id, count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+        |  CAST(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+        |    // count(*) AS BIGINT) AS dup_permille
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,

@@ -78,6 +78,16 @@ object QueriesText {
       .transform(DedupOps.observeCount(_, "verified_pairs"))
   }
 
+  /** #141 paragraph-grain exact dedup profile (C4/CCNet-style): docs
+    * split to 20-token paragraph blocks, corpus-wide first-occurrence
+    * kept per distinct block, per-doc removed-span permille reported
+    * — the line/paragraph strip every web-scale curation pipeline
+    * runs BEFORE doc-grain near-dup detection (rows #22–#25 operate
+    * at doc grain only). See [[DedupOps.paragraphDedup]] for the
+    * hash-cells-only shuffle shape. */
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame =
+    DedupOps.paragraphDedup(Tables.documents(s, dir), "doc_id", col("text"), paraTokens = 20)
+
   /** #29 heuristic language identification vs the labeled lang. */
   def langId(s: SparkSession, dir: String): DataFrame =
     langIdOn(Tables.documents(s, dir))
@@ -1040,6 +1050,7 @@ object QueriesText {
     "q_dup_profile" -> (dupProfile _),
     "q_group_sample" -> (groupSample _),
     "q_dedup_exact" -> (dedupExact _),
+    "q_paragraph_dedup" -> (paragraphDedup _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),

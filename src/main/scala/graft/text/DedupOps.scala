@@ -862,6 +862,49 @@ object DedupOps {
     graft.Caching.reap(out)(directed)
   }
 
+  /** Paragraph-grain exact dedup profile (C4/CCNet-style): split each
+    * doc into non-overlapping `paraTokens`-token blocks (the corpus
+    * has no layout newlines, so the block IS the paragraph grain —
+    * the same windowing as the chunking operator), hash each block,
+    * keep the globally FIRST occurrence of every distinct block
+    * (smallest (doc_id, para_idx)), and report per doc how many of
+    * its paragraphs a paragraph-dedup pass would strip.
+    *
+    * Output: (doc_id, n_paras, n_dup_paras, dup_permille), one row
+    * per non-null-text doc.
+    *
+    * Scale shape: the paragraph strings live only inside the map-side
+    * projection — md5 reduces each to a 32-byte key BEFORE the only
+    * corpus-scale exchange (the first-occurrence window shuffles
+    * (hash, doc_id, para_idx) cells, never text), and the per-doc
+    * rollup partial-aggregates. The window partitions by hash —
+    * thousands of rows per partition at worst (a boilerplate block
+    * repeated corpus-wide), never a global sort. First-occurrence by
+    * (doc_id, para_idx) is total and unique, so the result is
+    * deterministic at any parallelism on any engine. */
+  def paragraphDedup(docs: DataFrame, id: String, text: Column, paraTokens: Int): DataFrame = {
+    require(paraTokens > 0)
+    val paras = docs
+      .where(text.isNotNull)
+      .select(col(id), TextOps.tokens(text).as("__t"))
+      .select(col(id), posexplode(
+        transform(
+          sequence(lit(0), ceil(size(col("__t")) / lit(paraTokens.toDouble)).cast("int") - 1),
+          i => concat_ws(" ", slice(col("__t"), i * paraTokens + 1, lit(paraTokens))))
+      ).as(Seq("para_idx", "para")))
+      .select(col(id), col("para_idx"), md5(col("para")).as("__h"))
+    val w = Window.partitionBy("__h").orderBy(col(id), col("para_idx"))
+    paras
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(id).as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+      .withColumn("dup_permille",
+        call_function("div", col("n_dup_paras") * 1000L, col("n_paras")))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing fingerprints (rolling Karp–Rabin sketch): hash word
     * n-grams, take the min hash of every `window` consecutive grams,
     * keep distinct mins per doc — via the native
