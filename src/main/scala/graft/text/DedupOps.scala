@@ -875,31 +875,48 @@ object DedupOps {
     *
     * Scale shape: the paragraph strings live only inside the map-side
     * projection — md5 reduces each to a 32-byte key BEFORE the only
-    * corpus-scale exchange (the first-occurrence window shuffles
-    * (hash, doc_id, para_idx) cells, never text), and the per-doc
-    * rollup partial-aggregates. The window partitions by hash —
-    * thousands of rows per partition at worst (a boilerplate block
-    * repeated corpus-wide), never a global sort. First-occurrence by
-    * (doc_id, para_idx) is total and unique, so the result is
-    * deterministic at any parallelism on any engine. */
+    * corpus-scale exchange, and that exchange is a map-side-combinable
+    * `groupBy(hash).agg(min(struct(doc_id, para_idx)))`, NOT a window:
+    * a window cannot partial-aggregate, so a viral boilerplate block
+    * (cookie banner, license header — billions of occurrences at
+    * 100 TB) would sort its entire occurrence set inside one task.
+    * With the combinable min, every map task emits ONE row per block
+    * hash, so the reduce side sees at most (#map tasks) rows per hash
+    * regardless of block virality. Exactly one global first exists per
+    * distinct block, so per doc
+    *   n_dup_paras = n_paras − #{blocks whose global first is in doc}
+    * — no join back to the occurrence stream is needed (a join on the
+    * block hash would reintroduce the skew the aggregate removed); the
+    * only join is doc-grain × doc-grain, one row per doc each side.
+    * n_paras comes in closed form from the token count
+    * (ceil(|tokens|/paraTokens), identical to the exploded row count
+    * since split("","\\s+") = [""] keeps |tokens| ≥ 1), so the text is
+    * tokenized once per consumer but exploded and hashed only once.
+    * First-occurrence by (doc_id, para_idx) is total and unique, so
+    * the result is deterministic at any parallelism on any engine. */
   def paragraphDedup(docs: DataFrame, id: String, text: Column, paraTokens: Int): DataFrame = {
     require(paraTokens > 0)
-    val paras = docs
+    val base = docs
       .where(text.isNotNull)
       .select(col(id), TextOps.tokens(text).as("__t"))
+    val paras = base
       .select(col(id), posexplode(
         transform(
           sequence(lit(0), ceil(size(col("__t")) / lit(paraTokens.toDouble)).cast("int") - 1),
           i => concat_ws(" ", slice(col("__t"), i * paraTokens + 1, lit(paraTokens))))
       ).as(Seq("para_idx", "para")))
       .select(col(id), col("para_idx"), md5(col("para")).as("__h"))
-    val w = Window.partitionBy("__h").orderBy(col(id), col("para_idx"))
-    paras
-      .withColumn("__rn", row_number().over(w))
-      .groupBy(col(id).as("doc_id"))
-      .agg(
-        count(lit(1)).as("n_paras"),
-        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+    val firstsPerDoc = paras
+      .groupBy("__h")
+      .agg(min(struct(col(id).as("d"), col("para_idx"))).as("__f"))
+      .groupBy(col("__f.d").as("doc_id"))
+      .agg(count(lit(1)).as("__n_first"))
+    base
+      .select(col(id).as("doc_id"),
+        ceil(size(col("__t")) / lit(paraTokens.toDouble)).cast("long").as("n_paras"))
+      .join(firstsPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        (col("n_paras") - coalesce(col("__n_first"), lit(0L))).as("n_dup_paras"))
       .withColumn("dup_permille",
         call_function("div", col("n_dup_paras") * 1000L, col("n_paras")))
       .orderBy("doc_id")
