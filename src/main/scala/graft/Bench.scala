@@ -141,8 +141,16 @@ object Bench {
       }.min // a crash in any run reports -1 — never read as a fast run
       // drain the listener bus BEFORE the next query takes over the
       // attribution name (see the observed-metrics comment above)
+      // NonFatal only: an InterruptedException must re-set the flag
+      // (swallowing it strands a cancelled bench), and a failed flush
+      // means this query's observed metrics may be attributed late —
+      // say so instead of silently proceeding
       try org.apache.spark.GraftBusFlush.flush(spark.sparkContext)
-      catch { case _: Throwable => () }
+      catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] bus flush after $name failed (${e.getMessage}): observed-metric attribution may lag")
+      }
       name -> t
     }
     val calPost = calibrate()
@@ -163,7 +171,7 @@ object Bench {
     // (bounded at ~2 s). currentQuery stays set to the last query
     // until the drain completes for the same reason.
     try org.apache.spark.GraftBusFlush.flush(spark.sparkContext)
-    catch { case _: Throwable =>
+    catch { case scala.util.control.NonFatal(_) =>
       locally {
         var last = -1L
         var stable = 0

@@ -52,9 +52,10 @@ object QueriesText {
     * candidate budget the pipeline is 128-bit GRAM-level signatures
     * ([[DedupOps.simhashGrams128]] — token-level SimHash collapses on
     * templated corpora) → 16 bands × 8 bits × 2 independently-permuted
-    * band tables → hamming gate TIGHTENED to the corpus's measured
-    * true-pair margin (sample-probed, capped at 31) → EXACT n-gram
-    * Jaccard verification at >= 50% on the candidate remainder; past
+    * band tables → hamming gate at the loose 31 cap on the first run
+    * per corpus key (which CERTIFIES the corpus-wide true-pair margin
+    * as a byproduct), tightened to the certified margin on repeats →
+    * EXACT n-gram Jaccard verification at >= 50% on the remainder; past
     * the budget (~33k docs — where fixed-width SimHash banding's
     * n²·bands/2^(width+1) chance-collision floor starts to bind,
     * measured 729M pre-gate rows at 150k docs) the same exact decision
@@ -73,7 +74,11 @@ object QueriesText {
     * multiplies the miss odds of the chance-recall window [16, cap]. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    DedupOps.nearDupPairsAdaptive(docs, "doc_id", col("text"), n = 3, minJaccardPct = 50)
+    // budgetKey = the corpus dir: the first run in a JVM certifies the
+    // hamming budget corpus-wide at the loose cap (exact-complete, no
+    // sample probe), repeats reuse the certified tightened gate
+    DedupOps.nearDupPairsAdaptive(docs, "doc_id", col("text"), n = 3, minJaccardPct = 50,
+      budgetKey = Some(dir))
       .orderBy("doc1", "doc2")
       .transform(DedupOps.observeCount(_, "verified_pairs"))
   }

@@ -147,7 +147,7 @@ case class SimHashBandKeys(left: Expression, right: Expression, bands: Int, tabl
     case (LongType, LongType) if bands >= 4 && 128 % bands == 0 && 128 / bands <= 63 &&
         tables >= 1 && tables <= 8 => TypeCheckResult.TypeCheckSuccess
     case (LongType, LongType) => TypeCheckResult.TypeCheckFailure(
-      s"simhash_bandkeys needs bands in {4,8,16,32}·dividing 128 with width<=63 and 1<=tables<=8, got bands=$bands tables=$tables")
+      s"simhash_bandkeys needs bands >= 4 dividing 128 (band width 128/bands <= 63) and 1<=tables<=8, got bands=$bands tables=$tables")
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"simhash_bandkeys expects (bigint, bigint), got (${l.simpleString}, ${r.simpleString})")
   }

@@ -501,44 +501,43 @@ object DedupOps {
   private[graft] def simhashPreGateBound(nDocs: Long, bands: Int, tables: Int): Double =
     nDocs.toDouble * nDocs / 2.0 * (bands.toDouble * tables) / math.pow(2.0, 128.0 / bands)
 
-  /** Hamming budget from a measured true-pair distance sample:
-    * `min(cap, max(ceil(mean + 6·std), max + 3))` — six sigmas of
-    * margin over the sample distribution, floored just above the
-    * sample max so a tight σ can never clip an observed distance, and
-    * never looser than `cap`. Fewer than `minPairs` observations is
-    * no evidence — keep the cap. */
-  private[graft] def simhashBudgetFromStats(
-      nPairs: Long, mean: Double, std: Double, maxHam: Int,
-      cap: Int, minPairs: Long): Int =
+  /** Certified hamming budget from the CORPUS-WIDE true-pair
+    * distance maximum: `min(cap, max + 3)`. Because every true pair
+    * was measured (not a sample), exactness on this corpus needs only
+    * `>= max`; the +3 absorbs small corpus drift under a reused key.
+    * No sigma-extrapolation term — that belongs to sample fitting,
+    * and over-widens a certificate to the point of never tightening
+    * (a heavy-tailed corpus with max 22 would fit μ+6σ > the 31 cap).
+    * Fewer than `minPairs` observations is thin evidence that the
+    * corpus HAS a stable margin — keep the cap. */
+  private[graft] def certifiedBudgetFromStats(
+      nPairs: Long, maxHam: Int, cap: Int, minPairs: Long): Int =
     if (nPairs < minPairs) cap
-    else math.min(cap, math.max(math.ceil(mean + 6.0 * std).toInt, maxHam + 3))
+    else math.min(cap, maxHam + 3)
 
-  /** Measure the hamming budget on a deterministic ~1/`sampleMod`
-    * corpus sample: run the full SimHash candidate pipeline at the
-    * loose `cap`, verify the sample's candidates exactly, and fit the
-    * budget to the TRUE pairs' hamming distribution (pairs survive
-    * sampling only when both endpoints land in the sample —
-    * 1/sampleMod² retention — so `minPairs` gates thin evidence back
-    * to the cap). The stats collect is ONE driver row. */
-  private[graft] def measuredHammingBudget(
-      docs: DataFrame, id: String, text: Column, n: Int, minJaccardPct: Int,
-      bands: Int, tables: Int, cap: Int, sampleMod: Int, minPairs: Long): Int = {
-    val sample = docs.where(pmod(xxhash64(col(id)), lit(sampleMod)) === 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = simhashPairs128(simhashGrams128(sample, id, text, n), id,
-      maxDist = cap, bands = bands, tables = tables)
-    val truePairs = verifyPairsExact(cands, sample, id, text, n, minJaccardPct)
-    val stats = truePairs
-      .join(cands.select("doc1", "doc2", "hamming"), Seq("doc1", "doc2"))
-      .agg(count(lit(1)).as("n"), avg("hamming").as("mean"),
-        coalesce(stddev_samp(col("hamming")), lit(0.0)).as("std"),
-        max("hamming").as("max"))
-      .head()
-    sample.unpersist(blocking = false)
-    if (stats.getLong(0) == 0L) cap
-    else simhashBudgetFromStats(stats.getLong(0), stats.getDouble(1),
-      stats.getDouble(2), stats.getAs[Number](3).intValue(), cap, minPairs)
-  }
+  /** Certified hamming budgets, keyed by caller-supplied corpus key +
+    * routing parameters. A budget lands here only after a full
+    * corpus-wide run at the loose cap measured every true pair's
+    * hamming distance — so reusing it prunes only candidates proven
+    * non-pairs on this corpus (plus the +3/6σ drift margin). The key
+    * MUST identify an immutable corpus snapshot (a parquet dir, an
+    * index path — the Ivf.save contract); a mutated corpus under a
+    * reused key downgrades the certificate to a statistical prior. */
+  private val budgetMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def budgetMemoKey(key: String, nDocs: Long, n: Int,
+      minJaccardPct: Int, bands: Int, tables: Int, cap: Int): String =
+    s"$key|$nDocs|$n|$minJaccardPct|$bands|$tables|$cap"
+
+  private[graft] def certifiedBudget(key: String, nDocs: Long, n: Int,
+      minJaccardPct: Int, bands: Int, tables: Int, cap: Int): Option[Int] =
+    Option(budgetMemo.get(budgetMemoKey(key, nDocs, n, minJaccardPct,
+      bands, tables, cap))).map(_.intValue)
+
+  private[graft] def clearBudgetMemo(): Unit = budgetMemo.clear()
+
+  private[graft] def budgetMemoSize: Int = budgetMemo.size
 
   /** Deep-threshold (exact n-gram Jaccard >= minJaccardPct) near-dup
     * pair detection with ADAPTIVE candidate routing — the code path
@@ -553,9 +552,7 @@ object DedupOps {
     *
     * Routing: the SimHash pre-gate chance-collision bound
     * ([[simhashPreGateBound]]) is compared against a LINEAR candidate
-    * budget (`candBudgetPerDoc · n`). Under the budget, SimHash runs —
-    * with its hamming gate TIGHTENED to the corpus's measured true-pair
-    * margin ([[measuredHammingBudget]]) rather than a loose fixed cap.
+    * budget (`candBudgetPerDoc · n`). Under the budget, SimHash runs.
     * Past the budget (~33k docs at the defaults), the same exact
     * decision routes through MinHash banding, whose candidate volume
     * is similarity-driven with no keyspace floor — at web scale the
@@ -564,30 +561,84 @@ object DedupOps {
     * them, which is a scale-killer a 1000-executor cluster cannot
     * outrun. Production SimHash deployments avoid this with tight
     * hamming budgets (d <= 3); deep thresholds (J >= 50 ⇒ d128 up to
-    * ~22 on this corpus) genuinely need the floor-free sketch. */
+    * ~22 on this corpus) genuinely need the floor-free sketch.
+    *
+    * Recall, stated per route (the sketch is the only statistical
+    * stage — verification is exact): the SimHash route's per-table
+    * banding recall is pigeonhole-GUARANTEED for d128 < bands (< 16
+    * at the defaults) and statistical in the window [bands, gate];
+    * the second independently-permuted table multiplies that window's
+    * per-table miss odds. The MinHash route misses a pair of true
+    * Jaccard J with probability (1−J^(k/bands))^bands — ≈0.1% at
+    * exactly J=0.5 with the 24×2 defaults, vanishing as J grows — so
+    * past the cutover the contract is LSH-statistical, the standard
+    * web-scale dedup trade.
+    *
+    * Hamming-gate tightening is certificate-driven, never sampled:
+    * with no prior evidence the gate is the loose `hammingCap`
+    * (chance collisions sit ~5.7σ above it at 128 bits, so the cap
+    * drops no true candidate the banding surfaced), and that run
+    * doubles as the CERTIFICATION — it measures every verified true
+    * pair's hamming corpus-wide (one extra join against the already-
+    * checkpointed candidates plus a one-row agg, NOT a re-run of the
+    * pipeline) and memoizes `min(cap, max+3)` under
+    * `budgetKey`. Later runs on the same corpus key reuse the
+    * certified budget and prune only candidate pairs proven non-dups.
+    * This replaces round 11's per-invocation 1/16-pair sample probe,
+    * which (a) re-paid ~6% of the pipeline on EVERY run and (b) could
+    * clip a true pair whose distance sat outside the sampled tail —
+    * the certificate is fitted on all pairs, so neither holds.
+    * `hammingBudget` lets a caller inject a budget certified out of
+    * band (the build-once/probe-many shape of [[vector.Ivf.save]]). */
   def nearDupPairsAdaptive(
       docs: DataFrame, id: String, text: Column, n: Int, minJaccardPct: Int,
       candBudgetPerDoc: Long = 2048,
       simhashBands: Int = 16, simhashTables: Int = 2, hammingCap: Int = 31,
       minhashK: Int = 48, minhashBands: Int = 24, minhashMinEst: Double = 0.25,
-      marginSampleMod: Int = 4, marginMinPairs: Long = 12): DataFrame = {
+      hammingBudget: Option[Int] = None, budgetKey: Option[String] = None,
+      marginMinPairs: Long = 12): DataFrame = {
     // one cheap count (parquet row-group stats) sizes the decision
     val nDocs = docs.count()
     val preGate = simhashPreGateBound(nDocs, simhashBands, simhashTables)
-    val cands =
-      if (preGate > candBudgetPerDoc.toDouble * nDocs) {
-        // floor-free route: MinHash band keys collide on similarity,
-        // not keyspace exhaustion — candidate volume stays linear in
-        // true-pair density at any corpus size
-        val sigs = minhashSignaturesNative(docs, id, text, n, minhashK)
-        minhashLshPairs(sigs, id, minhashK, minhashBands, minhashMinEst)
-      } else {
-        val budget = measuredHammingBudget(docs, id, text, n, minJaccardPct,
-          simhashBands, simhashTables, hammingCap, marginSampleMod, marginMinPairs)
-        simhashPairs128(simhashGrams128(docs, id, text, n), id,
-          maxDist = budget, bands = simhashBands, tables = simhashTables)
-      }
-    verifyPairsExact(cands, docs, id, text, n, minJaccardPct)
+    if (preGate > candBudgetPerDoc.toDouble * nDocs) {
+      // floor-free route: MinHash band keys collide on similarity,
+      // not keyspace exhaustion — candidate volume stays linear in
+      // true-pair density at any corpus size
+      val sigs = minhashSignaturesNative(docs, id, text, n, minhashK)
+      val cands = minhashLshPairs(sigs, id, minhashK, minhashBands, minhashMinEst)
+      verifyPairsExact(cands, docs, id, text, n, minJaccardPct)
+        .observe("route_minhash", max(lit(1L)).as("n"))
+    } else {
+      val memoKey = budgetKey.map(k => budgetMemoKey(k, nDocs, n,
+        minJaccardPct, simhashBands, simhashTables, hammingCap))
+      val known: Option[Int] = hammingBudget.orElse(
+        memoKey.flatMap(k => Option(budgetMemo.get(k)).map(_.intValue)))
+      val gate = known.getOrElse(hammingCap)
+      val cands = simhashPairs128(simhashGrams128(docs, id, text, n), id,
+        maxDist = gate, bands = simhashBands, tables = simhashTables)
+      val verified = verifyPairsExact(cands, docs, id, text, n, minJaccardPct)
+      val out =
+        if (known.isEmpty && memoKey.isDefined) {
+          // certification: true-pair hamming stats ride this run —
+          // `cands` is checkpointed, so the join back for distances
+          // scans materialized rows, and the stats agg is one row
+          val withHam = graft.Caching.reap(
+            verified.join(cands.select("doc1", "doc2", "hamming"),
+              Seq("doc1", "doc2")))()
+          val st = withHam.agg(count(lit(1)).as("n"),
+            max("hamming").as("max")).head()
+          val certified =
+            if (st.getLong(0) == 0L) hammingCap
+            else certifiedBudgetFromStats(st.getLong(0),
+              st.getAs[Number](1).intValue(), hammingCap, marginMinPairs)
+          budgetMemo.put(memoKey.get, certified)
+          withHam.drop("hamming")
+        } else verified
+      // max() metrics: idempotent under a Sort's sampling-pass
+      // double-fire, so callers may orderBy above them
+      out.observe("route_minhash", max(lit(0L)).as("n"))
+        .observe("hamming_gate", max(lit(gate.toLong)).as("n"))
+    }
   }
 
   /** Candidate-volume telemetry: a named `observe` counter on the

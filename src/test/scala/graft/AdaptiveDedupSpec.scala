@@ -15,9 +15,11 @@ import graft.text.DedupOps
   *  3. route EQUALITY: the MinHash route (forced via a zero candidate
   *     budget) and the SimHash route emit the same verified pair set,
   *     which equals the exact n-gram Jaccard ground truth;
-  *  4. budget TIGHTENING: on a tight-clone corpus the measured budget
-  *     drops below the cap and the tightened pipeline still equals the
-  *     exact ground truth.
+  *  4. budget CERTIFICATION: the first keyed run at the loose cap
+  *     measures the corpus-wide true-pair hamming distribution and
+  *     memoizes a tightened budget; the certified re-run emits the
+  *     identical pair set (the certificate covers every true pair by
+  *     construction — no sampled tail to clip).
   */
 class AdaptiveDedupSpec extends SparkSpec {
   import spark.implicits._
@@ -72,13 +74,11 @@ class AdaptiveDedupSpec extends SparkSpec {
     assert(cut == 32768.0)
 
     // thin evidence keeps the cap
-    assert(DedupOps.simhashBudgetFromStats(5, 3.0, 1.0, 5, 31, 12) == 31)
-    // tight distribution tightens: ceil(3 + 6·1) = 9 vs max+3 = 8
-    assert(DedupOps.simhashBudgetFromStats(100, 3.0, 1.0, 5, 31, 12) == 9)
-    // sample max floors the budget just above itself
-    assert(DedupOps.simhashBudgetFromStats(100, 3.0, 0.0, 12, 31, 12) == 15)
+    assert(DedupOps.certifiedBudgetFromStats(5, 5, 31, 12) == 31)
+    // corpus-wide max + 3 drift margin
+    assert(DedupOps.certifiedBudgetFromStats(100, 12, 31, 12) == 15)
     // never looser than the cap
-    assert(DedupOps.simhashBudgetFromStats(100, 20.0, 4.0, 30, 31, 12) == 31)
+    assert(DedupOps.certifiedBudgetFromStats(100, 30, 31, 12) == 31)
   }
 
   /** Clone-heavy corpus: groups of near-identical docs (1-token edits
@@ -117,23 +117,40 @@ class AdaptiveDedupSpec extends SparkSpec {
     assert(viaMinhash == truth, s"minhash route: missing=${(truth -- viaMinhash).take(3)}")
   }
 
-  test("measured budget tightens on a tight corpus and stays exact") {
+  test("first keyed run certifies a tightened budget; certified re-run stays exact") {
     val docs = cloneCorpus(30, 4).toDF("doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // sampleMod=1: the whole corpus is the margin sample, so the
-    // measured distribution is the true one (180 true pairs)
-    val budget = DedupOps.measuredHammingBudget(docs, "doc_id", $"text", 3, 50,
-      bands = 16, tables = 2, cap = 31, sampleMod = 1, minPairs = 12)
-    assert(budget < 31, s"1-token edits of 40-token docs sit at small hamming, got $budget")
-    assert(budget >= 1)
-    // the tightened gate loses nothing: pipeline at `budget` equals truth
     val truth = DedupOps.ngramJaccardPairs(docs, "doc_id", $"text", 3, Int.MaxValue, 50)
       .select("doc1", "doc2").as[(Long, Long)].collect().toSet
-    val cands = DedupOps.simhashPairs128(
-      DedupOps.simhashGrams128(docs, "doc_id", $"text", 3), "doc_id", maxDist = budget)
-    val got = DedupOps.verifyPairsExact(cands, docs, "doc_id", $"text", 3, 50)
+    assert(truth.size >= 100, "clone corpus must contain many true pairs")
+    DedupOps.clearBudgetMemo()
+    val key = Some("spec://adaptive-certify")
+    def run() = DedupOps.nearDupPairsAdaptive(docs, "doc_id", $"text", 3, 50,
+      budgetKey = key)
       .select("doc1", "doc2").as[(Long, Long)].collect().toSet
-    assert(got == truth, s"missing=${(truth -- got).take(3)}")
+    // run 1: uncertified → loose cap, exact-complete, certifies as a
+    // byproduct (200-token docs with 1-token edits concentrate the
+    // pair hamming distribution: μ≈8.3, σ≈2.8, max 16 → μ+6σ < 31)
+    assert(run() == truth, "certification run at the cap equals ground truth")
+    val certified = DedupOps.certifiedBudget(key.get, docs.count(), 3, 50, 16, 2, 31)
+    assert(certified.exists(b => b < 31 && b >= 1),
+      s"tight clone corpus must certify below the cap, got $certified")
+    // run 2: tightened gate — the certificate covers every true pair,
+    // so the pruned candidates are all proven non-dups
+    assert(run() == truth, "certified run equals ground truth")
+    DedupOps.clearBudgetMemo()
     docs.unpersist()
+  }
+
+  test("caller-injected hammingBudget skips certification and is honored") {
+    val docs = cloneCorpus(8, 3).toDF("doc_id", "text")
+    DedupOps.clearBudgetMemo()
+    val truth = DedupOps.ngramJaccardPairs(docs, "doc_id", $"text", 3, Int.MaxValue, 50)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val got = DedupOps.nearDupPairsAdaptive(docs, "doc_id", $"text", 3, 50,
+      hammingBudget = Some(31))
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(got == truth)
+    assert(DedupOps.budgetMemoSize == 0, "injected budgets must not write the memo")
   }
 }
