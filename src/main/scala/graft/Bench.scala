@@ -60,6 +60,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+    // companion SERIAL sentinel: the same per-row work at 1/32 the
+    // rows in ONE partition (one core). The pair separates failure
+    // modes the parallel sentinel alone cannot: per-core slowdown
+    // (CPU frequency throttle, steal — both sentinels inflate
+    // together) vs multi-core contention (co-tenant load — the
+    // 32-way sentinel inflates while the serial one stays flat).
+    // Honest values are ~equal to each other and to cal_pre.
+    def calibrateSerial(): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 12500000L, 1L, 1)
+        .selectExpr("sum(hash(id, id + 1))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     // session hygiene between timed windows: drop any cached frames
     // and checkpoint RDDs the query left behind, then drain pending
     // GC debt, so neither block-manager accumulation nor a deferred
@@ -118,6 +132,7 @@ object Bench {
           qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
     })
     val calPre = calibrate()
+    val calSerPre = calibrateSerial()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -154,6 +169,7 @@ object Bench {
       name -> t
     }
     val calPost = calibrate()
+    val calSerPost = calibrateSerial()
     // millisecond precision: full-precision doubles double the line
     // length, and the driver keeps only a bounded tail of the output —
     // a JSON line that doesn't fit is a JSON line that doesn't parse.
@@ -196,7 +212,7 @@ object Bench {
     // not comparable, and the methodology must not live only in notes
     // cal_pre/cal_post make a loaded box self-identifying (see
     // BENCH_NOTES "Calibration sentinel" for the normalization rule)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cal_pre":${fmt(calPre)},"cal_post":${fmt(calPost)}$obsJson$partial}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cal_pre":${fmt(calPre)},"cal_post":${fmt(calPost)},"cal_ser_pre":${fmt(calSerPre)},"cal_ser_post":${fmt(calSerPost)}$obsJson$partial}"""
     println(line)
     // the driver's artifact keeps only a bounded TAIL of stdout, which
     // silently drops the first ~23 queries' timings once the line grows
