@@ -1251,6 +1251,28 @@ object Oracles {
         |  CAST(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
         |    // count(*) AS BIGINT) AS dup_permille
         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_paragraph_strip" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL
+        |), paras AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS para_idx,
+        |    array_to_string(list_slice(w, i*20 + 1, i*20 + 20), ' ') AS para
+        |  FROM toks, UNNEST(range(CAST(ceil(len(w)/20.0) AS BIGINT))) AS t(i)
+        |), firsts AS (
+        |  SELECT doc_id, para_idx, para FROM (
+        |    SELECT doc_id, para_idx, para,
+        |      row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
+        |    FROM paras) WHERE rn = 1
+        |), kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(para, ' ' ORDER BY para_idx) AS text_clean
+        |  FROM firsts GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(ceil(len(t.w)/20.0) AS BIGINT) AS n_paras,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(k.text_clean, '') AS text_clean
+        |FROM toks t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,

@@ -93,6 +93,14 @@ object QueriesText {
   def paragraphDedup(s: SparkSession, dir: String): DataFrame =
     DedupOps.paragraphDedup(Tables.documents(s, dir), "doc_id", col("text"), paraTokens = 20)
 
+  /** #142 paragraph-grain strip emit: the cleaned corpus #141 only
+    * profiles — each doc rebuilt from the blocks whose global first
+    * occurrence it owns (C4-style boilerplate strip; see
+    * [[DedupOps.paragraphStrip]] for the firsts-carry-their-text
+    * shape that avoids any skewed join back to occurrences). */
+  def paragraphStrip(s: SparkSession, dir: String): DataFrame =
+    DedupOps.paragraphStrip(Tables.documents(s, dir), "doc_id", col("text"), paraTokens = 20)
+
   /** #29 heuristic language identification vs the labeled lang. */
   def langId(s: SparkSession, dir: String): DataFrame =
     langIdOn(Tables.documents(s, dir))
@@ -1056,6 +1064,7 @@ object QueriesText {
     "q_group_sample" -> (groupSample _),
     "q_dedup_exact" -> (dedupExact _),
     "q_paragraph_dedup" -> (paragraphDedup _),
+    "q_paragraph_strip" -> (paragraphStrip _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),

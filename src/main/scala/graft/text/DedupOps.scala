@@ -973,6 +973,57 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Paragraph-grain strip EMIT (the action [[paragraphDedup]] only
+    * profiles): every doc's text rebuilt from the paragraph blocks
+    * whose globally FIRST occurrence it owns — the C4/CCNet boilerplate
+    * strip that feeds corpus filtering. Output (doc_id, n_paras,
+    * n_kept, text_clean), one row per non-null-text doc; a doc whose
+    * every block first occurred elsewhere keeps n_kept = 0 and
+    * text_clean = "" (present, not dropped).
+    *
+    * Scale shape: same skew-free skeleton as [[paragraphDedup]], with
+    * one twist — the kept rows ARE the firsts, so the block STRING
+    * rides the combinable `min(struct(doc_id, para_idx, para))`
+    * aggregate ((doc_id, para_idx) is unique, so the carried string
+    * never decides the min) and NO join back to the occurrence stream
+    * exists. A viral block still reduces to ≤ #map-tasks rows; the
+    * rebuild is a per-doc sort of that doc's OWN kept blocks
+    * (bounded by doc size, the same bound the corpus's text column
+    * already implies) and the only join is doc-grain × doc-grain.
+    * Within-doc repeats strip too (multiplicity is corpus-wide) —
+    * the kept text is the whitespace-normalized token rejoin, the
+    * standard C4 formulation. */
+  def paragraphStrip(docs: DataFrame, id: String, text: Column, paraTokens: Int): DataFrame = {
+    require(paraTokens > 0)
+    val base = docs
+      .where(text.isNotNull)
+      .select(col(id), TextOps.tokens(text).as("__t"))
+    val paras = base
+      .select(col(id), posexplode(
+        transform(
+          sequence(lit(0), ceil(size(col("__t")) / lit(paraTokens.toDouble)).cast("int") - 1),
+          i => concat_ws(" ", slice(col("__t"), i * paraTokens + 1, lit(paraTokens))))
+      ).as(Seq("para_idx", "para")))
+    val kept = paras
+      .groupBy(md5(col("para")).as("__h"))
+      .agg(min(struct(col(id).as("d"), col("para_idx").as("i"),
+        col("para").as("p"))).as("__f"))
+      .groupBy(col("__f.d").as("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        collect_list(struct(col("__f.i").as("i"), col("__f.p").as("p"))).as("__ks"))
+      .select(col("doc_id"), col("n_kept"),
+        array_join(transform(array_sort(col("__ks")), x => x.getField("p")), " ")
+          .as("text_clean"))
+    base
+      .select(col(id).as("doc_id"),
+        ceil(size(col("__t")) / lit(paraTokens.toDouble)).cast("long").as("n_paras"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing fingerprints (rolling Karp–Rabin sketch): hash word
     * n-grams, take the min hash of every `window` consecutive grams,
     * keep distinct mins per doc — via the native

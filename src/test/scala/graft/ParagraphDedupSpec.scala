@@ -72,4 +72,53 @@ class ParagraphDedupSpec extends SparkSpec {
     val windows = df.queryExecution.optimizedPlan.collect { case w: Window => w }
     assert(windows.isEmpty, "first-occurrence must be a combinable aggregate, not a window")
   }
+
+  // ---- paragraphStrip (#142): the emit the profile describes ----
+
+  private def strip(rows: Seq[(Long, String)], paraTokens: Int = 2) =
+    DedupOps.paragraphStrip(
+      rows.toDF("doc_id", "text"), "doc_id", col("text"), paraTokens)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+  test("strip keeps exactly the first-occurrence blocks, in para order") {
+    val out = strip(Seq(
+      (1L, "a b c d"),
+      (2L, "a b x"),     // loses [a b], keeps [x]
+      (3L, "a b a b")))  // loses both
+    assert(out(1L) == ((2L, 2L, "a b c d")))
+    assert(out(2L) == ((2L, 1L, "x")))
+    assert(out(3L) == ((2L, 0L, "")), "fully-stripped doc stays present with empty text")
+  }
+
+  test("within-doc repeat keeps only the first copy in the rebuilt text") {
+    val out = strip(Seq((6L, "z w z w")))
+    assert(out(6L) == ((2L, 1L, "z w")))
+  }
+
+  test("rebuilt text is the whitespace-normalized token rejoin") {
+    val out = strip(Seq((1L, "  a   b\tc ")))
+    assert(out(1L) == ((2L, 2L, "a b c")))
+  }
+
+  test("strip and profile agree: n_paras - n_kept == n_dup_paras on every doc") {
+    val corpus = Seq(
+      (1L, "a b c d"), (2L, "a b x"), (3L, "a b a b"),
+      (4L, ""), (5L, "   "), (6L, "z w z w"), (7L, "p q r s t"))
+    val prof = run(corpus)
+    val st = strip(corpus)
+    assert(prof.keySet == st.keySet)
+    prof.foreach { case (d, (nParas, nDup, _)) =>
+      val (sParas, nKept, _) = st(d)
+      assert(sParas == nParas, s"doc $d block totals agree")
+      assert(nParas - nKept == nDup, s"doc $d kept+dup partitions the blocks")
+    }
+  }
+
+  test("strip plan contains no Window node either") {
+    val df = DedupOps.paragraphStrip(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", col("text"), 2)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(windows.isEmpty)
+  }
 }
