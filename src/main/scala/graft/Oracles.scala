@@ -1273,6 +1273,29 @@ object Oracles {
         |  COALESCE(k.n_kept, 0) AS n_kept,
         |  COALESCE(k.text_clean, '') AS text_clean
         |FROM toks t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // floor(log2(c)) = length(bin(c)) - 1: exact integers in both
+    // engines, no FP log — the whole score stays order-independent
+    "q_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL
+        |), bi AS (
+        |  SELECT doc_id, w[CAST(i AS BIGINT)] AS w1, w[CAST(i AS BIGINT)+1] AS w2
+        |  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+        |), cnt AS (
+        |  SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(length(bin(c)) - 1) AS BIGINT) AS flog2_sum
+        |  FROM bi b JOIN cnt USING (w1, w2) GROUP BY 1
+        |)
+        |SELECT t.doc_id,
+        |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(s.flog2_sum, 0) AS flog2_sum,
+        |  CAST(CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+        |       THEN (s.flog2_sum * 100) // s.n_bigrams ELSE 0 END AS BIGINT)
+        |    AS familiarity_centilog
+        |FROM toks t LEFT JOIN sc s USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,

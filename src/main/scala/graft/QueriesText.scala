@@ -628,6 +628,63 @@ object QueriesText {
       .limit(50)
   }
 
+  /** #143 bigram LM familiarity score: each doc scored by how
+    * familiar its word bigrams are corpus-wide — the corpus-LM
+    * quality signal CCNet-style pipelines threshold (perplexity
+    * buckets) before training, with an exact-integer contract
+    * instead of FP logs: a bigram occurring `c` times corpus-wide
+    * contributes floor(log2(c)), computed as `length(bin(c)) - 1`
+    * (identical integer in Spark and DuckDB — no order-dependent
+    * float summation anywhere). Reported per doc as the contribution
+    * sum and the integer-centilog mean; templated/boilerplate docs
+    * score high (repeated bigrams), gibberish/OCR noise scores ~0
+    * (every bigram df = 1 → floor(log2 1) = 0) — threshold BOTH
+    * tails before training.
+    *
+    * Scale shape: ONE tokenize pass into persisted positional bigram
+    * postings (8-byte hash cells; counts on hashes equal counts on
+    * strings, the gram family's standard ~2⁻⁶⁴ trade) consumed
+    * twice — the gram-keyed map-side-combined count table, and the
+    * count join back to the postings that collapses immediately to
+    * the doc grain (count + sum, both combinable). Both exchanges
+    * key on the gram hash; gram-popularity skew is absorbed by
+    * map-side partial aggregation on the count side and bounded on
+    * the join side by the postings' own row count. Doc-grain result
+    * checkpointed, postings released ([[Caching.reap]], the gram
+    * family's reap-after-shape contract). */
+  def bigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramLmOn(Tables.documents(s, dir))
+
+  private[graft] def bigramLmOn(docs: DataFrame): DataFrame = {
+    val (out, postings) = bigramLmRaw(docs)
+    Caching.reap(out)(postings)
+  }
+
+  /** Un-reaped [[bigramLmOn]] pipeline (result, persisted postings) —
+    * the plan-shape spec asserts on the result BEFORE the checkpoint
+    * truncates its lineage. */
+  private[graft] def bigramLmRaw(docs: DataFrame): (DataFrame, DataFrame) = {
+    val nn = docs.where(col("text").isNotNull)
+    val postings = DedupOps.wordGramHashesAll(nn, "doc_id", col("text"), n = 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = postings.groupBy(col("gram")).agg(count(lit(1)).as("__c"))
+    val sc = postings.join(cnt, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("__c"))) - 1).cast("long").as("flog2_sum"))
+    val out = nn.select(col("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("flog2_sum"), lit(0L)).as("flog2_sum"))
+      .withColumn("familiarity_centilog",
+        when(col("n_bigrams") > 0,
+          call_function("div", col("flog2_sum") * lit(100L), col("n_bigrams")))
+          .otherwise(lit(0L)))
+      .orderBy("doc_id")
+    (out, postings)
+  }
+
   /** #91 pairwise source overlap: exact 3-gram Jaccard between every
     * source pair — the corpus-mixing diagnostic that tells a data
     * release which sources are near-mirrors (crawl overlap, syndication)
@@ -1045,6 +1102,7 @@ object QueriesText {
     "q_source_diversity" -> (sourceDiversity _),
     "q_split_drift" -> (splitDrift _),
     "q_pmi_bigrams" -> (pmiBigrams _),
+    "q_bigram_lm" -> (bigramLm _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_boilerplate" -> (boilerplate _),
