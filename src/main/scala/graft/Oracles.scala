@@ -1273,6 +1273,78 @@ object Oracles {
         |  COALESCE(k.n_kept, 0) AS n_kept,
         |  COALESCE(k.text_clean, '') AS text_clean
         |FROM toks t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // the staged funnel: each stage filters the previous stage's
+    // SURVIVORS (keepers among quality passes, block firsts among
+    // dedup keepers) — the flags CTE mirrors the Spark r0..r3 columns
+    "q_corpus_funnel" ->
+      s"""WITH e AS (
+        |  SELECT doc_id, lang, text, w,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(${hits(langs("en"))} AS BIGINT) AS hits_en,
+        |    CAST(${hits(langs("de"))} AS BIGINT) AS hits_de,
+        |    CAST(${hits(langs("fr"))} AS BIGINT) AS hits_fr,
+        |    CAST(${hits(langs("es"))} AS BIGINT) AS hits_es,
+        |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk_chars,
+        |    CAST(${hits(graft.text.TextOps.StopwordsEn)} AS BIGINT) AS stop_hits,
+        |    CAST(CASE WHEN $gramsTotal = 0 THEN 0
+        |      ELSE (($gramsTotal - $gramsDistinct) * 200 + $gramsTotal) // ($gramsTotal * 2)
+        |    END AS BIGINT) AS dup_gram_pct
+        |  FROM (SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS w FROM documents) t
+        |), f AS (
+        |  SELECT *,
+        |    (text IS NOT NULL) AS r0,
+        |    (text IS NOT NULL AND lang = (
+        |       CASE WHEN cjk_chars > 0 THEN 'zh'
+        |            WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+        |            WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
+        |            WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+        |            WHEN hits_es > 0 THEN 'es'
+        |            ELSE 'unknown' END)) AS r1
+        |  FROM e
+        |), f2 AS (
+        |  SELECT *, (r1 AND n_chars >= 100 AND n_words >= 20 AND stop_hits > 0 AND dup_gram_pct <= 50) AS r2
+        |  FROM f
+        |), keepers AS (
+        |  SELECT md5(lower(trim(text))) AS th, min(doc_id) AS kd
+        |  FROM f2 WHERE r2 GROUP BY 1
+        |), f3 AS (
+        |  SELECT f2.*, (r2 AND EXISTS (
+        |    SELECT 1 FROM keepers k WHERE k.th = md5(lower(trim(f2.text))) AND k.kd = f2.doc_id)) AS r3
+        |  FROM f2
+        |), paras AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS para_idx,
+        |    md5(array_to_string(list_slice(w, i*20 + 1, i*20 + 20), ' ')) AS h,
+        |    CAST(least(20, len(w) - i*20) AS BIGINT) AS ntok
+        |  FROM f3, UNNEST(range(CAST(ceil(len(w)/20.0) AS BIGINT))) AS t(i)
+        |  WHERE r3
+        |), firsts AS (
+        |  SELECT doc_id, ntok FROM (
+        |    SELECT doc_id, ntok, row_number() OVER (PARTITION BY h ORDER BY doc_id, para_idx) AS rn
+        |    FROM paras) WHERE rn = 1
+        |), kept AS (
+        |  SELECT doc_id, count(*) AS n_kept, CAST(sum(ntok) AS BIGINT) AS kept_tokens
+        |  FROM firsts GROUP BY 1
+        |), agg AS (
+        |  SELECT count(*) AS total,
+        |    CAST(sum(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+        |    CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |    CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |    CAST(sum(CASE WHEN COALESCE(k.n_kept, 0) >= 1 AND r3 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+        |    CAST(sum(CASE WHEN r0 THEN n_words ELSE 0 END) AS BIGINT) AS t0,
+        |    CAST(sum(CASE WHEN r1 THEN n_words ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN r2 THEN n_words ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(sum(CASE WHEN r3 THEN n_words ELSE 0 END) AS BIGINT) AS t3,
+        |    CAST(sum(CASE WHEN r3 THEN COALESCE(k.kept_tokens, 0) ELSE 0 END) AS BIGINT) AS t4
+        |  FROM f3 LEFT JOIN kept k USING (doc_id)
+        |)
+        |SELECT 0 AS stage, 'ingest' AS name, total AS docs_in, d0 AS docs_out, total - d0 AS docs_removed, t0 AS tokens_out FROM agg
+        |UNION ALL SELECT 1, 'lang_id', d0, d1, d0 - d1, t1 FROM agg
+        |UNION ALL SELECT 2, 'quality', d1, d2, d1 - d2, t2 FROM agg
+        |UNION ALL SELECT 3, 'exact_dedup', d2, d3, d2 - d3, t3 FROM agg
+        |UNION ALL SELECT 4, 'paragraph_strip', d3, d4, d3 - d4, t4 FROM agg
+        |ORDER BY stage""".stripMargin,
     // floor(log2(c)) = length(bin(c)) - 1: exact integers in both
     // engines, no FP log — the whole score stays order-independent
     "q_bigram_lm" ->

@@ -685,6 +685,105 @@ object QueriesText {
     (out, postings)
   }
 
+  /** #144 end-to-end corpus admission funnel: the whole C4-style
+    * pre-training hygiene chain as ONE profile — ingest → language-id
+    * confirmation (heuristic prediction agrees with the label) →
+    * quality gates (the #42 Bronze rules) → exact dedup (first doc
+    * per normalized-text hash) → paragraph strip (docs stripped to
+    * nothing by #142's block-grain dedup drop out) — with per-stage
+    * doc counts AND token mass (what stage 4 removes is tokens, not
+    * docs: the strip trims inside survivors). This is the one-screen
+    * answer to "where does my corpus go?" that individually-run gates
+    * (#29/#42/#22/#141) can't give, because each stage here filters
+    * the SURVIVORS of the previous one — exact-dup keepers are chosen
+    * among quality survivors, block firsts among dedup survivors.
+    *
+    * Scale shape: one flags pass over the corpus (per-row expressions
+    * only, persisted for its three consumers), then three combinable
+    * exchanges — the text-hash keeper min, the block-hash firsts min
+    * (the #141 skew-free shape: never a window), and the single
+    * global 1-row aggregate every stage count collapses into; the
+    * 5-row result explodes from that one row. No window, no
+    * cross join, nothing at corpus grain leaves the map side except
+    * hash-keyed combinable aggregates. */
+  def corpusFunnel(s: SparkSession, dir: String): DataFrame =
+    corpusFunnelOn(Tables.documents(s, dir))
+
+  private[graft] def corpusFunnelOn(docs: DataFrame): DataFrame = {
+    val (out, temps) = corpusFunnelRaw(docs)
+    Caching.reap(out)(temps: _*)
+  }
+
+  /** Un-reaped [[corpusFunnelOn]] pipeline (result, persisted temps) —
+    * the plan-shape spec asserts on the result BEFORE the checkpoint
+    * truncates its lineage. */
+  private[graft] def corpusFunnelRaw(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    import graft.text.TextOps
+    val t = col("text")
+    val flags = TextOps.withGramStats(
+      docs.select(col("doc_id"), col("lang"), col("text")), t, 3)
+      .withColumn("n_chars", length(t).cast("long"))
+      .withColumn("stop_hits",
+        TextOps.stopwordCount(t, TextOps.StopwordsEn).cast("long"))
+      .withColumn("hits_en", TextOps.langHits(t, "en").cast("long"))
+      .withColumn("hits_de", TextOps.langHits(t, "de").cast("long"))
+      .withColumn("hits_fr", TextOps.langHits(t, "fr").cast("long"))
+      .withColumn("hits_es", TextOps.langHits(t, "es").cast("long"))
+      .withColumn("cjk_chars", TextOps.cjkCount(t).cast("long"))
+      .withColumn("r0", t.isNotNull)
+      .withColumn("r1", col("r0") && TextOps.langPredictFromHits(
+        col("hits_en"), col("hits_de"), col("hits_fr"), col("hits_es"),
+        col("cjk_chars")) === col("lang"))
+      .withColumn("r2", col("r1") && col("n_chars") >= 100 &&
+        col("n_words") >= 20 && col("stop_hits") > 0 && col("dup_gram_pct") <= 50)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact-dup keepers among quality survivors: the min doc per
+    // normalized-text hash IS the stage-3 survivor set
+    val r3set = flags.where(col("r2"))
+      .groupBy(md5(lower(trim(t))).as("__th"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("__r3"))
+    val staged = flags.join(r3set, Seq("doc_id"), "left")
+      .withColumn("r3", coalesce(col("__r3"), lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // block firsts among dedup survivors — #141's combinable-min
+    // shape, carrying each block's token count for stage-4 mass
+    val paras = graft.text.DedupOps.paragraphBlocks(
+      staged.where(col("r3")).select(col("doc_id"), TextOps.tokens(t).as("__t")),
+      "doc_id", paraTokens = 20)
+    val kept = paras
+      .groupBy(md5(col("para")).as("__h"))
+      .agg(min(struct(col("doc_id").as("d"), col("para_idx").as("i"),
+        col("ntok").as("ntok"))).as("__f"))
+      .groupBy(col("__f.d").as("doc_id"))
+      .agg(count(lit(1)).as("__n_kept"), sum(col("__f.ntok")).as("__kept_tokens"))
+    val row = staged.join(kept, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("r0"), 1L).otherwise(0L)).as("d0"),
+        sum(when(col("r1"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("r2"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("r3"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("r3") && coalesce(col("__n_kept"), lit(0L)) >= 1, 1L).otherwise(0L)).as("d4"),
+        sum(when(col("r0"), col("n_words")).otherwise(0L)).as("t0"),
+        sum(when(col("r1"), col("n_words")).otherwise(0L)).as("t1"),
+        sum(when(col("r2"), col("n_words")).otherwise(0L)).as("t2"),
+        sum(when(col("r3"), col("n_words")).otherwise(0L)).as("t3"),
+        sum(when(col("r3"), coalesce(col("__kept_tokens"), lit(0L))).otherwise(0L)).as("t4"))
+    def stageRow(k: Int, name: String, in: Column, out: Column, tok: Column) =
+      struct(lit(k).as("stage"), lit(name).as("name"), in.as("docs_in"),
+        out.as("docs_out"), (in - out).as("docs_removed"), tok.as("tokens_out"))
+    val out = row.select(explode(array(
+      stageRow(0, "ingest", col("total"), col("d0"), col("t0")),
+      stageRow(1, "lang_id", col("d0"), col("d1"), col("t1")),
+      stageRow(2, "quality", col("d1"), col("d2"), col("t2")),
+      stageRow(3, "exact_dedup", col("d2"), col("d3"), col("t3")),
+      stageRow(4, "paragraph_strip", col("d3"), col("d4"), col("t4")))).as("r"))
+      .select(col("r.*"))
+      .orderBy("stage")
+    (out, Seq(staged, flags))
+  }
+
   /** #91 pairwise source overlap: exact 3-gram Jaccard between every
     * source pair — the corpus-mixing diagnostic that tells a data
     * release which sources are near-mirrors (crawl overlap, syndication)
@@ -1103,6 +1202,7 @@ object QueriesText {
     "q_split_drift" -> (splitDrift _),
     "q_pmi_bigrams" -> (pmiBigrams _),
     "q_bigram_lm" -> (bigramLm _),
+    "q_corpus_funnel" -> (corpusFunnel _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_boilerplate" -> (boilerplate _),

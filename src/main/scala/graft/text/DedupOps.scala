@@ -913,6 +913,33 @@ object DedupOps {
     graft.Caching.reap(out)(directed)
   }
 
+  /** THE paragraph-block derivation — the one place the corpus is cut
+    * into non-overlapping `paraTokens`-token blocks. Batch profile
+    * (#141), strip emit (#142), funnel stage 4 (#144) and the
+    * streaming twin ([[graft.streaming.ParagraphStream]]) all consume
+    * THIS projection, so their block boundaries and hashes stay
+    * bit-identical by construction (the same single-derivation
+    * contract [[minhashBanded]] gives the MinHash gate).
+    *
+    * Input: a frame with the id column and a token ARRAY column named
+    * `__t` (callers tokenize via [[TextOps.tokens]] — some also need
+    * the array for closed-form block counts, so tokenization stays
+    * with them). Output: (id, para_idx, para, ntok) — one row per
+    * block, all map-side (generator over the token array, no
+    * exchange); consumers hash/project before any shuffle of theirs. */
+  def paragraphBlocks(toks: DataFrame, id: String, paraTokens: Int): DataFrame = {
+    require(paraTokens > 0)
+    toks.select(col(id), posexplode(
+      transform(
+        sequence(lit(0), ceil(size(col("__t")) / lit(paraTokens.toDouble)).cast("int") - 1),
+        i => struct(
+          concat_ws(" ", slice(col("__t"), i * paraTokens + 1, lit(paraTokens))).as("para"),
+          least(lit(paraTokens.toLong),
+            size(col("__t")).cast("long") - i * paraTokens.toLong).as("ntok")))
+    ).as(Seq("para_idx", "__b")))
+      .select(col(id), col("para_idx"), col("__b.para").as("para"), col("__b.ntok").as("ntok"))
+  }
+
   /** Paragraph-grain exact dedup profile (C4/CCNet-style): split each
     * doc into non-overlapping `paraTokens`-token blocks (the corpus
     * has no layout newlines, so the block IS the paragraph grain —
@@ -950,12 +977,7 @@ object DedupOps {
     val base = docs
       .where(text.isNotNull)
       .select(col(id), TextOps.tokens(text).as("__t"))
-    val paras = base
-      .select(col(id), posexplode(
-        transform(
-          sequence(lit(0), ceil(size(col("__t")) / lit(paraTokens.toDouble)).cast("int") - 1),
-          i => concat_ws(" ", slice(col("__t"), i * paraTokens + 1, lit(paraTokens))))
-      ).as(Seq("para_idx", "para")))
+    val paras = paragraphBlocks(base, id, paraTokens)
       .select(col(id), col("para_idx"), md5(col("para")).as("__h"))
     val firstsPerDoc = paras
       .groupBy("__h")
@@ -998,12 +1020,7 @@ object DedupOps {
     val base = docs
       .where(text.isNotNull)
       .select(col(id), TextOps.tokens(text).as("__t"))
-    val paras = base
-      .select(col(id), posexplode(
-        transform(
-          sequence(lit(0), ceil(size(col("__t")) / lit(paraTokens.toDouble)).cast("int") - 1),
-          i => concat_ws(" ", slice(col("__t"), i * paraTokens + 1, lit(paraTokens))))
-      ).as(Seq("para_idx", "para")))
+    val paras = paragraphBlocks(base, id, paraTokens)
     val kept = paras
       .groupBy(md5(col("para")).as("__h"))
       .agg(min(struct(col(id).as("d"), col("para_idx").as("i"),
