@@ -1345,6 +1345,100 @@ object Oracles {
         |UNION ALL SELECT 3, 'exact_dedup', d2, d3, d2 - d3, t3 FROM agg
         |UNION ALL SELECT 4, 'paragraph_strip', d3, d4, d3 - d4, t4 FROM agg
         |ORDER BY stage""".stripMargin,
+    // greedy budget admission: the window formulation IS the spec —
+    // the Spark side computes the same exclusive running sum without
+    // a global sort (two-level bucket scan); integer math throughout
+    "q_token_budget" ->
+      s"""WITH b0 AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+        |    ${hits(graft.text.TextOps.StopwordsEn)} AS stop_hits,
+        |    len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS distinct_words
+        |  FROM documents WHERE text IS NOT NULL
+        |), scored AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    CAST(least(25, n_chars // 20)
+        |      + least(25, n_words // 4)
+        |      + least(25, (stop_hits * 100) // greatest(n_words, 1))
+        |      + least(25, ((distinct_words * 100) // greatest(n_words, 1)) // 2) AS BIGINT)
+        |      AS quality_score
+        |  FROM b0
+        |), tot AS (
+        |  SELECT CAST(sum(n_words) // 2 AS BIGINT) AS budget FROM scored
+        |), c AS (
+        |  SELECT doc_id, quality_score, n_words,
+        |    CAST(COALESCE(sum(n_words) OVER (
+        |      ORDER BY quality_score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM scored)
+        |SELECT doc_id, quality_score, n_words, cum_before,
+        |  cum_before < (SELECT budget FROM tot) AS admitted
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // threshold survival curve on the collapsed score grain; permille
+    // by integer division against the corpus totals
+    "q_quality_sweep" ->
+      s"""WITH b0 AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+        |    ${hits(graft.text.TextOps.StopwordsEn)} AS stop_hits,
+        |    len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS distinct_words
+        |  FROM documents WHERE text IS NOT NULL
+        |), scored AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    CAST(least(25, n_chars // 20)
+        |      + least(25, n_words // 4)
+        |      + least(25, (stop_hits * 100) // greatest(n_words, 1))
+        |      + least(25, ((distinct_words * 100) // greatest(n_words, 1)) // 2) AS BIGINT)
+        |      AS quality_score
+        |  FROM b0
+        |), tot AS (
+        |  SELECT count(*) AS td, CAST(COALESCE(sum(n_words), 0) AS BIGINT) AS tt FROM scored
+        |), g AS (
+        |  SELECT CAST(r AS BIGINT) AS threshold FROM range(0, 101, 5) t(r)
+        |)
+        |SELECT g.threshold,
+        |  CAST(count(s.doc_id) AS BIGINT) AS docs_kept,
+        |  CAST(COALESCE(sum(s.n_words), 0) AS BIGINT) AS tokens_kept,
+        |  CAST((count(s.doc_id) * 1000) // greatest((SELECT td FROM tot), 1) AS BIGINT) AS docs_permille,
+        |  CAST((COALESCE(sum(s.n_words), 0) * 1000) // greatest((SELECT tt FROM tot), 1) AS BIGINT) AS tokens_permille
+        |FROM g LEFT JOIN scored s ON s.quality_score >= g.threshold
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // water-filling level by the sorted-prefix closed form: with caps
+    // ascending, used(ci) = pfx + (n-i+1)*ci; the last feasible row
+    // anchors L — exact integers, both engines floor on positives
+    "q_mix_allocate" ->
+      """WITH cells AS (
+        |  SELECT lang, source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS cap_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(sum(cap_tokens) // 2 AS BIGINT) AS b, count(*) AS n FROM cells
+        |), s AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY cap_tokens, lang, source) AS BIGINT) AS i,
+        |    CAST(COALESCE(sum(cap_tokens) OVER (ORDER BY cap_tokens, lang, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx
+        |  FROM cells
+        |), feas AS (
+        |  SELECT s.i, s.cap_tokens AS c, s.pfx + (t.n - s.i + 1) * s.cap_tokens AS used
+        |  FROM s, tot t WHERE s.pfx + (t.n - s.i + 1) * s.cap_tokens <= t.b
+        |), lvl AS (
+        |  SELECT CAST(CASE
+        |    WHEN (SELECT count(*) FROM feas) = 0
+        |      THEN (SELECT b FROM tot) // (SELECT n FROM tot)
+        |    WHEN (SELECT max(i) FROM feas) = (SELECT n FROM tot)
+        |      THEN (SELECT c FROM feas ORDER BY i DESC LIMIT 1)
+        |    ELSE (SELECT c FROM feas ORDER BY i DESC LIMIT 1)
+        |      + ((SELECT b FROM tot) - (SELECT used FROM feas ORDER BY i DESC LIMIT 1))
+        |        // ((SELECT n FROM tot) - (SELECT max(i) FROM feas))
+        |  END AS BIGINT) AS level
+        |)
+        |SELECT c.lang, c.source, c.cap_tokens,
+        |  CAST(least(c.cap_tokens, l.level) AS BIGINT) AS allocated_tokens,
+        |  CAST((least(c.cap_tokens, l.level) * 1000) // greatest(c.cap_tokens, 1) AS BIGINT) AS fill_permille,
+        |  l.level
+        |FROM cells c, lvl l ORDER BY 1, 2""".stripMargin,
     // floor(log2(c)) = length(bin(c)) - 1: exact integers in both
     // engines, no FP log — the whole score stays order-independent
     "q_bigram_lm" ->

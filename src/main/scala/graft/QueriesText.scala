@@ -784,6 +784,162 @@ object QueriesText {
     (out, Seq(staged, flags))
   }
 
+  /** #145 token-budget corpus selection: the "fit the best B tokens
+    * from N candidates" pass every pre-training data build ends with —
+    * docs are admitted in quality order (score DESC, doc_id ASC) while
+    * the tokens admitted BEFORE them stay under the budget (here: half
+    * the corpus's token mass, so the op is self-contained and the
+    * boundary is guaranteed non-trivial). Emits the full doc-grain
+    * admission ledger: score, token count, tokens ahead in the queue,
+    * and the admit/reject verdict — the straddling doc is admitted
+    * (greedy "take until the budget is reached"), everything after it
+    * rejected.
+    *
+    * Scale shape: the global quality ordering NEVER becomes a global
+    * sort — the admission order is encoded as one integral key
+    * ((100−score)·2⁵⁶ + doc_id, exact while doc_id < 2⁵⁶) and the
+    * exclusive running token count comes from
+    * [[graft.operators.ScanOps.exclusivePrefixSum]]'s two-level bucket
+    * scan: every stage is bounded by bucket size, not corpus size (a
+    * quality-score hot spot subdivides by the doc_id low bits). The
+    * budget is a 1-row aggregate broadcast onto the ledger
+    * (ScaleUpSpec-allowlisted bounded BNLJ); the scored projection is
+    * persisted so its three consumers (bucket bounds, the scan, the
+    * budget) tokenize the corpus once. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetOn(Tables.documents(s, dir))
+
+  private[graft] def tokenBudgetOn(docs: DataFrame): DataFrame = {
+    val scored = scoredTokens(docs)
+      .withColumn("__ord",
+        (lit(100L) - col("quality_score")) * lit(1L << 56) + col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val budget = scored.agg(
+      call_function("div", sum(col("n_words")), lit(2L)).as("__budget"))
+    val out = graft.operators.ScanOps
+      .exclusivePrefixSum(scored, Seq.empty, Seq("__ord"), col("n_words"), "cum_before")
+      .crossJoin(broadcast(budget))
+      .select(col("doc_id"), col("quality_score"), col("n_words"), col("cum_before"),
+        (col("cum_before") < col("__budget")).as("admitted"))
+      .orderBy("doc_id")
+    Caching.reap(out)(scored)
+  }
+
+  /** Shared doc-grain (doc_id, n_words, quality_score) projection for
+    * the budget/sweep selection ops — the #30 scoring rules verbatim. */
+  private def scoredTokens(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.where(t.isNotNull).select(
+      col("doc_id"),
+      TextOps.wordCount(t).cast("long").as("n_words"),
+      TextOps.qualityScore(
+        length(t).cast("long"),
+        TextOps.wordCount(t).cast("long"),
+        TextOps.stopwordCount(t, TextOps.StopwordsEn).cast("long"),
+        TextOps.distinctWordCount(t).cast("long")).as("quality_score"))
+  }
+
+  /** #146 quality-threshold sweep: the survival curve behind choosing
+    * a quality cutoff — for every threshold t in {0,5,…,100}, how many
+    * docs and how much token mass survive `score ≥ t`, as counts and
+    * corpus permille. The threshold-first twin of #145's budget-first
+    * selection: #145 answers "which docs fit B tokens", this answers
+    * "which cutoff yields the mass I want" (read the row whose
+    * tokens_permille crosses the target, then gate at that score).
+    *
+    * Scale shape: one scored scan collapses to the ≤101-row score
+    * grain (combinable count/sum) and a 1-row total; the 21-row
+    * threshold grid theta-joins the score grain (both sides
+    * aggregated and bounded — the BNLJ is allowlisted) and every
+    * later step runs on ≤21 rows. Nothing at corpus grain survives
+    * the first aggregate. */
+  def qualitySweep(s: SparkSession, dir: String): DataFrame =
+    qualitySweepOn(Tables.documents(s, dir))
+
+  private[graft] def qualitySweepOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val scored = scoredTokens(docs)
+    val byScore = scored.groupBy("quality_score")
+      .agg(count(lit(1)).as("__docs"), sum(col("n_words")).as("__toks"))
+    val totals = scored.agg(
+      count(lit(1)).as("__td"), coalesce(sum(col("n_words")), lit(0L)).as("__tt"))
+    val grid = spark.range(0, 101, 5).select(col("id").as("threshold"))
+    grid.join(byScore, col("quality_score") >= col("threshold"), "left")
+      .groupBy("threshold")
+      .agg(sum(coalesce(col("__docs"), lit(0L))).as("docs_kept"),
+        sum(coalesce(col("__toks"), lit(0L))).as("tokens_kept"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("threshold"),
+        col("docs_kept"),
+        col("tokens_kept"),
+        call_function("div", col("docs_kept") * 1000L, greatest(col("__td"), lit(1L)))
+          .as("docs_permille"),
+        call_function("div", col("tokens_kept") * 1000L, greatest(col("__tt"), lit(1L)))
+          .as("tokens_permille"))
+      .orderBy("threshold")
+  }
+
+  /** #147 budgeted mixture allocation: split a global token budget
+    * (half the corpus — self-contained, the contention is real) across
+    * the (lang, source) cells by WATER-FILLING — every cell gets
+    * min(cap, L) tokens where the level L is the largest integer with
+    * sum(min(cap, L)) ≤ B. Small cells are taken whole, large cells
+    * are capped at the common level: the standard fair-mixing answer
+    * to "no source may dominate the training mix" stated as an exact
+    * integer program (L has a closed form per sorted-prefix segment —
+    * no iteration, no floats). Emits the per-cell allocation ledger
+    * (cap, allocated, fill permille) plus the level itself.
+    *
+    * Scale shape: ONE combinable aggregate collapses the corpus to
+    * the ≤|lang×source| cell grain; every later step — the sorted
+    * prefix sums, the feasibility boundary, the level — runs on that
+    * collapsed frame (its global window sits above the aggregate, the
+    * GlobalWindowSpec-sanctioned shape), and the 1-row level/budget
+    * frames broadcast back onto it (allowlisted bounded BNLJ). */
+  def mixAllocate(s: SparkSession, dir: String): DataFrame =
+    mixAllocateOn(Tables.documents(s, dir))
+
+  private[graft] def mixAllocateOn(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val cells = docs.where(t.isNotNull)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(TextOps.wordCount(t).cast("long")).as("cap_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cells.agg(
+      call_function("div", sum(col("cap_tokens")), lit(2L)).as("__B"),
+      count(lit(1)).as("__n"))
+    // sorted-prefix feasibility: with caps ascending (c1 ≤ … ≤ cn,
+    // ties broken by cell key), used(ci) = pfx(i−1) + (n−i+1)·ci is
+    // the budget consumed at level ci; the last feasible row anchors
+    // the closed-form level
+    val w = Window.orderBy(col("cap_tokens"), col("lang"), col("source"))
+    val ranked = cells
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__pfx", coalesce(
+        sum(col("cap_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__used",
+        col("__pfx") + (col("__n") - col("__i") + 1L) * col("cap_tokens"))
+    val lastFeas = ranked.where(col("__used") <= col("__B"))
+      .agg(max(struct(col("__i").as("i"), col("cap_tokens").as("c"),
+        col("__used").as("u"))).as("__f"))
+    val level = lastFeas.crossJoin(broadcast(tot)).select(
+      when(col("__f").isNull, call_function("div", col("__B"), col("__n")))
+        .when(col("__f.i") === col("__n"), col("__f.c"))
+        .otherwise(col("__f.c") + call_function("div",
+          col("__B") - col("__f.u"), col("__n") - col("__f.i")))
+        .as("level"))
+    val out = cells.crossJoin(broadcast(level))
+      .select(col("lang"), col("source"), col("cap_tokens"),
+        least(col("cap_tokens"), col("level")).as("allocated_tokens"),
+        call_function("div", least(col("cap_tokens"), col("level")) * 1000L,
+          greatest(col("cap_tokens"), lit(1L))).as("fill_permille"),
+        col("level"))
+      .orderBy("lang", "source")
+    Caching.reap(out)(cells)
+  }
+
   /** #91 pairwise source overlap: exact 3-gram Jaccard between every
     * source pair — the corpus-mixing diagnostic that tells a data
     * release which sources are near-mirrors (crawl overlap, syndication)
@@ -1203,6 +1359,9 @@ object QueriesText {
     "q_pmi_bigrams" -> (pmiBigrams _),
     "q_bigram_lm" -> (bigramLm _),
     "q_corpus_funnel" -> (corpusFunnel _),
+    "q_token_budget" -> (tokenBudget _),
+    "q_quality_sweep" -> (qualitySweep _),
+    "q_mix_allocate" -> (mixAllocate _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_boilerplate" -> (boilerplate _),

@@ -105,7 +105,10 @@ class ScaleUpSpec extends SparkSpec {
     "q_abc_parts",      // scalar revenue-total crossJoin onto the part grain
     "q_hourly_heatmap", // scalar event-total crossJoin (≤168 cells)
     "q_ann_topk",       // brute-force baseline: bounded query set broadcast
-    "q_ann_quantized")  // int8 twin of the same baseline
+    "q_ann_quantized",  // int8 twin of the same baseline
+    "q_token_budget",   // scalar token-budget crossJoin onto the ledger
+    "q_quality_sweep",  // 21-row threshold grid theta-joins the ≤101-row score grain
+    "q_mix_allocate")   // 1-row budget/level frames broadcast onto the cell grain
 
   test("no query picks a cartesian/unbounded nested-loop plan at sf1 stats") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
