@@ -1684,6 +1684,34 @@ object Oracles {
     // norm replays Spark's sequential element-order double loop with
     // list_reduce (seeded by list_prepend(0.0) so empty lists are
     // total), then the shared round(·,4); the sum is exact DECIMAL
+    // quantize-then-integer-sum: per-(label,dim) sums of round(x*1e6)
+    // are order-independent exact integers; the 1/n centroid scaling
+    // cancels in the cosine, leaving one deterministic IEEE tail
+    "q_label_centroids" ->
+      """WITH q AS (
+        |  SELECT label, CAST(i AS INTEGER) AS dim,
+        |    CAST(round(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) * 1e6) AS BIGINT) AS qx
+        |  FROM embeddings, range(64) t(i)
+        |  WHERE embedding IS NOT NULL
+        |), sums AS (
+        |  SELECT label, dim, CAST(sum(qx) AS BIGINT) AS s FROM q GROUP BY 1, 2
+        |), counts AS (
+        |  SELECT label, count(*) AS n FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1
+        |), dots AS (
+        |  SELECT a.label AS la, b.label AS lb,
+        |    CAST(sum(CAST(a.s AS HUGEINT) * b.s) AS DECIMAL(38,0)) AS dot
+        |  FROM sums a JOIN sums b USING (dim) WHERE a.label <= b.label GROUP BY 1, 2
+        |)
+        |SELECT d.la AS label_a, d.lb AS label_b, ca.n AS n_a, cb.n AS n_b,
+        |  CAST(d.dot AS DOUBLE)
+        |    / (sqrt(CAST(da.dot AS DOUBLE)) * sqrt(CAST(db.dot AS DOUBLE))) AS cos_centroid
+        |FROM dots d
+        |JOIN dots da ON da.la = d.la AND da.lb = d.la
+        |JOIN dots db ON db.la = d.lb AND db.lb = d.lb
+        |JOIN counts ca ON ca.label = d.la
+        |JOIN counts cb ON cb.label = d.lb
+        |WHERE d.la < d.lb
+        |ORDER BY 1, 2""".stripMargin,
     "q_embedding_qa" ->
       """WITH base AS (
         |  SELECT label,

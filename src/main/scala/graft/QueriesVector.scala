@@ -170,8 +170,59 @@ object QueriesVector {
   def embeddingQa(s: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingQa(Tables.embeddings(s, dir), "embedding", "label", dim = 64)
 
+  /** #148 label-centroid confusion: cosine similarity between every
+    * pair of per-label centroids — the representation-QA screen for
+    * classes that COLLAPSE in embedding space (a high off-diagonal
+    * cosine says the two labels are embedding-confusable; pair it
+    * with #78's kNN-probe accuracy to tell collapsed-classes from
+    * noisy-vectors). Engine-exact by the quantize-then-integer-sum
+    * rule: elements are rounded to 1e-6 and summed as integers per
+    * (label, dim) — order-independent, so the shuffle schedule can't
+    * flake the hash — and the centroid cosine reduces to the SUM
+    * vectors (the 1/n scaling cancels), leaving one deterministic
+    * IEEE tail (cast, sqrt, multiply, divide) on exact integer dots.
+    *
+    * Scale shape: the corpus is touched ONCE by a map-side
+    * posexplode into (label, dim) partial sums — combinable, 64·k
+    * rows out of however many vectors — and everything after (the
+    * dim-keyed self-join, k² dots, the diagonal join-back) runs on
+    * the collapsed centroid grain. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    labelCentroidsOn(Tables.embeddings(s, dir))
+
+  private[graft] def labelCentroidsOn(emb: DataFrame): DataFrame = {
+    val base = emb.where(col("embedding").isNotNull)
+    val sums = base
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(round(col("x").cast("double") * lit(1e6), 0).cast("long")).as("s"))
+    val counts = base.groupBy("label").agg(count(lit(1)).as("n"))
+    val a = sums.select(col("label").as("label_a"), col("dim"),
+      col("s").cast("decimal(38,0)").as("sa"))
+    val b = sums.select(col("label").as("label_b"), col("dim"),
+      col("s").cast("decimal(38,0)").as("sb"))
+    val dots = a.join(b, Seq("dim")).where(col("label_a") <= col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("sa") * col("sb")).as("dot"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val diag = dots.where(col("label_a") === col("label_b"))
+      .select(col("label_a").as("__l"), col("dot").as("__sd"))
+    val out = dots.where(col("label_a") < col("label_b"))
+      .join(diag.select(col("__l").as("label_a"), col("__sd").as("__da")), "label_a")
+      .join(diag.select(col("__l").as("label_b"), col("__sd").as("__db")), "label_b")
+      .join(counts.select(col("label").as("label_a"), col("n").as("n_a")), "label_a")
+      .join(counts.select(col("label").as("label_b"), col("n").as("n_b")), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("__da").cast("double")) * sqrt(col("__db").cast("double"))))
+          .as("cos_centroid"))
+      .orderBy("label_a", "label_b")
+    Caching.reap(out)(dots)
+  }
+
   def all: Map[String, Q] = Map(
     "q_embedding_qa" -> (embeddingQa _),
+    "q_label_centroids" -> (labelCentroids _),
     "q_semantic_resolve" -> (semanticResolve _),
     "q_knn_classify" -> (knnClassify _),
     "q_ann_quantized" -> (annQuantized _),
