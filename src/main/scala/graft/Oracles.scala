@@ -1712,6 +1712,41 @@ object Oracles {
         |JOIN counts cb ON cb.label = d.lb
         |WHERE d.la < d.lb
         |ORDER BY 1, 2""".stripMargin,
+    // leave-one-out centroid cosine per vector: pure integer algebra
+    // on quantized sums (dot(q,S-q) = dot(q,S) - |q|^2, |S-q|^2 =
+    // |S|^2 - 2 dot + |q|^2), stats on round(cos*1e6) integers
+    "q_embedding_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, CAST(i AS INTEGER) AS dim,
+        |    CAST(round(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) * 1e6) AS BIGINT) AS qx
+        |  FROM embeddings, range(64) t(i)
+        |  WHERE embedding IS NOT NULL
+        |), sums AS (
+        |  SELECT label, dim, CAST(sum(qx) AS BIGINT) AS s FROM q GROUP BY 1, 2
+        |), ln2 AS (
+        |  SELECT label, sum(CAST(s AS HUGEINT) * s) AS ns2 FROM sums GROUP BY 1
+        |), pv AS (
+        |  SELECT q.vec_id, q.label,
+        |    sum(CAST(q.qx AS HUGEINT) * m.s) AS dvs,
+        |    sum(CAST(q.qx AS HUGEINT) * q.qx) AS nv2
+        |  FROM q JOIN sums m USING (label, dim) GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT pv.label,
+        |    CASE WHEN pv.nv2 > 0 AND (l.ns2 - 2 * pv.dvs + pv.nv2) > 0 THEN
+        |      CAST(round(CAST(pv.dvs - pv.nv2 AS DOUBLE)
+        |        / (sqrt(CAST(pv.nv2 AS DOUBLE))
+        |           * sqrt(CAST(l.ns2 - 2 * pv.dvs + pv.nv2 AS DOUBLE)))
+        |        * 1e6) AS BIGINT) END AS cos_e6
+        |  FROM pv JOIN ln2 l USING (label)
+        |)
+        |SELECT label,
+        |  count(*) AS n_vecs,
+        |  CAST(count(cos_e6) AS BIGINT) AS n_scored,
+        |  CAST(sum(CASE WHEN cos_e6 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |  CAST(min(cos_e6) AS BIGINT) AS cos_min_e6,
+        |  CAST(max(cos_e6) AS BIGINT) AS cos_max_e6,
+        |  CAST(sum(cos_e6) AS BIGINT) AS sum_cos_e6
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_embedding_qa" ->
       """WITH base AS (
         |  SELECT label,

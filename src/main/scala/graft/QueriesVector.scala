@@ -220,9 +220,73 @@ object QueriesVector {
     Caching.reap(out)(dots)
   }
 
+  /** #149 per-label embedding outlier screen: each vector's cosine to
+    * its OWN label's leave-one-out centroid (the vector is subtracted
+    * from the label sum before comparing — with it left in, the
+    * self-term drowns the signal exactly where it matters, on small
+    * labels). Low/negative cosine = the vector disagrees with its
+    * label's direction: the mislabeled-sample / noise screen run
+    * before trusting labels for eval or dedup keeps.
+    *
+    * All decisions are integer-exact end to end: quantized element
+    * sums (round(x·1e6)) give exact dots, the leave-one-out identities
+    * are pure integer algebra (dot(q, S−q) = dot(q,S) − |q|²,
+    * |S−q|² = |S|² − 2·dot(q,S) + |q|²), one IEEE tail per vector
+    * produces the cosine, and the reported statistics (count, negative
+    * count, min/max/sum) live on round(cos·1e6) integers — nothing
+    * order-dependent anywhere.
+    *
+    * Scale shape: two passes over the exploded (vec, dim) grain —
+    * label-dim partial sums (combinable, 64·k rows), then the per-vec
+    * dot with the tiny sums frame broadcast onto it and a combinable
+    * collapse to vec grain — and a final k-row label aggregate.
+    * Vectors whose leave-one-out residual is zero (singleton labels,
+    * zero vectors) are counted but not scored. */
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame =
+    embeddingOutliersOn(Tables.embeddings(s, dir))
+
+  private[graft] def embeddingOutliersOn(emb: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = emb.where(col("embedding").isNotNull)
+    val q = base
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        round(col("x").cast("double") * lit(1e6), 0).cast("long").as("qx"))
+    val sums = q.groupBy(col("label"), col("dim"))
+      .agg(sum(col("qx")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labelNorm2 = sums.groupBy("label")
+      .agg(sum(col("s").cast(dec) * col("s").cast(dec)).as("__ns2"))
+    val perVec = q.join(broadcast(sums), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum(col("qx").cast(dec) * col("s").cast(dec)).as("__dvs"),
+        sum(col("qx").cast(dec) * col("qx").cast(dec)).as("__nv2"))
+    val scored = perVec
+      .join(broadcast(labelNorm2), "label")
+      .withColumn("__ldot", col("__dvs") - col("__nv2"))
+      .withColumn("__lnorm2", col("__ns2") - lit(2) * col("__dvs") + col("__nv2"))
+      .withColumn("cos_e6",
+        when(col("__nv2") > 0 && col("__lnorm2") > 0,
+          round(col("__ldot").cast("double") /
+            (sqrt(col("__nv2").cast("double")) * sqrt(col("__lnorm2").cast("double")))
+            * lit(1e6), 0).cast("long")))
+    val out = scored.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        count(col("cos_e6")).as("n_scored"),
+        sum(when(col("cos_e6") < 0, 1L).otherwise(0L)).as("n_neg"),
+        min(col("cos_e6")).as("cos_min_e6"),
+        max(col("cos_e6")).as("cos_max_e6"),
+        sum(col("cos_e6")).as("sum_cos_e6"))
+      .orderBy("label")
+    Caching.reap(out)(sums)
+  }
+
   def all: Map[String, Q] = Map(
     "q_embedding_qa" -> (embeddingQa _),
     "q_label_centroids" -> (labelCentroids _),
+    "q_embedding_outliers" -> (embeddingOutliers _),
     "q_semantic_resolve" -> (semanticResolve _),
     "q_knn_classify" -> (knnClassify _),
     "q_ann_quantized" -> (annQuantized _),
