@@ -858,13 +858,16 @@ object QueriesText {
 
   private[graft] def qualitySweepOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
+    // persisted: byScore and the totals would otherwise each pay the
+    // tokenize+score projection over the whole corpus
     val scored = scoredTokens(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val byScore = scored.groupBy("quality_score")
       .agg(count(lit(1)).as("__docs"), sum(col("n_words")).as("__toks"))
     val totals = scored.agg(
       count(lit(1)).as("__td"), coalesce(sum(col("n_words")), lit(0L)).as("__tt"))
     val grid = spark.range(0, 101, 5).select(col("id").as("threshold"))
-    grid.join(byScore, col("quality_score") >= col("threshold"), "left")
+    val out = grid.join(byScore, col("quality_score") >= col("threshold"), "left")
       .groupBy("threshold")
       .agg(sum(coalesce(col("__docs"), lit(0L))).as("docs_kept"),
         sum(coalesce(col("__toks"), lit(0L))).as("tokens_kept"))
@@ -878,6 +881,7 @@ object QueriesText {
         call_function("div", col("tokens_kept") * 1000L, greatest(col("__tt"), lit(1L)))
           .as("tokens_permille"))
       .orderBy("threshold")
+    Caching.reap(out)(scored)
   }
 
   /** #147 budgeted mixture allocation: split a global token budget

@@ -192,10 +192,14 @@ object QueriesVector {
 
   private[graft] def labelCentroidsOn(emb: DataFrame): DataFrame = {
     val base = emb.where(col("embedding").isNotNull)
+    // persisted: the a/b self-join would otherwise run the corpus
+    // posexplode aggregate twice — at scale that is two full passes
+    // for one 64·k-row frame
     val sums = base
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
       .agg(sum(round(col("x").cast("double") * lit(1e6), 0).cast("long")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = base.groupBy("label").agg(count(lit(1)).as("n"))
     val a = sums.select(col("label").as("label_a"), col("dim"),
       col("s").cast("decimal(38,0)").as("sa"))
@@ -217,7 +221,7 @@ object QueriesVector {
           (sqrt(col("__da").cast("double")) * sqrt(col("__db").cast("double"))))
           .as("cos_centroid"))
       .orderBy("label_a", "label_b")
-    Caching.reap(out)(dots)
+    Caching.reap(out)(dots, sums)
   }
 
   /** #149 per-label embedding outlier screen: each vector's cosine to
