@@ -717,10 +717,17 @@ object QueriesText {
   /** Un-reaped [[corpusFunnelOn]] pipeline (result, persisted temps) —
     * the plan-shape spec asserts on the result BEFORE the checkpoint
     * truncates its lineage. */
-  private[graft] def corpusFunnelRaw(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+  /** THE funnel gate derivation — one doc-grain projection (no
+    * aggregate, no state) computing the r0 (ingest) / r1 (lang-id
+    * confirmation) / r2 (quality) flags plus n_words. Batch (#144)
+    * and the streaming twin ([[graft.streaming.FunnelStream]]) both
+    * consume THIS projection, so gate decisions stay bit-identical by
+    * construction (the [[graft.text.DedupOps.paragraphBlocks]]
+    * single-derivation contract, applied to the gates). */
+  private[graft] def funnelFlags(docs: DataFrame): DataFrame = {
     import graft.text.TextOps
     val t = col("text")
-    val flags = TextOps.withGramStats(
+    TextOps.withGramStats(
       docs.select(col("doc_id"), col("lang"), col("text")), t, 3)
       .withColumn("n_chars", length(t).cast("long"))
       .withColumn("stop_hits",
@@ -736,6 +743,42 @@ object QueriesText {
         col("cjk_chars")) === col("lang"))
       .withColumn("r2", col("r1") && col("n_chars") >= 100 &&
         col("n_words") >= 20 && col("stop_hits") > 0 && col("dup_gram_pct") <= 50)
+  }
+
+  /** The funnel's 5-row stage summary from a doc-grain frame carrying
+    * r0..r3, n_words, __n_kept, __kept_tokens — shared by batch #144
+    * and the streaming twin's profile so both report through one
+    * formulation. */
+  private[graft] def funnelSummary(withKept: DataFrame): DataFrame = {
+    val row = withKept.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("r0"), 1L).otherwise(0L)).as("d0"),
+      sum(when(col("r1"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("r2"), 1L).otherwise(0L)).as("d2"),
+      sum(when(col("r3"), 1L).otherwise(0L)).as("d3"),
+      sum(when(col("r3") && coalesce(col("__n_kept"), lit(0L)) >= 1, 1L).otherwise(0L)).as("d4"),
+      sum(when(col("r0"), col("n_words")).otherwise(0L)).as("t0"),
+      sum(when(col("r1"), col("n_words")).otherwise(0L)).as("t1"),
+      sum(when(col("r2"), col("n_words")).otherwise(0L)).as("t2"),
+      sum(when(col("r3"), col("n_words")).otherwise(0L)).as("t3"),
+      sum(when(col("r3"), coalesce(col("__kept_tokens"), lit(0L))).otherwise(0L)).as("t4"))
+    def stageRow(k: Int, name: String, in: Column, out: Column, tok: Column) =
+      struct(lit(k).as("stage"), lit(name).as("name"), in.as("docs_in"),
+        out.as("docs_out"), (in - out).as("docs_removed"), tok.as("tokens_out"))
+    row.select(explode(array(
+      stageRow(0, "ingest", col("total"), col("d0"), col("t0")),
+      stageRow(1, "lang_id", col("d0"), col("d1"), col("t1")),
+      stageRow(2, "quality", col("d1"), col("d2"), col("t2")),
+      stageRow(3, "exact_dedup", col("d2"), col("d3"), col("t3")),
+      stageRow(4, "paragraph_strip", col("d3"), col("d4"), col("t4")))).as("r"))
+      .select(col("r.*"))
+      .orderBy("stage")
+  }
+
+  private[graft] def corpusFunnelRaw(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    import graft.text.TextOps
+    val t = col("text")
+    val flags = funnelFlags(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-dup keepers among quality survivors: the min doc per
     // normalized-text hash IS the stage-3 survivor set
@@ -757,30 +800,7 @@ object QueriesText {
         col("ntok").as("ntok"))).as("__f"))
       .groupBy(col("__f.d").as("doc_id"))
       .agg(count(lit(1)).as("__n_kept"), sum(col("__f.ntok")).as("__kept_tokens"))
-    val row = staged.join(kept, Seq("doc_id"), "left")
-      .agg(
-        count(lit(1)).as("total"),
-        sum(when(col("r0"), 1L).otherwise(0L)).as("d0"),
-        sum(when(col("r1"), 1L).otherwise(0L)).as("d1"),
-        sum(when(col("r2"), 1L).otherwise(0L)).as("d2"),
-        sum(when(col("r3"), 1L).otherwise(0L)).as("d3"),
-        sum(when(col("r3") && coalesce(col("__n_kept"), lit(0L)) >= 1, 1L).otherwise(0L)).as("d4"),
-        sum(when(col("r0"), col("n_words")).otherwise(0L)).as("t0"),
-        sum(when(col("r1"), col("n_words")).otherwise(0L)).as("t1"),
-        sum(when(col("r2"), col("n_words")).otherwise(0L)).as("t2"),
-        sum(when(col("r3"), col("n_words")).otherwise(0L)).as("t3"),
-        sum(when(col("r3"), coalesce(col("__kept_tokens"), lit(0L))).otherwise(0L)).as("t4"))
-    def stageRow(k: Int, name: String, in: Column, out: Column, tok: Column) =
-      struct(lit(k).as("stage"), lit(name).as("name"), in.as("docs_in"),
-        out.as("docs_out"), (in - out).as("docs_removed"), tok.as("tokens_out"))
-    val out = row.select(explode(array(
-      stageRow(0, "ingest", col("total"), col("d0"), col("t0")),
-      stageRow(1, "lang_id", col("d0"), col("d1"), col("t1")),
-      stageRow(2, "quality", col("d1"), col("d2"), col("t2")),
-      stageRow(3, "exact_dedup", col("d2"), col("d3"), col("t3")),
-      stageRow(4, "paragraph_strip", col("d3"), col("d4"), col("t4")))).as("r"))
-      .select(col("r.*"))
-      .orderBy("stage")
+    val out = funnelSummary(staged.join(kept, Seq("doc_id"), "left"))
     (out, Seq(staged, flags))
   }
 
