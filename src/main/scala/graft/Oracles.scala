@@ -1439,6 +1439,41 @@ object Oracles {
         |  CAST((least(c.cap_tokens, l.level) * 1000) // greatest(c.cap_tokens, 1) AS BIGINT) AS fill_permille,
         |  l.level
         |FROM cells c, lvl l ORDER BY 1, 2""".stripMargin,
+    // the upsampling regime: #147's closed form on 4x-scaled caps
+    // (budget 2*total = (4*total)//2), epochs in integer permille
+    "q_mix_epochs" ->
+      """WITH cells AS (
+        |  SELECT lang, source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS cap_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT lang, source, cap_tokens, cap_tokens * 4 AS cap4 FROM cells
+        |), tot AS (
+        |  SELECT CAST(sum(cap4) // 2 AS BIGINT) AS b, count(*) AS n FROM sc
+        |), s AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY cap4, lang, source) AS BIGINT) AS i,
+        |    CAST(COALESCE(sum(cap4) OVER (ORDER BY cap4, lang, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx
+        |  FROM sc
+        |), feas AS (
+        |  SELECT s.i, s.cap4 AS c, s.pfx + (t.n - s.i + 1) * s.cap4 AS used
+        |  FROM s, tot t WHERE s.pfx + (t.n - s.i + 1) * s.cap4 <= t.b
+        |), lvl AS (
+        |  SELECT CAST(CASE
+        |    WHEN (SELECT count(*) FROM feas) = 0
+        |      THEN (SELECT b FROM tot) // (SELECT n FROM tot)
+        |    WHEN (SELECT max(i) FROM feas) = (SELECT n FROM tot)
+        |      THEN (SELECT c FROM feas ORDER BY i DESC LIMIT 1)
+        |    ELSE (SELECT c FROM feas ORDER BY i DESC LIMIT 1)
+        |      + ((SELECT b FROM tot) - (SELECT used FROM feas ORDER BY i DESC LIMIT 1))
+        |        // ((SELECT n FROM tot) - (SELECT max(i) FROM feas))
+        |  END AS BIGINT) AS level
+        |)
+        |SELECT c.lang, c.source, c.cap_tokens,
+        |  CAST(least(c.cap4, l.level) AS BIGINT) AS allocated_tokens,
+        |  CAST((least(c.cap4, l.level) * 1000) // greatest(c.cap_tokens, 1) AS BIGINT) AS epochs_permille,
+        |  l.level
+        |FROM sc c, lvl l ORDER BY 1, 2""".stripMargin,
     // floor(log2(c)) = length(bin(c)) - 1: exact integers in both
     // engines, no FP log — the whole score stays order-independent
     "q_bigram_lm" ->

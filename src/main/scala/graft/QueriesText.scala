@@ -925,28 +925,53 @@ object QueriesText {
     mixAllocateOn(Tables.documents(s, dir))
 
   private[graft] def mixAllocateOn(docs: DataFrame): DataFrame = {
+    val cells = tokenCells(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = waterFill(cells, col("cap_tokens"))
+      .select(col("lang"), col("source"), col("cap_tokens"),
+        col("allocated_tokens"),
+        call_function("div", col("allocated_tokens") * 1000L,
+          greatest(col("cap_tokens"), lit(1L))).as("fill_permille"),
+        col("level"))
+      .orderBy("lang", "source")
+    Caching.reap(out)(cells)
+  }
+
+  /** (lang, source) token-capacity cells — one combinable aggregate. */
+  private def tokenCells(docs: DataFrame): DataFrame = {
     val t = col("text")
-    val cells = docs.where(t.isNotNull)
+    docs.where(t.isNotNull)
       .groupBy(col("lang"), col("source"))
       .agg(sum(TextOps.wordCount(t).cast("long")).as("cap_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = cells.agg(
-      call_function("div", sum(col("cap_tokens")), lit(2L)).as("__B"),
+  }
+
+  /** Water-filling allocation over cell capacities: every cell gets
+    * min(capExpr, L) where L is the largest integer with
+    * sum(min(capExpr, L)) ≤ half the total capExpr mass. Shared by
+    * #147 (raw caps) and #150 (epoch-scaled caps — the budget scales
+    * with the caps, so ONE closed form serves both regimes). Input
+    * must be the collapsed cell grain; emits the input columns +
+    * allocated_tokens + level.
+    *
+    * Sorted-prefix feasibility: with caps ascending (c1 ≤ … ≤ cn,
+    * ties broken by cell key), used(ci) = pfx(i−1) + (n−i+1)·ci is
+    * the budget consumed at level ci; the last feasible row anchors
+    * the closed-form level. */
+  private def waterFill(cells: DataFrame, capExpr: Column): DataFrame = {
+    val capped = cells.withColumn("__cap", capExpr)
+    val tot = capped.agg(
+      call_function("div", sum(col("__cap")), lit(2L)).as("__B"),
       count(lit(1)).as("__n"))
-    // sorted-prefix feasibility: with caps ascending (c1 ≤ … ≤ cn,
-    // ties broken by cell key), used(ci) = pfx(i−1) + (n−i+1)·ci is
-    // the budget consumed at level ci; the last feasible row anchors
-    // the closed-form level
-    val w = Window.orderBy(col("cap_tokens"), col("lang"), col("source"))
-    val ranked = cells
+    val w = Window.orderBy(col("__cap"), col("lang"), col("source"))
+    val ranked = capped
       .withColumn("__i", row_number().over(w).cast("long"))
       .withColumn("__pfx", coalesce(
-        sum(col("cap_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        sum(col("__cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .crossJoin(broadcast(tot))
       .withColumn("__used",
-        col("__pfx") + (col("__n") - col("__i") + 1L) * col("cap_tokens"))
+        col("__pfx") + (col("__n") - col("__i") + 1L) * col("__cap"))
     val lastFeas = ranked.where(col("__used") <= col("__B"))
-      .agg(max(struct(col("__i").as("i"), col("cap_tokens").as("c"),
+      .agg(max(struct(col("__i").as("i"), col("__cap").as("c"),
         col("__used").as("u"))).as("__f"))
     val level = lastFeas.crossJoin(broadcast(tot)).select(
       when(col("__f").isNull, call_function("div", col("__B"), col("__n")))
@@ -954,11 +979,34 @@ object QueriesText {
         .otherwise(col("__f.c") + call_function("div",
           col("__B") - col("__f.u"), col("__n") - col("__f.i")))
         .as("level"))
-    val out = cells.crossJoin(broadcast(level))
+    capped.crossJoin(broadcast(level))
+      .withColumn("allocated_tokens", least(col("__cap"), col("level")))
+      .drop("__cap")
+  }
+
+  /** #150 epoch-capped upsampling allocation (the data-constrained
+    * scaling regime): the budget is 2× the corpus (more than one
+    * epoch of everything), no cell may repeat beyond 4 epochs, and
+    * the surplus water-fills — small high-value cells repeat up to
+    * the 4-epoch ceiling, big cells absorb the level. Mechanically
+    * this IS #147's closed form on 4×-scaled caps (the budget scales
+    * with the caps: 2·total = (4·total)/2), so both regimes share
+    * [[waterFill]]; the ledger reports epochs_permille =
+    * allocated·1000 / cap (1000 = exactly one epoch).
+    *
+    * Scale shape: identical to #147 — one combinable aggregate to the
+    * cell grain, everything after on ≤|cells| rows. */
+  def mixEpochs(s: SparkSession, dir: String): DataFrame =
+    mixEpochsOn(Tables.documents(s, dir))
+
+  private[graft] def mixEpochsOn(docs: DataFrame): DataFrame = {
+    val cells = tokenCells(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = waterFill(cells, col("cap_tokens") * 4L)
       .select(col("lang"), col("source"), col("cap_tokens"),
-        least(col("cap_tokens"), col("level")).as("allocated_tokens"),
-        call_function("div", least(col("cap_tokens"), col("level")) * 1000L,
-          greatest(col("cap_tokens"), lit(1L))).as("fill_permille"),
+        col("allocated_tokens"),
+        call_function("div", col("allocated_tokens") * 1000L,
+          greatest(col("cap_tokens"), lit(1L))).as("epochs_permille"),
         col("level"))
       .orderBy("lang", "source")
     Caching.reap(out)(cells)
@@ -1386,6 +1434,7 @@ object QueriesText {
     "q_token_budget" -> (tokenBudget _),
     "q_quality_sweep" -> (qualitySweep _),
     "q_mix_allocate" -> (mixAllocate _),
+    "q_mix_epochs" -> (mixEpochs _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_boilerplate" -> (boilerplate _),
