@@ -66,7 +66,12 @@ object Bench {
     // (CPU frequency throttle, steal — both sentinels inflate
     // together) vs multi-core contention (co-tenant load — the
     // 32-way sentinel inflates while the serial one stays flat).
-    // Honest values are ~equal to each other and to cal_pre.
+    // Honest bands, measured across every r12 board (bench/MANIFEST):
+    // serial ~0.14-0.20 s, parallel ~0.30-0.45 s — the serial run is
+    // roughly HALF the parallel one (1/32 the rows but none of the
+    // 32-way scheduling/SMT overhead), NOT equal to it. Adjudicate a
+    // board by deviation from these bands, not by comparing the two
+    // sentinels to each other.
     def calibrateSerial(): Double = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       spark.range(0L, 12500000L, 1L, 1)
@@ -180,6 +185,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val partial = if (only.isDefined) s""","partial":true""" else ""
+    // loaded-box auto-flag (verdict r12 #4/#7): a board whose START
+    // sentinels sit above the honest bands began under co-tenant load
+    // or throttle and must not silently become a round's headline
+    // number — the flag rides the JSON itself so any later reader
+    // (driver, judge, MANIFEST row) sees it without out-of-band notes.
+    // Bands: serial honest ~0.14-0.20 s, parallel ~0.30-0.45 s; the
+    // thresholds add ~15% headroom so ordinary jitter doesn't flag.
+    val loadedStart = calSerPre > 0.23 || calPre > 0.52
+    val loadedEnd = calSerPost > 0.23 || calPost > 0.52
+    val loaded = (if (loadedStart) s""","loaded_start":true""" else "") +
+      (if (loadedEnd) s""","loaded_end":true""" else "")
+    if (loadedStart) System.err.println(
+      s"[bench] WARNING loaded-start board: cal_pre=${fmt(calPre)} cal_ser_pre=${fmt(calSerPre)} " +
+        "above honest bands (par ~0.30-0.45, ser ~0.14-0.20) — do not stamp as a round headline")
     // drain the async listener bus before snapshotting so the LAST
     // query's metrics can't be dropped by a still-queued onSuccess:
     // the deterministic barrier first, then (only if it threw) poll
@@ -212,7 +231,7 @@ object Bench {
     // not comparable, and the methodology must not live only in notes
     // cal_pre/cal_post make a loaded box self-identifying (see
     // BENCH_NOTES "Calibration sentinel" for the normalization rule)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cal_pre":${fmt(calPre)},"cal_post":${fmt(calPost)},"cal_ser_pre":${fmt(calSerPre)},"cal_ser_post":${fmt(calSerPost)}$obsJson$partial}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cal_pre":${fmt(calPre)},"cal_post":${fmt(calPost)},"cal_ser_pre":${fmt(calSerPre)},"cal_ser_post":${fmt(calSerPost)}$loaded$obsJson$partial}"""
     println(line)
     // the driver's artifact keeps only a bounded TAIL of stdout, which
     // silently drops the first ~23 queries' timings once the line grows

@@ -74,11 +74,15 @@ object QueriesText {
     * multiplies the miss odds of the chance-recall window [16, cap]. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // budgetKey = the corpus dir: the first run in a JVM certifies the
-    // hamming budget corpus-wide at the loose cap (exact-complete, no
-    // sample probe), repeats reuse the certified tightened gate
+    // budgetKey = the corpus FILE's content fingerprint (path + file
+    // listing digest — a count-preserving in-place mutation changes
+    // the key, so a certificate is only ever replayed against the
+    // exact snapshot it was measured on); budgetStore persists the
+    // certificate across driver JVMs, so only the FIRST run ever (not
+    // the first run per JVM) pays the loose-cap certification pass
     DedupOps.nearDupPairsAdaptive(docs, "doc_id", col("text"), n = 3, minJaccardPct = 50,
-      budgetKey = Some(dir))
+      budgetKey = Some(DedupOps.snapshotKey(s"$dir/documents.parquet")),
+      budgetStore = Some(DedupOps.defaultBudgetStore))
       .orderBy("doc1", "doc2")
       .transform(DedupOps.observeCount(_, "verified_pairs"))
   }
@@ -778,21 +782,29 @@ object QueriesText {
   private[graft] def corpusFunnelRaw(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import graft.text.TextOps
     val t = col("text")
+    // the ONE corpus-grain persist that carries `text` — every other
+    // frame below is narrow (8-byte id + flags) or collapsed. r12
+    // persisted a SECOND full-corpus text frame (`staged`) alongside
+    // this one; at 100 TB that is two complete corpus
+    // materializations where one suffices (verdict r12 #3).
     val flags = funnelFlags(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-dup keepers among quality survivors: the min doc per
-    // normalized-text hash IS the stage-3 survivor set
+    // normalized-text hash IS the stage-3 survivor set. Persisted
+    // narrow (id + bool) for its TWO consumers — the strip's survivor
+    // gate and the summary's r3 flag.
     val r3set = flags.where(col("r2"))
       .groupBy(md5(lower(trim(t))).as("__th"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("__r3"))
-    val staged = flags.join(r3set, Seq("doc_id"), "left")
-      .withColumn("r3", coalesce(col("__r3"), lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // block firsts among dedup survivors — #141's combinable-min
-    // shape, carrying each block's token count for stage-4 mass
+    // shape, carrying each block's token count for stage-4 mass; the
+    // survivor gate is a narrow id semi-join, text rides only from
+    // the one persisted flags frame
     val paras = graft.text.DedupOps.paragraphBlocks(
-      staged.where(col("r3")).select(col("doc_id"), TextOps.tokens(t).as("__t")),
+      flags.join(r3set, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), TextOps.tokens(t).as("__t")),
       "doc_id", paraTokens = 20)
     val kept = paras
       .groupBy(md5(col("para")).as("__h"))
@@ -800,8 +812,11 @@ object QueriesText {
         col("ntok").as("ntok"))).as("__f"))
       .groupBy(col("__f.d").as("doc_id"))
       .agg(count(lit(1)).as("__n_kept"), sum(col("__f.ntok")).as("__kept_tokens"))
+    // the summary consumer needs flags + r3 only — text never rides
+    val staged = flags.drop("text").join(r3set, Seq("doc_id"), "left")
+      .withColumn("r3", coalesce(col("__r3"), lit(false)))
     val out = funnelSummary(staged.join(kept, Seq("doc_id"), "left"))
-    (out, Seq(staged, flags))
+    (out, Seq(r3set, flags))
   }
 
   /** #145 token-budget corpus selection: the "fit the best B tokens
@@ -830,9 +845,21 @@ object QueriesText {
     tokenBudgetOn(Tables.documents(s, dir))
 
   private[graft] def tokenBudgetOn(docs: DataFrame): DataFrame = {
+    // the composite admission key is exact ONLY while 0 <= doc_id <
+    // 2^56 — a 64-bit hash id (the norm in a 100 TB corpus) would
+    // silently scramble the quality ordering while staying oracle-green
+    // (the oracle replays the same arithmetic), so the precondition is
+    // ENFORCED per row: out-of-range ids fail the job loudly instead
+    // of corrupting the selection. The check is a codegen'd branch on
+    // a column already in registers — no extra pass, no extra action.
+    val ordKey = when(col("doc_id") >= 0L && col("doc_id") < lit(1L << 56),
+      (lit(100L) - col("quality_score")) * lit(1L << 56) + col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit("q_token_budget: doc_id out of [0, 2^56) breaks the admission-order key "),
+        lit("(widen the key to decimal(38,0) for hash-ranged ids): doc_id="),
+        col("doc_id").cast("string"))))
     val scored = scoredTokens(docs)
-      .withColumn("__ord",
-        (lit(100L) - col("quality_score")) * lit(1L << 56) + col("doc_id"))
+      .withColumn("__ord", ordKey)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val budget = scored.agg(
       call_function("div", sum(col("n_words")), lit(2L)).as("__budget"))
@@ -956,13 +983,25 @@ object QueriesText {
     * Sorted-prefix feasibility: with caps ascending (c1 ≤ … ≤ cn,
     * ties broken by cell key), used(ci) = pfx(i−1) + (n−i+1)·ci is
     * the budget consumed at level ci; the last feasible row anchors
-    * the closed-form level. */
-  private def waterFill(cells: DataFrame, capExpr: Column): DataFrame = {
+    * the closed-form level.
+    *
+    * `tieBreak` = the cell-key columns that order cap ties (they make
+    * the ranking total, hence the level deterministic); they MUST
+    * exist on `cells` — checked loudly here so a caller with a new
+    * cell grain fails at build time instead of inheriting a silently
+    * different tie order from same-named stray columns. */
+  private[graft] def waterFill(cells: DataFrame, capExpr: Column,
+      tieBreak: Seq[String] = Seq("lang", "source")): DataFrame = {
+    require(tieBreak.nonEmpty, "waterFill: tieBreak key columns required")
+    val missing = tieBreak.filterNot(cells.columns.contains)
+    require(missing.isEmpty,
+      s"waterFill: tie-break column(s) ${missing.mkString(", ")} absent from the " +
+        s"cells frame (${cells.columns.mkString(", ")}) — pass the cell grain's key columns")
     val capped = cells.withColumn("__cap", capExpr)
     val tot = capped.agg(
       call_function("div", sum(col("__cap")), lit(2L)).as("__B"),
       count(lit(1)).as("__n"))
-    val w = Window.orderBy(col("__cap"), col("lang"), col("source"))
+    val w = Window.orderBy(col("__cap") +: tieBreak.map(col): _*)
     val ranked = capped
       .withColumn("__i", row_number().over(w).cast("long"))
       .withColumn("__pfx", coalesce(

@@ -65,12 +65,17 @@ object FunnelStream {
       .flatMapGroupsWithState[HashOwner, Admission](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[HashOwner]) =>
-          // deterministic within a batch whatever the source order
-          val rs = rows.toSeq.sortBy(_._1)
           if (state.exists)
-            rs.iterator.map(g => Admission(g._1, g._2, g._3, g._4, g._5, r3 = false))
+            // every row is a duplicate whatever its batch order — map
+            // the iterator straight through, no buffer, no sort (a
+            // viral duplicate text must not pay a per-micro-batch sort)
+            rows.map(g => Admission(g._1, g._2, g._3, g._4, g._5, r3 = false))
           else {
-            val first = rs.head._1
+            // first claim: buffer once, owner = min doc_id (an O(n)
+            // min keeps the decision deterministic whatever the source
+            // order without sorting the group)
+            val rs = rows.toSeq
+            val first = rs.iterator.map(_._1).min
             state.update(HashOwner(first))
             rs.iterator.map(g =>
               Admission(g._1, g._2, g._3, g._4, g._5, r3 = g._1 == first))

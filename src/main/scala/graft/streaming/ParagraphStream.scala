@@ -56,12 +56,17 @@ object ParagraphStream {
       .flatMapGroupsWithState[BlockOwner, Claim](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[BlockOwner]) =>
-          // deterministic within a batch whatever the source order
-          val rs = rows.toSeq.sortBy(r => (r._1, r._2))
           if (state.exists)
-            rs.iterator.map(r => Claim(r._1, r._2, r._4, owned = false))
+            // a block that already has an owner emits every arrival as
+            // a duplicate regardless of order — stream the iterator
+            // through without the buffer+sort (viral blocks are exactly
+            // the groups where that buffer would be largest)
+            rows.map(r => Claim(r._1, r._2, r._4, owned = false))
           else {
-            val f = rs.head
+            // first claim: buffer once, owner = min (doc_id, para_idx)
+            // — an O(n) min, deterministic whatever the source order
+            val rs = rows.toSeq
+            val f = rs.minBy(r => (r._1, r._2))
             state.update(BlockOwner(f._1, f._2))
             rs.iterator.map(r =>
               Claim(r._1, r._2, r._4, owned = r._1 == f._1 && r._2 == f._2))

@@ -142,6 +142,48 @@ class AdaptiveDedupSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("certificate persists: a fresh memo (new JVM) seeds from the store and skips re-certification") {
+    val docs = cloneCorpus(30, 4).toDF("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = DedupOps.ngramJaccardPairs(docs, "doc_id", $"text", 3, Int.MaxValue, 50)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val store = java.nio.file.Files.createTempDirectory("graft_budget_store").toString
+    val key = Some("spec://adaptive-persist")
+    def run() = DedupOps.nearDupPairsAdaptive(docs, "doc_id", $"text", 3, 50,
+      budgetKey = key, budgetStore = Some(store))
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    DedupOps.clearBudgetMemo()
+    assert(run() == truth, "certification run equals ground truth")
+    val n = docs.count()
+    val certified = DedupOps.certifiedBudget(key.get, n, 3, 50, 16, 2, 31)
+    assert(certified.exists(_ < 31), s"must certify below the cap, got $certified")
+    // fresh JVM simulation: wipe the in-memory memo; the disk
+    // certificate must seed it on the next run (run 1 of JVM 2 pays
+    // the WARM gate, not the loose-cap certification pass)
+    DedupOps.clearBudgetMemo()
+    assert(DedupOps.certifiedBudget(key.get, n, 3, 50, 16, 2, 31).isEmpty)
+    assert(run() == truth, "store-seeded run equals ground truth")
+    assert(DedupOps.certifiedBudget(key.get, n, 3, 50, 16, 2, 31) == certified,
+      "the disk certificate must re-seed the memo with the same tightened budget")
+    DedupOps.clearBudgetMemo()
+    docs.unpersist()
+  }
+
+  test("snapshotKey folds a content fingerprint: an in-place mutation changes the key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap")
+    val f = dir.resolve("part-0.parquet")
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
+    val k1 = DedupOps.snapshotKey(dir.toString)
+    assert(k1.startsWith(dir.toString + "#"), "key carries the visible path")
+    // row-count-preserving mutation: same file name, same length is
+    // NOT preserved here — but even a same-length rewrite moves mtime
+    Thread.sleep(5)
+    java.nio.file.Files.write(f, Array[Byte](9, 9, 9, 9))
+    val k2 = DedupOps.snapshotKey(dir.toString)
+    assert(k1 != k2, "mutated corpus must produce a different snapshot key")
+    assert(DedupOps.snapshotKey(dir.toString) == k2, "key is deterministic for a fixed snapshot")
+  }
+
   test("caller-injected hammingBudget skips certification and is honored") {
     val docs = cloneCorpus(8, 3).toDF("doc_id", "text")
     DedupOps.clearBudgetMemo()

@@ -64,4 +64,25 @@ class TokenBudgetSpec extends SparkSpec {
   test("null-text docs never enter the ledger") {
     assert(!run().exists(_._1 == 6L))
   }
+
+  test("doc_id outside [0, 2^56) fails LOUDLY instead of scrambling the admission order") {
+    // verdict r12 #2: (100−score)·2⁵⁶ + doc_id silently overflows for
+    // 64-bit hash ids — the norm in a 100 TB corpus — and because the
+    // oracle replays the same arithmetic the corruption would stay
+    // hash-green. The key build now enforces the precondition per row.
+    for (badId <- Seq(1L << 56, Long.MaxValue, -1L)) {
+      val docs = Seq(1L -> filler, badId -> filler).toDF("doc_id", "text")
+      val e = intercept[Exception] {
+        QueriesText.tokenBudgetOn(docs).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("admission-order key")),
+        s"id $badId must name the broken key, got: ${e.getMessage}")
+    }
+    // boundary: 2^56 − 1 is still exact and admitted into the ledger
+    val edge = Seq(0L -> filler, ((1L << 56) - 1) -> filler).toDF("doc_id", "text")
+    val rows = QueriesText.tokenBudgetOn(edge).collect()
+    assert(rows.length == 2)
+  }
 }
