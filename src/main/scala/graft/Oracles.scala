@@ -1474,6 +1474,89 @@ object Oracles {
         |  CAST((least(c.cap4, l.level) * 1000) // greatest(c.cap_tokens, 1) AS BIGINT) AS epochs_permille,
         |  l.level
         |FROM sc c, lvl l ORDER BY 1, 2""".stripMargin,
+    // #151: replay the #150 water-fill on 4x caps, then materialize —
+    // whole epochs = alloc // cap, fractional remainder filled by the
+    // per-cell doc_id-ordered prefix whose exclusive running mass fits
+    // ENTIRELY (cum + n <= rem); copies explode via range. All exact
+    // integers; the per-cell window here is oracle-scale only (the
+    // engine uses the two-level bucket scan).
+    "q_mix_materialize" ->
+      """WITH cells AS (
+        |  SELECT lang, source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS cap_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT lang, source, cap_tokens, cap_tokens * 4 AS cap4 FROM cells
+        |), tot AS (
+        |  SELECT CAST(sum(cap4) // 2 AS BIGINT) AS b, count(*) AS n FROM sc
+        |), s AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY cap4, lang, source) AS BIGINT) AS i,
+        |    CAST(COALESCE(sum(cap4) OVER (ORDER BY cap4, lang, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx
+        |  FROM sc
+        |), feas AS (
+        |  SELECT s.i, s.cap4 AS c, s.pfx + (t.n - s.i + 1) * s.cap4 AS used
+        |  FROM s, tot t WHERE s.pfx + (t.n - s.i + 1) * s.cap4 <= t.b
+        |), lvl AS (
+        |  SELECT CAST(CASE
+        |    WHEN (SELECT count(*) FROM feas) = 0
+        |      THEN (SELECT b FROM tot) // (SELECT n FROM tot)
+        |    WHEN (SELECT max(i) FROM feas) = (SELECT n FROM tot)
+        |      THEN (SELECT c FROM feas ORDER BY i DESC LIMIT 1)
+        |    ELSE (SELECT c FROM feas ORDER BY i DESC LIMIT 1)
+        |      + ((SELECT b FROM tot) - (SELECT used FROM feas ORDER BY i DESC LIMIT 1))
+        |        // ((SELECT n FROM tot) - (SELECT max(i) FROM feas))
+        |  END AS BIGINT) AS level
+        |), led AS (
+        |  SELECT c.lang, c.source,
+        |    least(c.cap4, l.level) // c.cap_tokens AS whole,
+        |    least(c.cap4, l.level) % c.cap_tokens AS rem
+        |  FROM sc c, lvl l
+        |), base AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words
+        |  FROM documents WHERE text IS NOT NULL
+        |), pre AS (
+        |  SELECT b.*, CAST(COALESCE(sum(n_words) OVER (PARTITION BY lang, source
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum
+        |  FROM base b
+        |), cop AS (
+        |  SELECT p.doc_id, p.lang, p.source, p.n_words,
+        |    CAST(l.whole + CASE WHEN p.cum + p.n_words <= l.rem THEN 1 ELSE 0 END
+        |      AS BIGINT) AS n_copies
+        |  FROM pre p JOIN led l USING (lang, source)
+        |)
+        |SELECT doc_id, lang, source, n_words, CAST(ci AS BIGINT) AS copy_id
+        |FROM cop, UNNEST(range(1, n_copies + 1)) t(ci)
+        |WHERE n_copies > 0
+        |ORDER BY doc_id, copy_id""".stripMargin,
+    // #152: payload identity = md5 over the UTF-8 bytes (Spark hashes
+    // the binary cast, DuckDB the VARCHAR — same bytes); format from
+    // the FIRST BYTE's hex low-nibble parity (byte-exact on both
+    // engines, unlike first-character codepoint rules)
+    "q_binary_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb,
+        |    CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 'empty'
+        |         WHEN substr(hex(CAST(text AS BLOB)), 2, 1)
+        |              IN ('0','2','4','6','8','A','C','E') THEN 'rgb'
+        |         ELSE 'rgba' END AS fmt
+        |  FROM documents WHERE text IS NOT NULL
+        |), cells AS (
+        |  SELECT h, count(*) AS c, min(nb) AS nb, min(fmt) AS fmt
+        |  FROM base GROUP BY 1
+        |)
+        |SELECT fmt AS format, CAST(nb // 512 AS BIGINT) AS size_bucket,
+        |  CAST(sum(c) AS BIGINT) AS n_payloads,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c) - count(*) AS BIGINT) AS dup_payloads,
+        |  CAST(sum(c * nb) AS BIGINT) AS bytes_total,
+        |  CAST(sum((c - 1) * nb) AS BIGINT) AS dup_bytes,
+        |  CAST(((sum(c) - count(*)) * 1000) // sum(c) AS BIGINT) AS dup_permille,
+        |  min(h) AS sample_md5
+        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // floor(log2(c)) = length(bin(c)) - 1: exact integers in both
     // engines, no FP log — the whole score stays order-independent
     "q_bigram_lm" ->

@@ -224,6 +224,53 @@ object QueriesText {
         hex(substring(col("frame_bytes"), 1, 8)).as("frame_head_hex"))
   }
 
+  /** #152 exact binary-payload dedup + per-format/size profile: the
+    * multimodal corpus op that needs NO codec — identical media
+    * payloads (re-crawled images, mirrored audio) collapse on
+    * md5(bytes) regardless of filename or metadata, and the profile
+    * reports, per (format, 512-byte size bucket), how many payloads /
+    * how much byte mass the dedup would reclaim. Format derives from
+    * the stub decoder's rule (#33) stated byte-exactly: parity of the
+    * payload's FIRST BYTE via its hex low nibble — engine-portable
+    * even for multi-byte text, unlike first-character codepoint
+    * tricks. `sample_md5` (min hash per cell) pins cross-engine hash
+    * parity in the verified surface.
+    *
+    * Scale shape: the corpus collapses to 16-byte hash cells in the
+    * FIRST map-side-combined aggregate (payload bytes never shuffle);
+    * the profile is a second combinable aggregate on the already-
+    * collapsed hash grain. Two bounded exchanges, no joins. */
+  def binaryDedup(s: SparkSession, dir: String): DataFrame = {
+    val p = col("text").cast("binary")
+    val evenNibbles = Seq("0", "2", "4", "6", "8", "A", "C", "E")
+    val base = Tables.documents(s, dir).where(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        md5(p).as("__h"),
+        length(p).cast("long").as("__nb"),
+        when(length(p) === 0, lit("empty"))
+          .when(substring(hex(substring(p, 1, 1)), 2, 1).isin(evenNibbles: _*), lit("rgb"))
+          .otherwise(lit("rgba")).as("__fmt"))
+    val cells = base.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"), min(col("__nb")).as("__nb"),
+        min(col("__fmt")).as("__fmt"))
+    cells
+      .groupBy(col("__fmt").as("format"),
+        call_function("div", col("__nb"), lit(512L)).as("size_bucket"))
+      .agg(
+        sum(col("__c")).as("n_payloads"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("__c")) - count(lit(1))).as("dup_payloads"),
+        sum(col("__c") * col("__nb")).as("bytes_total"),
+        sum((col("__c") - 1L) * col("__nb")).as("dup_bytes"),
+        min(col("__h")).as("sample_md5"))
+      .withColumn("dup_permille",
+        call_function("div", col("dup_payloads") * 1000L, col("n_payloads")))
+      .select("format", "size_bucket", "n_payloads", "n_distinct", "dup_payloads",
+        "bytes_total", "dup_bytes", "dup_permille", "sample_md5")
+      .orderBy("format", "size_bucket")
+  }
+
   /** #38 near-dup group resolution: candidate pairs → connected
     * components → canonical keeper (min id) per group. Rows-only
     * oracle (iterative graph algorithm). */
@@ -1051,6 +1098,59 @@ object QueriesText {
     Caching.reap(out)(cells)
   }
 
+  /** #151 mixture materialization: the ACTION row of the #147/#150
+    * allocation ledgers — the epoch-capped water-fill allocation
+    * (#150's regime: budget 2× the corpus, 4-epoch ceiling) is turned
+    * into an actual emitted corpus. Per (lang, source) cell the
+    * allocation splits into whole epochs (allocated ÷ cap copies of
+    * every doc) plus a fractional remainder filled by a deterministic
+    * per-cell prefix of docs in doc_id order: a doc earns the extra
+    * copy iff its cell-local exclusive running token mass fits the
+    * remainder ENTIRELY (cum_before + n_words ≤ rem). That rule makes
+    * the emitted mass exact-by-construction: per cell
+    * whole·cap + prefix ≤ allocated ≤ 4·cap, so no cell exceeds its
+    * epoch ceiling, totals stay ≤ the global budget, and each cell's
+    * shortfall is smaller than its first non-admitted doc ("hit
+    * within one doc") — the guarantees rate-based key-mod sampling
+    * (#65) can only deliver in expectation. Output = one row per
+    * emitted COPY (doc_id, cell, n_words, copy_id).
+    *
+    * Scale shape: ONE tokenize pass persisted for its two consumers
+    * (the cell caps and the prefix scan); the water-fill ledger lives
+    * on the collapsed ≤|lang×source| grain and broadcast-hash-joins
+    * back onto the doc stream; the per-cell running mass is
+    * [[graft.operators.ScanOps.exclusivePrefixSum]]'s two-level
+    * bucket scan (NEVER a per-cell window — a handful of sources
+    * would each sort their whole sub-corpus in one task); the copy
+    * explosion is map-side. One corpus-grain exchange total (inside
+    * the prefix scan). */
+  def mixMaterialize(s: SparkSession, dir: String): DataFrame =
+    mixMaterializeOn(Tables.documents(s, dir))
+
+  private[graft] def mixMaterializeOn(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val base = docs.where(t.isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.wordCount(t).cast("long").as("n_words"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = base.groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_words")).as("cap_tokens"))
+    val ledger = waterFill(cells, col("cap_tokens") * 4L)
+      .select(col("lang"), col("source"),
+        call_function("div", col("allocated_tokens"), col("cap_tokens")).as("__whole"),
+        pmod(col("allocated_tokens"), col("cap_tokens")).as("__rem"))
+    val pre = graft.operators.ScanOps
+      .exclusivePrefixSum(base, Seq("lang", "source"), Seq("doc_id"), col("n_words"), "__cum")
+    val out = pre.join(broadcast(ledger), Seq("lang", "source"))
+      .withColumn("n_copies", col("__whole") +
+        when(col("__cum") + col("n_words") <= col("__rem"), 1L).otherwise(0L))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+      .orderBy("doc_id", "copy_id")
+    Caching.reap(out)(base)
+  }
+
   /** #91 pairwise source overlap: exact 3-gram Jaccard between every
     * source pair — the corpus-mixing diagnostic that tells a data
     * release which sources are near-mirrors (crawl overlap, syndication)
@@ -1474,6 +1574,7 @@ object QueriesText {
     "q_quality_sweep" -> (qualitySweep _),
     "q_mix_allocate" -> (mixAllocate _),
     "q_mix_epochs" -> (mixEpochs _),
+    "q_mix_materialize" -> (mixMaterialize _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_boilerplate" -> (boilerplate _),
@@ -1502,6 +1603,7 @@ object QueriesText {
     "q_token_count" -> (tokenCount _),
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_multimodal_meta" -> (multimodalMeta _),
-    "q_multimodal_frames" -> (multimodalFrames _)
+    "q_multimodal_frames" -> (multimodalFrames _),
+    "q_binary_dedup" -> (binaryDedup _)
   )
 }

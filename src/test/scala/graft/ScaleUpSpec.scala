@@ -109,7 +109,8 @@ class ScaleUpSpec extends SparkSpec {
     "q_token_budget",   // scalar token-budget crossJoin onto the ledger
     "q_quality_sweep",  // 21-row threshold grid theta-joins the ≤101-row score grain
     "q_mix_allocate",   // 1-row budget/level frames broadcast onto the cell grain
-    "q_mix_epochs")     // same waterFill machinery on 4x-scaled caps
+    "q_mix_epochs",     // same waterFill machinery on 4x-scaled caps
+    "q_mix_materialize") // same waterFill ledger, materialized per doc
 
   test("no query picks a cartesian/unbounded nested-loop plan at sf1 stats") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
