@@ -778,8 +778,15 @@ object QueriesText {
   private[graft] def funnelFlags(docs: DataFrame): DataFrame = {
     import graft.text.TextOps
     val t = col("text")
-    TextOps.withGramStats(
-      docs.select(col("doc_id"), col("lang"), col("text")), t, 3)
+    // carry `source` through when the input has it (the corpus
+    // pipeline DAG keys its mixing cells on it); gate decisions do
+    // not depend on the extra column, so batch/stream bit-identity
+    // is untouched
+    val keyCols =
+      if (docs.columns.contains("source"))
+        Seq(col("doc_id"), col("lang"), col("source"), col("text"))
+      else Seq(col("doc_id"), col("lang"), col("text"))
+    TextOps.withGramStats(docs.select(keyCols: _*), t, 3)
       .withColumn("n_chars", length(t).cast("long"))
       .withColumn("stop_hits",
         TextOps.stopwordCount(t, TextOps.StopwordsEn).cast("long"))

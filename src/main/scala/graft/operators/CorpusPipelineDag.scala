@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueriesText, Tables}
+import graft.text.DedupOps
+
+/** The LLM training-data pipeline composed as a restartable batch DAG
+  * over [[JobGraph]] — the corpus-side twin of [[SalesPipelineDag]]
+  * (which mirrors the reference's airflow/dags + run_pipeline.sh for
+  * the sales medallion). A data-release user runs THIS chain, not 30
+  * individual queries:
+  *
+  * {{{
+  *   validate ── funnel_flags ── neardup_pairs ─┬─ neardup_resolve ── paragraph_strip
+  *                                              └─ dup_profile (sibling branch)
+  *   paragraph_strip ── clean_quality_check ── token_budget ── mix_materialize
+  *     ── train_split ── seq_pack ── pipeline_metrics (also waits on dup_profile)
+  * }}}
+  *
+  * Stages and the registry rows they compose (SURVEY §2):
+  *   - `funnel_flags`: the #144 gate chain (ingest → lang-id →
+  *     quality → exact-dup keeper flag) at doc grain, ONE flags pass
+  *     (shared derivation [[QueriesText.funnelFlags]] — bit-identical
+  *     to the #144 profile and the streaming twin by construction);
+  *   - `neardup_pairs`: the #24 adaptive router (SimHash vs floor-free
+  *     MinHash banding by the measured pre-gate bound) over the exact
+  *     survivors, with the persisted certified-budget store;
+  *   - `neardup_resolve`: #38's adaptive connected components → keep
+  *     set (min-id keeper per group);
+  *   - `paragraph_strip`: #142's C4-style block strip of the keepers
+  *     (docs stripped to nothing drop out);
+  *   - `clean_quality_check`: a [[DataQuality]] gate on the WRITTEN
+  *     clean layer (failure skips selection but not the sibling
+  *     profile branch — Airflow `upstream_failed` semantics);
+  *   - `token_budget`: #145's greedy quality-ordered admission (half
+  *     the clean corpus's token mass) via the two-level bucket scan;
+  *   - `mix_materialize`: #151's epoch-capped water-fill allocation
+  *     EMITTED as doc copies;
+  *   - `train_split`: #72's stable md5 split at doc grain (copies of
+  *     a doc share the split — eval hygiene);
+  *   - `seq_pack`: #51's deterministic 2048-token packing of the
+  *     train split, per source, prefix-scan division.
+  *
+  * Restartability contract (the [[SalesPipelineDag]] shape): every
+  * stage WRITES its parquet layer with mode(overwrite) and downstream
+  * stages read only the WRITTEN layer — never the upstream's
+  * in-memory frame — so each job is independently restartable, the
+  * dependency edges are real I/O barriers, and a crash mid-write
+  * converges to the uninterrupted run on plain rerun.
+  *
+  * Scale shape: the corpus-grain work is the flags projection, the
+  * router's banding, the strip's hash-cell aggregate, the selection's
+  * bucket scan and the materialization's prefix scan — every one a
+  * registry row whose plan is already swept by
+  * ScaleUpSpec/GlobalWindowSpec; the DAG adds only doc-grain keyed
+  * joins between written layers (narrow keys, standard hash joins)
+  * and collapsed-grain ledgers. Orchestration itself is driver-side
+  * sequencing of Catalyst-planned jobs — zero data-plane cost.
+  */
+object CorpusPipelineDag {
+
+  /** On-disk layer layout under one root. */
+  final case class Layout(root: String) {
+    val flags: String = s"$root/flags"
+    val pairs: String = s"$root/neardup_pairs"
+    val keep: String = s"$root/keep"
+    val dupStats: String = s"$root/dup_stats"
+    val clean: String = s"$root/clean"
+    val selected: String = s"$root/selected"
+    val mixture: String = s"$root/mixture"
+    val splits: String = s"$root/splits"
+    val packs: String = s"$root/packs"
+  }
+
+  private val expectedColumns: Set[String] = Set("doc_id", "text", "lang", "source")
+
+  private def write(df: DataFrame, path: String): Long = {
+    df.write.mode("overwrite").parquet(path)
+    // read-back count: the metric reports what LANDED (a torn write
+    // must not report success rows)
+    df.sparkSession.read.parquet(path).count()
+  }
+
+  /** The gate the pipeline runs on the stripped clean layer. */
+  def defaultCleanSuite: Seq[DataQuality.Expectation] = Seq(
+    DataQuality.NotNull("doc_id"),
+    DataQuality.Unique("doc_id"),
+    DataQuality.NotNull("text"),
+    DataQuality.Satisfies("kept_blocks_positive", col("n_kept") >= 1))
+
+  /** Build the job graph. `cleanSuite` is the quality gate's
+    * expectation set (tests drive the failure path through it). */
+  def build(
+      s: SparkSession, sfDir: String, layout: Layout,
+      cleanSuite: Seq[DataQuality.Expectation] = defaultCleanSuite
+  ): JobGraph = {
+    val g = new JobGraph()
+    def docs: DataFrame = Tables.documents(s, sfDir)
+
+    g.add("validate_corpus") {
+      val drift = DataQuality.columnsMatchSet(
+        docs.select("doc_id", "text", "lang", "source"), expectedColumns)
+      if (drift.nonEmpty)
+        throw new IllegalStateException(s"corpus schema drift: ${drift.toSeq.sorted.mkString(", ")}")
+      expectedColumns.size.toLong
+    }
+
+    g.add("funnel_flags", deps = Seq("validate_corpus"), retries = 1) {
+      // the #144 derivation + the exact-dup keeper flag, written at
+      // doc grain WITHOUT text (the layer is narrow; text always
+      // re-reads from the immutable source corpus)
+      val flags = QueriesText.funnelFlags(docs)
+      val r3set = flags.where(col("r2"))
+        .groupBy(md5(lower(trim(col("text")))).as("__th"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("__r3"))
+      write(
+        flags.select("doc_id", "lang", "source", "n_words", "r0", "r1", "r2")
+          .join(r3set, Seq("doc_id"), "left")
+          .withColumn("r3", coalesce(col("__r3"), lit(false)))
+          .drop("__r3"),
+        layout.flags)
+    }
+
+    g.add("neardup_pairs", deps = Seq("funnel_flags"), retries = 1) {
+      val survivors = s.read.parquet(layout.flags).where(col("r3")).select("doc_id")
+      val gated = docs.join(survivors, Seq("doc_id"), "left_semi")
+      write(
+        DedupOps.nearDupPairsAdaptive(gated, "doc_id", col("text"),
+          n = 3, minJaccardPct = 50,
+          budgetKey = Some(DedupOps.snapshotKey(s"$sfDir/documents.parquet") + "|r3"),
+          budgetStore = Some(DedupOps.defaultBudgetStore)),
+        layout.pairs)
+    }
+
+    g.add("neardup_resolve", deps = Seq("neardup_pairs"), retries = 1) {
+      val resolved = DedupOps.resolveGroups(s.read.parquet(layout.pairs))
+      val drops = resolved.where(col("doc_id") =!= col("group_id")).select("doc_id")
+      write(
+        s.read.parquet(layout.flags).where(col("r3"))
+          .select("doc_id", "lang", "source", "n_words")
+          .join(drops, Seq("doc_id"), "left_anti"),
+        layout.keep)
+    }
+
+    // sibling branch: the release's dup-cluster profile from the SAME
+    // written pairs layer — must keep running when the clean gate fails
+    g.add("dup_profile", deps = Seq("neardup_pairs"), retries = 1) {
+      val pairs = s.read.parquet(layout.pairs)
+      val deg = pairs.select(col("doc1").as("doc_id"))
+        .union(pairs.select(col("doc2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      write(deg.groupBy("degree").agg(count(lit(1)).as("n_docs")), layout.dupStats)
+    }
+
+    g.add("paragraph_strip", deps = Seq("neardup_resolve"), retries = 1) {
+      val keep = s.read.parquet(layout.keep)
+      val gated = docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      val stripped = DedupOps.paragraphStrip(gated, "doc_id", col("text"), paraTokens = 20)
+        .where(col("n_kept") >= 1) // stripped-to-nothing docs drop out
+      write(
+        stripped.join(keep.select("doc_id", "lang", "source"), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_paras"), col("n_kept"), col("text_clean").as("text")),
+        layout.clean)
+    }
+
+    g.add("clean_quality_check", deps = Seq("paragraph_strip")) {
+      JobGraph.gate(DataQuality.run(s.read.parquet(layout.clean), cleanSuite))
+    }
+
+    g.add("token_budget", deps = Seq("clean_quality_check"), retries = 1) {
+      val clean = s.read.parquet(layout.clean)
+      val admitted = QueriesText.tokenBudgetOn(clean.select("doc_id", "text"))
+        .where(col("admitted"))
+        .select("doc_id", "quality_score", "n_words")
+      write(
+        clean.join(admitted, Seq("doc_id"))
+          .select("doc_id", "lang", "source", "quality_score", "n_words", "text"),
+        layout.selected)
+    }
+
+    g.add("mix_materialize", deps = Seq("token_budget"), retries = 1) {
+      write(
+        QueriesText.mixMaterializeOn(s.read.parquet(layout.selected)),
+        layout.mixture)
+    }
+
+    g.add("train_split", deps = Seq("mix_materialize"), retries = 1) {
+      write(
+        s.read.parquet(layout.mixture)
+          .withColumn("split", QueriesText.mdSplit(col("doc_id"))),
+        layout.splits)
+    }
+
+    g.add("seq_pack", deps = Seq("train_split"), retries = 1) {
+      val train = s.read.parquet(layout.splits).where(col("split") === "train")
+      val budget = 2048L
+      write(
+        ScanOps.exclusivePrefixSum(train, Seq("source"), Seq("doc_id", "copy_id"),
+          col("n_words"), "tok_before")
+          .select(col("doc_id"), col("copy_id"), col("source"), col("n_words"),
+            call_function("div", col("tok_before"), lit(budget)).as("pack_id"),
+            pmod(col("tok_before"), lit(budget)).as("pack_offset")),
+        layout.packs)
+    }
+
+    g.add("pipeline_metrics", deps = Seq("seq_pack", "dup_profile")) {
+      s.read.parquet(layout.packs).count()
+    }
+    g
+  }
+
+  /** Build and run sequentially; returns the report table. */
+  def run(s: SparkSession, sfDir: String, root: String): Seq[JobGraph.JobReport] =
+    build(s, sfDir, Layout(root)).run()
+}

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusPipelineDag, DataQuality, JobGraph}
+import graft.operators.JobGraph.{Failed, Skipped, Succeeded}
+
+/** Corpus pipeline DAG (operators/CorpusPipelineDag.scala): the LLM
+  * data-release chain (funnel → router near-dup → strip → budget
+  * selection → mixture materialization → split → pack) composed over
+  * JobGraph with the SalesPipelineDag restartability contract — every
+  * stage writes its layer, downstream reads the WRITTEN layer, the
+  * gate guards the selection chain but not the sibling profile, and a
+  * crash window converges on plain rerun. */
+class CorpusPipelineDagSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_cdag").toString
+
+  test("full run: all jobs succeed; layers consistent and funnel stages reconcile with #144") {
+    val root = tmp()
+    val layout = CorpusPipelineDag.Layout(root)
+    val rs = CorpusPipelineDag.run(spark, sf, root)
+    assert(rs.forall(_.status == Succeeded), s"statuses: ${rs.map(r => r.id -> r.status)}")
+    val byId = rs.map(r => r.id -> r).toMap
+
+    // flags layer covers the whole corpus, one row per doc
+    val flags = spark.read.parquet(layout.flags)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(byId("funnel_flags").metric == nDocs)
+
+    // stage doc counts and token mass reconcile with the #144 funnel
+    // profile (stages 0-3 share the derivation BY CONSTRUCTION; stage
+    // 4 diverges deliberately — the DAG strips near-dup keepers, the
+    // profile strips all exact survivors)
+    val funnel = QueriesText.corpusFunnel(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(3), r.getLong(5))).toMap // stage -> (docs_out, tokens_out)
+    val agg = flags.agg(
+      sum(when(col("r0"), 1L).otherwise(0L)), sum(when(col("r1"), 1L).otherwise(0L)),
+      sum(when(col("r2"), 1L).otherwise(0L)), sum(when(col("r3"), 1L).otherwise(0L)),
+      sum(when(col("r0"), col("n_words")).otherwise(0L)),
+      sum(when(col("r1"), col("n_words")).otherwise(0L)),
+      sum(when(col("r2"), col("n_words")).otherwise(0L)),
+      sum(when(col("r3"), col("n_words")).otherwise(0L))).head()
+    (0 to 3).foreach { k =>
+      assert(agg.getLong(k) == funnel(k)._1, s"stage $k docs_out")
+      assert(agg.getLong(k + 4) == funnel(k)._2, s"stage $k tokens_out")
+    }
+
+    // near-dup pairs live strictly inside the exact-survivor set
+    val r3ids = flags.where(col("r3")).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val pairs = spark.read.parquet(layout.pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b && r3ids(a) && r3ids(b) })
+
+    // keep = survivors minus non-keeper group members
+    val keepIds = spark.read.parquet(layout.keep).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val resolved = graft.text.DedupOps.resolveGroups(spark.read.parquet(layout.pairs))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    val expectedKeep = r3ids -- resolved.collect { case (d, g) if d != g => d }
+    assert(keepIds == expectedKeep)
+
+    // clean ⊆ keep, every clean doc has >= 1 kept block and text
+    val clean = spark.read.parquet(layout.clean)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet.subsetOf(keepIds))
+    assert(clean.where(col("n_kept") < 1 || col("text").isNull).isEmpty)
+
+    // selection: admitted docs ⊆ clean; greedy half-mass budget — the
+    // admitted mass reaches the budget but overshoots by < one doc
+    val sel = spark.read.parquet(layout.selected)
+    val cleanToks = QueriesText.tokenBudgetOn(clean.select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4)))
+    val budget = cleanToks.map(_._2).sum / 2
+    val admitted = cleanToks.filter(_._3)
+    assert(sel.select("doc_id").collect().map(_.getLong(0)).toSet == admitted.map(_._1).toSet)
+    val admittedMass = admitted.map(_._2).sum
+    assert(admittedMass >= budget && admittedMass < budget + admitted.map(_._2).max,
+      "greedy admission straddles the budget within one doc")
+
+    // mixture: per-cell mass <= 4 epochs of the SELECTED cell caps,
+    // total <= the 2x budget over the selected sub-corpus
+    val mix = spark.read.parquet(layout.mixture)
+    val selCaps = sel.groupBy("lang", "source").agg(sum("n_words").as("cap"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val mixMass = mix.groupBy("lang", "source").agg(sum("n_words").as("m"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    mixMass.foreach { case (cell, m) =>
+      assert(m <= 4L * selCaps(cell), s"cell $cell beyond the 4-epoch ceiling")
+    }
+    assert(mixMass.values.sum <= 2L * selCaps.values.sum, "mixture exceeds the 2x budget")
+
+    // splits: stable md5 rule, identical for every copy of a doc
+    val splits = spark.read.parquet(layout.splits)
+    assert(splits.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+    assert(splits.groupBy("doc_id").agg(countDistinct("split").as("n"))
+      .where(col("n") > 1).isEmpty, "copies of a doc must share its split")
+
+    // packs: offsets live inside the 2048-token budget; metrics = packs
+    val packs = spark.read.parquet(layout.packs)
+    assert(packs.where(col("pack_offset") < 0 || col("pack_offset") >= 2048).isEmpty)
+    assert(byId("pipeline_metrics").metric == packs.count())
+    assert(packs.count() == splits.where(col("split") === "train").count())
+  }
+
+  test("failed clean gate blocks the selection chain but not the sibling dup profile") {
+    val root = tmp()
+    val g = CorpusPipelineDag.build(spark, sf, CorpusPipelineDag.Layout(root),
+      cleanSuite = Seq(DataQuality.Satisfies("impossible", col("n_kept") < 0)))
+    val rs = g.run()
+    val byId = rs.map(r => r.id -> r).toMap
+    assert(byId("paragraph_strip").status == Succeeded)
+    assert(byId("clean_quality_check").status.isInstanceOf[Failed])
+    byId("clean_quality_check").status match {
+      case Failed(e) => assert(e.getMessage.contains("impossible_violations"))
+      case s         => fail(s"$s")
+    }
+    assert(byId("dup_profile").status == Succeeded, "sibling branch must still run")
+    Seq("token_budget", "mix_materialize", "train_split", "seq_pack").foreach { id =>
+      assert(!byId(id).status.ok && byId(id).status.isInstanceOf[Skipped], s"$id must be skipped")
+    }
+    assert(byId("pipeline_metrics").status.isInstanceOf[Skipped])
+  }
+
+  test("crash between selected and mixture writes: restart converges to the uninterrupted run") {
+    val refRoot = tmp()
+    val refReports = CorpusPipelineDag.run(spark, sf, refRoot)
+    assert(refReports.forall(_.status == Succeeded))
+
+    val root = tmp()
+    val layout = CorpusPipelineDag.Layout(root)
+    val firstRun = CorpusPipelineDag.run(spark, sf, root)
+    assert(firstRun.forall(_.status == Succeeded))
+
+    // crash artifact state: selected torn mid-write, mixture never started
+    def tear(dir: String): Unit = {
+      val d = new java.io.File(dir)
+      new java.io.File(d, "_SUCCESS").delete()
+      d.listFiles().filter(_.getName.startsWith("part-")).take(1).foreach(_.delete())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-99999-in-progress.snappy.parquet"),
+        Array[Byte](1, 2, 3))
+    }
+    tear(layout.selected)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(layout.mixture))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => p.toFile.delete())
+
+    val restart = CorpusPipelineDag.run(spark, sf, root)
+    assert(restart.forall(_.status == Succeeded),
+      s"restart statuses: ${restart.map(r => r.id -> r.status)}")
+
+    val refLayout = CorpusPipelineDag.Layout(refRoot)
+    for ((a, b) <- Seq(
+        layout.flags -> refLayout.flags,
+        layout.pairs -> refLayout.pairs,
+        layout.keep -> refLayout.keep,
+        layout.dupStats -> refLayout.dupStats,
+        layout.clean -> refLayout.clean,
+        layout.selected -> refLayout.selected,
+        layout.mixture -> refLayout.mixture,
+        layout.splits -> refLayout.splits,
+        layout.packs -> refLayout.packs)) {
+      val da = spark.read.parquet(a)
+      val db = spark.read.parquet(b)
+      assert(da.count() == db.count() && da.exceptAll(db).isEmpty && db.exceptAll(da).isEmpty,
+        s"restart layer $a must equal uninterrupted layer $b")
+    }
+    assert(!new java.io.File(layout.selected, "part-99999-in-progress.snappy.parquet").exists(),
+      "overwrite must clear torn in-progress files")
+    assert(restart.map(r => (r.id, r.status, r.metric)) ==
+      refReports.map(r => (r.id, r.status, r.metric)))
+  }
+
+  test("concurrent run produces the same report as sequential") {
+    val seqR = CorpusPipelineDag.run(spark, sf, tmp()).map(r => (r.id, r.status, r.metric))
+    val parR = CorpusPipelineDag.build(spark, sf, CorpusPipelineDag.Layout(tmp()))
+      .runConcurrent(3).map(r => (r.id, r.status, r.metric))
+    assert(seqR == parR)
+  }
+}
