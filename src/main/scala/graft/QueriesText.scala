@@ -927,8 +927,11 @@ object QueriesText {
   }
 
   /** Shared doc-grain (doc_id, n_words, quality_score) projection for
-    * the budget/sweep selection ops — the #30 scoring rules verbatim. */
-  private def scoredTokens(docs: DataFrame): DataFrame = {
+    * the budget/sweep selection ops — the #30 scoring rules verbatim.
+    * private[graft]: the streaming selection twin
+    * ([[graft.streaming.SelectionStream]]) consumes THIS derivation so
+    * batch and stream score bit-identically by construction. */
+  private[graft] def scoredTokens(docs: DataFrame): DataFrame = {
     val t = col("text")
     docs.where(t.isNotNull).select(
       col("doc_id"),
