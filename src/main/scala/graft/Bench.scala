@@ -191,9 +191,12 @@ object Bench {
     // number — the flag rides the JSON itself so any later reader
     // (driver, judge, MANIFEST row) sees it without out-of-band notes.
     // Bands: serial honest ~0.14-0.20 s, parallel ~0.30-0.45 s; the
-    // thresholds add ~15% headroom so ordinary jitter doesn't flag.
-    val loadedStart = calSerPre > 0.23 || calPre > 0.52
-    val loadedEnd = calSerPost > 0.23 || calPost > 0.52
+    // thresholds add ~10-15% headroom so ordinary jitter doesn't flag.
+    // Serial gate 0.22: the one board the r12 judge adjudicated as
+    // contaminated-start read cal_ser_pre = 0.230 — the gate must
+    // catch exactly that case.
+    val loadedStart = calSerPre > 0.22 || calPre > 0.52
+    val loadedEnd = calSerPost > 0.22 || calPost > 0.52
     val loaded = (if (loadedStart) s""","loaded_start":true""" else "") +
       (if (loadedEnd) s""","loaded_end":true""" else "")
     if (loadedStart) System.err.println(
