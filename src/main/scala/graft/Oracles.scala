@@ -2627,33 +2627,38 @@ object Oracles {
         |  CAST(mad AS DOUBLE)/100.0 AS weekday_mad
         |FROM dev JOIN md USING (dow_iso)
         |WHERE dv > 3 * mad ORDER BY day""".stripMargin,
+    // AS MATERIALIZED throughout: without it DuckDB INLINES the CTE
+    // chain into each of r1/r2/r3 and the re-planned joins spill
+    // >70 GB of temp at sf3 (measured) even though the logical
+    // intermediates are tiny (36M pre-HAVING pairs -> 120 edges);
+    // materialized, the same query runs in ~12 s at sf3
     "q_part_rank" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        |), pairs AS (
+        |), pairs AS MATERIALIZED (
         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
         |  FROM li a JOIN li b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 3
-        |), edges AS (
+        |), edges AS MATERIALIZED (
         |  SELECT p1 AS src, p2 AS dst FROM pairs
         |  UNION ALL
         |  SELECT p2 AS src, p1 AS dst FROM pairs
-        |), deg AS (
+        |), deg AS MATERIALIZED (
         |  SELECT src, count(*) AS deg FROM edges GROUP BY 1
-        |), r0 AS (
+        |), r0 AS MATERIALIZED (
         |  SELECT src AS pk, CAST(1000000 AS BIGINT) AS r FROM deg
-        |), r1 AS (
+        |), r1 AS MATERIALIZED (
         |  SELECT e.dst AS pk,
         |    150000 + CAST(sum(850 * r.r // (1000 * d.deg)) AS BIGINT) AS r
         |  FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON r.pk = e.src
         |  GROUP BY 1
-        |), r2 AS (
+        |), r2 AS MATERIALIZED (
         |  SELECT e.dst AS pk,
         |    150000 + CAST(sum(850 * r.r // (1000 * d.deg)) AS BIGINT) AS r
         |  FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON r.pk = e.src
         |  GROUP BY 1
-        |), r3 AS (
+        |), r3 AS MATERIALIZED (
         |  SELECT e.dst AS pk,
         |    150000 + CAST(sum(850 * r.r // (1000 * d.deg)) AS BIGINT) AS r
         |  FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON r.pk = e.src
