@@ -31,7 +31,9 @@ class ContractSpec extends SparkSpec {
     // same statement, or a parenthesized subquery.
     val testdata = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    val cte = """(?is)(?:with(?:\s+recursive)?|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s*as\s*\(""".r
+    // `AS [NOT] MATERIALIZED (` is DuckDB's inlining hint (q_part_rank
+    // pins its staged plan with it) — still a CTE definition
+    val cte = """(?is)(?:with(?:\s+recursive)?|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s*as\s*(?:(?:not\s+)?materialized\s*)?\(""".r
     // capture comma-separated FROM lists too ("FROM r, t") — a
     // first-relation-only match would let the trailing relations
     // escape validation entirely
