@@ -765,6 +765,15 @@ object QueriesText {
     Caching.reap(out)(temps: _*)
   }
 
+  /** Version tag of the funnel gate RULES ([[funnelFlags]]'s r0-r3
+    * logic). Any certificate whose validity depends on the gated
+    * survivor set — e.g. the DAG's hamming-budget memo key — must fold
+    * this in: the corpus fingerprint alone can't see a rule change,
+    * and a stale (tighter) budget certified on the OLD survivor set
+    * would silently drop true pairs. BUMP THIS whenever the r0/r1/r2
+    * gate logic (or the r3 exact-dup keeper rule) changes. */
+  private[graft] val funnelRulesVersion: String = "fg1"
+
   /** Un-reaped [[corpusFunnelOn]] pipeline (result, persisted temps) —
     * the plan-shape spec asserts on the result BEFORE the checkpoint
     * truncates its lineage. */
@@ -1137,7 +1146,17 @@ object QueriesText {
   def mixMaterialize(s: SparkSession, dir: String): DataFrame =
     mixMaterializeOn(Tables.documents(s, dir))
 
-  private[graft] def mixMaterializeOn(docs: DataFrame): DataFrame = {
+  private[graft] def mixMaterializeOn(docs: DataFrame): DataFrame =
+    // registered-query form: the raw layer + the standard determinism
+    // sort every verified query pays (SURVEY §3)
+    mixMaterializeRaw(docs).orderBy("doc_id", "copy_id")
+
+  /** UNORDERED #151 — the pipeline-path variant. The mixture layer is
+    * keyed by (doc_id, copy_id), so a DAG stage that writes it gains
+    * nothing from a corpus-scale range exchange + sort; only the
+    * registered query (whose hash contract needs row order) pays the
+    * orderBy tail. */
+  private[graft] def mixMaterializeRaw(docs: DataFrame): DataFrame = {
     val t = col("text")
     val base = docs.where(t.isNotNull)
       .select(col("doc_id"), col("lang"), col("source"),
@@ -1157,7 +1176,6 @@ object QueriesText {
       .where(col("n_copies") > 0)
       .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
-      .orderBy("doc_id", "copy_id")
     Caching.reap(out)(base)
   }
 

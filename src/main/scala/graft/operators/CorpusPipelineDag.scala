@@ -74,14 +74,29 @@ object CorpusPipelineDag {
     val packs: String = s"$root/packs"
   }
 
-  private val expectedColumns: Set[String] = Set("doc_id", "text", "lang", "source")
+  /** Columns the pipeline REQUIRES on the corpus. */
+  private val requiredColumns: Set[String] = Set("doc_id", "text", "lang", "source")
+  /** Known corpus metadata the pipeline tolerates but doesn't read. */
+  private val toleratedColumns: Set[String] = Set("n_chars")
 
-  private def write(df: DataFrame, path: String): Long = {
-    df.write.mode("overwrite").parquet(path)
-    // read-back count: the metric reports what LANDED (a torn write
-    // must not report success rows)
-    df.sparkSession.read.parquet(path).count()
-  }
+  /** Write the layer, counting rows ON the writing job via
+    * `observe()` — one scan per stage. The r13 read-back (`count()`
+    * of the landed parquet) was a second corpus-scale scan per layer;
+    * at 100 TB that's ~9 extra full reads per run. A torn write still
+    * can't report success rows: a failed write throws before the
+    * observed value is read. `auditReadBack` keeps the old
+    * paranoid mode opt-in (count what LANDED, trusting nothing). */
+  private def writeLayer(df: DataFrame, path: String, auditReadBack: Boolean): Long =
+    if (auditReadBack) {
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path).count()
+    } else {
+      val obs = org.apache.spark.sql.Observation()
+      // observe sits ABOVE the whole plan (any Sort included) so a
+      // range-partitioner sampling pass can't double-fire it
+      df.observe(obs, count(lit(1)).as("rows")).write.mode("overwrite").parquet(path)
+      obs.get("rows").asInstanceOf[Long]
+    }
 
   /** The gate the pipeline runs on the stripped clean layer. */
   def defaultCleanSuite: Seq[DataQuality.Expectation] = Seq(
@@ -94,17 +109,24 @@ object CorpusPipelineDag {
     * expectation set (tests drive the failure path through it). */
   def build(
       s: SparkSession, sfDir: String, layout: Layout,
-      cleanSuite: Seq[DataQuality.Expectation] = defaultCleanSuite
+      cleanSuite: Seq[DataQuality.Expectation] = defaultCleanSuite,
+      auditReadBack: Boolean = false
   ): JobGraph = {
     val g = new JobGraph()
     def docs: DataFrame = Tables.documents(s, sfDir)
+    def write(df: DataFrame, path: String): Long = writeLayer(df, path, auditReadBack)
 
     g.add("validate_corpus") {
+      // drift check runs on the UNPROJECTED frame: a select() of the
+      // expected columns would throw AnalysisException on a missing
+      // column (bypassing the drift message) and silently drop
+      // unexpected ones. Tolerated metadata columns are excluded from
+      // the "unexpected" side only — they may be absent or present.
       val drift = DataQuality.columnsMatchSet(
-        docs.select("doc_id", "text", "lang", "source"), expectedColumns)
+        docs.drop(toleratedColumns.toSeq: _*), requiredColumns)
       if (drift.nonEmpty)
         throw new IllegalStateException(s"corpus schema drift: ${drift.toSeq.sorted.mkString(", ")}")
-      expectedColumns.size.toLong
+      requiredColumns.size.toLong
     }
 
     g.add("funnel_flags", deps = Seq("validate_corpus"), retries = 1) {
@@ -130,7 +152,13 @@ object CorpusPipelineDag {
       write(
         DedupOps.nearDupPairsAdaptive(gated, "doc_id", col("text"),
           n = 3, minJaccardPct = 50,
-          budgetKey = Some(DedupOps.snapshotKey(s"$sfDir/documents.parquet") + "|r3"),
+          // key = corpus fingerprint + gate id + RULES VERSION: the
+          // certified budget is only valid for the survivor set it
+          // was measured on, and that set depends on the gate rules'
+          // CODE, which the corpus fingerprint can't see — a rules
+          // bump forces re-certification on an unchanged corpus
+          budgetKey = Some(DedupOps.snapshotKey(s"$sfDir/documents.parquet") +
+            s"|r3|${QueriesText.funnelRulesVersion}"),
           budgetStore = Some(DedupOps.defaultBudgetStore)),
         layout.pairs)
     }
@@ -183,8 +211,11 @@ object CorpusPipelineDag {
     }
 
     g.add("mix_materialize", deps = Seq("token_budget"), retries = 1) {
+      // unordered #151: the layer is keyed by (doc_id, copy_id); only
+      // the registered query pays the determinism orderBy — here it
+      // would be an avoidable corpus-scale range exchange + sort
       write(
-        QueriesText.mixMaterializeOn(s.read.parquet(layout.selected)),
+        QueriesText.mixMaterializeRaw(s.read.parquet(layout.selected)),
         layout.mixture)
     }
 

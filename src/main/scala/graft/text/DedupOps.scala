@@ -547,22 +547,36 @@ object DedupOps {
     * count alone, which a count-preserving mutation could fool). The
     * listing walk is metadata-only — no file content is read — so the
     * cost is one directory scan per query build, trivial next to the
-    * corpus scan itself. */
+    * corpus scan itself.
+    *
+    * The listing goes through the Hadoop FileSystem resolved from the
+    * active session's hadoopConf (falling back to a default conf), so
+    * remote corpus URIs (hdfs://, s3a://) fingerprint their actual
+    * file listings — the 100 TB deployment regime — instead of
+    * silently degenerating to a constant. A path that resolves to
+    * NOTHING throws: a key for an invisible corpus would let every
+    * later mutation reuse a stale certificate, the exact staleness
+    * class the key exists to eliminate. */
   def snapshotKey(corpusPath: String): String = {
-    import java.nio.file.{Files, Path, Paths}
-    val p = Paths.get(corpusPath)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-    def feed(base: Path, f: Path): Unit = {
-      val a = Files.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes])
-      digest.update(
-        s"${base.relativize(f)}|${a.size}|${a.lastModifiedTime.toMillis}\n".getBytes("UTF-8"))
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(
+        s"snapshotKey: corpus path does not exist (or is invisible to this " +
+          s"filesystem): $corpusPath — refusing to mint a key a stale " +
+          s"certificate could hide behind")
+    val base = fs.makeQualified(p)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val st = it.next()
+      entries += s"${st.getPath.toString.stripPrefix(base.toString)}|${st.getLen}|${st.getModificationTime}\n"
     }
-    if (Files.isDirectory(p)) {
-      val walk = Files.walk(p)
-      try walk.filter(Files.isRegularFile(_)).sorted().forEach(f => feed(p, f))
-      finally walk.close()
-    } else if (Files.exists(p)) feed(p.getParent, p)
-    else digest.update("absent".getBytes("UTF-8"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => digest.update(e.getBytes("UTF-8")))
     val hex = digest.digest().map("%02x".format(_)).mkString
     s"$corpusPath#$hex"
   }
@@ -570,10 +584,16 @@ object DedupOps {
   /** Default on-disk budget store: certified budgets persist across
     * driver JVMs here unless the caller points elsewhere. Keys carry
     * the corpus content fingerprint ([[snapshotKey]]), so a shared
-    * store can never serve a stale certificate to changed data. */
+    * store can never serve a stale certificate to changed data. The
+    * default is PER-USER (user name in the path, owner-only perms on
+    * create) — a world-writable shared store would let any local user
+    * plant a crafted certificate that silently narrows another user's
+    * hamming gate; [[loadBudget]] additionally range-checks what it
+    * reads so even a writable store can only widen back to the cap,
+    * never below zero. */
   def defaultBudgetStore: String =
     sys.env.getOrElse("SPARK_GRAFT_BUDGET_DIR",
-      s"${sys.props("java.io.tmpdir")}/graft_hamming_budgets")
+      s"${sys.props("java.io.tmpdir")}/graft_hamming_budgets_${sys.props("user.name")}")
 
   private def budgetFile(storeDir: String, memoKey: String): java.nio.file.Path = {
     val h = java.security.MessageDigest.getInstance("MD5")
@@ -592,7 +612,14 @@ object DedupOps {
   private[graft] def saveBudget(storeDir: String, memoKey: String, budget: Int): Unit = {
     import java.nio.file.Files
     try {
-      Files.createDirectories(java.nio.file.Paths.get(storeDir))
+      val dir = java.nio.file.Paths.get(storeDir)
+      Files.createDirectories(dir)
+      // owner-only store: a certificate is trusted input to the
+      // hamming gate, so nobody else gets to write one for us
+      try {
+        import java.nio.file.attribute.PosixFilePermissions
+        Files.setPosixFilePermissions(dir, PosixFilePermissions.fromString("rwx------"))
+      } catch { case _: UnsupportedOperationException => () } // non-POSIX FS
       Files.writeString(budgetFile(storeDir, memoKey), s"$memoKey\n$budget\n")
     } catch { case scala.util.control.NonFatal(e) =>
       // a read-only store must not fail the query — the certificate
@@ -601,13 +628,20 @@ object DedupOps {
     }
   }
 
-  private[graft] def loadBudget(storeDir: String, memoKey: String): Option[Int] = {
+  /** Load a persisted certificate, VERIFYING both the full memo key
+    * and the budget's range: anything outside [0, cap] (a tampered or
+    * corrupt entry — a too-small budget would silently narrow the
+    * hamming gate and drop true pairs) is treated as a miss, so the
+    * worst a bad store can do is force the loose-cap certification
+    * run to be re-paid. */
+  private[graft] def loadBudget(storeDir: String, memoKey: String, cap: Int): Option[Int] = {
     import java.nio.file.Files
     val f = budgetFile(storeDir, memoKey)
     try {
       if (!Files.exists(f)) None
       else Files.readString(f).split("\n", -1).toList match {
-        case k :: b :: _ if k == memoKey => Some(b.trim.toInt)
+        case k :: b :: _ if k == memoKey =>
+          scala.util.Try(b.trim.toInt).toOption.filter(v => v >= 0 && v <= cap)
         case _ => None // foreign/corrupt entry: treat as a miss
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -692,7 +726,7 @@ object DedupOps {
       val known: Option[Int] = hammingBudget
         .orElse(memoKey.flatMap(k => Option(budgetMemo.get(k)).map(_.intValue)))
         .orElse(for {
-          k <- memoKey; d <- budgetStore; b <- loadBudget(d, k)
+          k <- memoKey; d <- budgetStore; b <- loadBudget(d, k, hammingCap)
         } yield { budgetMemo.put(k, b); b }) // disk certificate seeds the memo
       val gate = known.getOrElse(hammingCap)
       val cands = simhashPairs128(simhashGrams128(docs, id, text, n), id,

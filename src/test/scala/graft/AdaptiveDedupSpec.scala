@@ -184,6 +184,54 @@ class AdaptiveDedupSpec extends SparkSpec {
     assert(DedupOps.snapshotKey(dir.toString) == k2, "key is deterministic for a fixed snapshot")
   }
 
+  test("snapshotKey refuses to mint a key for a path that resolves to nothing") {
+    // a key for an invisible corpus would digest a constant, letting
+    // every later mutation reuse a stale certificate — fail loudly
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.snapshotKey("/nonexistent/graft_spec_corpus_xyz")
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("loadBudget rejects out-of-range (tampered/corrupt) budgets") {
+    val store = java.nio.file.Files.createTempDirectory("graft_budget_tamper").toString
+    val key = "spec://tamper|36|3|50|16|2|31"
+    // a crafted too-small (negative) budget would narrow the hamming
+    // gate below anything certifiable and drop true pairs silently
+    DedupOps.saveBudget(store, key, -5)
+    assert(DedupOps.loadBudget(store, key, cap = 31).isEmpty, "negative budget must be a miss")
+    DedupOps.saveBudget(store, key, 40)
+    assert(DedupOps.loadBudget(store, key, cap = 31).isEmpty, "above-cap budget must be a miss")
+    DedupOps.saveBudget(store, key, 12)
+    assert(DedupOps.loadBudget(store, key, cap = 31).contains(12), "in-range budget loads")
+    assert(DedupOps.loadBudget(store, key, cap = 11).isEmpty,
+      "a budget certified under a looser cap than the caller's must be a miss")
+  }
+
+  test("a gate-rules version bump forces re-certification on an unchanged corpus") {
+    val docs = cloneCorpus(30, 4).toDF("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = DedupOps.ngramJaccardPairs(docs, "doc_id", $"text", 3, Int.MaxValue, 50)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    DedupOps.clearBudgetMemo()
+    val n = docs.count()
+    def run(rulesVersion: String) = DedupOps.nearDupPairsAdaptive(
+      docs, "doc_id", $"text", 3, 50,
+      budgetKey = Some(s"spec://rules-bump|gate|$rulesVersion"))
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(run("v1") == truth)
+    assert(DedupOps.certifiedBudget("spec://rules-bump|gate|v1", n, 3, 50, 16, 2, 31).isDefined)
+    // same corpus, bumped rules version: the v1 certificate must NOT
+    // apply — the survivor set it was measured on may have changed
+    assert(DedupOps.certifiedBudget("spec://rules-bump|gate|v2", n, 3, 50, 16, 2, 31).isEmpty,
+      "v1 certificate must not pre-seed the v2 key")
+    assert(run("v2") == truth)
+    assert(DedupOps.certifiedBudget("spec://rules-bump|gate|v2", n, 3, 50, 16, 2, 31).isDefined,
+      "the v2 run must have re-certified under its own key")
+    DedupOps.clearBudgetMemo()
+    docs.unpersist()
+  }
+
   test("caller-injected hammingBudget skips certification and is honored") {
     val docs = cloneCorpus(8, 3).toDF("doc_id", "text")
     DedupOps.clearBudgetMemo()

@@ -28,6 +28,20 @@ class CorpusPipelineDagSpec extends SparkSpec {
     val nDocs = Tables.documents(spark, sf).count()
     assert(byId("funnel_flags").metric == nDocs)
 
+    // observe-counted stage metrics == what actually LANDED (the r14
+    // write path counts ON the writing job — one scan per stage; this
+    // read-back here is the spec's audit of that counting)
+    Seq(
+      "funnel_flags" -> layout.flags, "neardup_pairs" -> layout.pairs,
+      "neardup_resolve" -> layout.keep, "dup_profile" -> layout.dupStats,
+      "paragraph_strip" -> layout.clean, "token_budget" -> layout.selected,
+      "mix_materialize" -> layout.mixture, "train_split" -> layout.splits,
+      "seq_pack" -> layout.packs
+    ).foreach { case (id, path) =>
+      assert(byId(id).metric == spark.read.parquet(path).count(),
+        s"$id observe-metric must equal the landed layer count")
+    }
+
     // stage doc counts and token mass reconcile with the #144 funnel
     // profile (stages 0-3 share the derivation BY CONSTRUCTION; stage
     // 4 diverges deliberately — the DAG strips near-dup keepers, the
@@ -101,6 +115,40 @@ class CorpusPipelineDagSpec extends SparkSpec {
     assert(packs.where(col("pack_offset") < 0 || col("pack_offset") >= 2048).isEmpty)
     assert(byId("pipeline_metrics").metric == packs.count())
     assert(packs.count() == splits.where(col("split") === "train").count())
+  }
+
+  test("validate_corpus surfaces drift: missing AND unexpected columns, tolerated metadata passes") {
+    // a drifted corpus: `lang` gone, a rogue column added. The check
+    // must run on the UNPROJECTED frame — a select() of the expected
+    // columns would throw AnalysisException (bypassing the drift
+    // message) and silently drop the rogue column.
+    val dir = tmp()
+    Tables.documents(spark, sf).limit(50)
+      .drop("lang").withColumn("rogue", lit(1))
+      .write.parquet(s"$dir/documents.parquet")
+    val rs = CorpusPipelineDag.run(spark, dir, tmp())
+    rs.find(_.id == "validate_corpus").get.status match {
+      case Failed(e) =>
+        assert(e.getMessage.contains("corpus schema drift"), e.getMessage)
+        assert(e.getMessage.contains("missing:lang"), e.getMessage)
+        assert(e.getMessage.contains("unexpected:rogue"), e.getMessage)
+      case other => fail(s"expected drift failure, got $other")
+    }
+    assert(rs.filter(_.id != "validate_corpus").forall(_.status.isInstanceOf[Skipped]),
+      "every downstream stage is transitively blocked by the drift failure")
+    // the real corpus's n_chars metadata column is TOLERATED (present
+    // or absent) — the full-run test covers present; cover absent here
+    val dir2 = tmp()
+    Tables.documents(spark, sf).limit(50).drop("n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    val v2 = CorpusPipelineDag.build(spark, dir2, CorpusPipelineDag.Layout(tmp()))
+    v2.validate() // graph wiring sane; run only the cheap validate job body
+    // run the full graph? too costly — instead assert the drift check alone:
+    // (replicate the stage's check through the public DataQuality surface)
+    val drift = DataQuality.columnsMatchSet(
+      Tables.documents(spark, dir2).drop("n_chars"),
+      Set("doc_id", "text", "lang", "source"))
+    assert(drift.isEmpty, s"tolerated-column-absent corpus must not drift: $drift")
   }
 
   test("failed clean gate blocks the selection chain but not the sibling dup profile") {
