@@ -1,0 +1,342 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.{QueriesText, Tables}
+import graft.text.{BloomDedup, DedupOps}
+
+/** INCREMENTAL corpus release — the daily-batch posture the sales side
+  * has had since round 6 (watermark incremental + MedallionStream; the
+  * reference anchor is utility/watermark_manager.py plus
+  * airflow/dags/sales_pipeline_dag.py's daily-run semantics) applied
+  * to the LLM data-release chain: a NEW batch of documents is gated by
+  * a [[WatermarkStore]] high-water mark on `doc_id` (the corpus's
+  * monotone ingest axis), deduped EXACTLY against the standing
+  * release's text-hash index, near-dup-probed against the standing
+  * MinHash signature index (#71's cross-corpus probe with #75's Bloom
+  * pre-gate composed in), paragraph-stripped against the standing
+  * block-hash index, and APPENDED to the clean layer — then the
+  * corpus-global selection chain (#145 budget → #151 mixture → #72
+  * split → #51 pack) re-runs over the full clean layer, because
+  * admission thresholds move with every batch and do not compose
+  * per-batch.
+  *
+  * == Equivalence contract (first-arrival = min-id) ==
+  * Batches arrive in ascending `doc_id` ranges (the watermark enforces
+  * it), and every keeper rule in the full rebuild —
+  * exact-dup (`min(doc_id)` per text hash), near-dup resolution
+  * (min-id per component), paragraph ownership
+  * (`min(struct(doc_id, para_idx))` per block) — picks the SMALLEST
+  * id, i.e. the earliest arrival. So processing batch k sees exactly
+  * the state the full rebuild's min-rules would consult, and the
+  * incremental layers equal [[CorpusPipelineDag]]'s full rebuild on
+  * the union (CorpusIncrementalDagSpec pins it layer by layer), with
+  * ONE documented exception: a new batch can BRIDGE two standing
+  * near-dup components (doc C near-dup of standing keepers A and B;
+  * a full rebuild would merge the component and drop B). An
+  * append-only release cannot retract B, so the run reports such
+  * docs in the `retractions` layer instead — the standing keepers a
+  * full rebuild would have dropped. Empty ledger ⇒ the incremental
+  * release is bit-equal to the full rebuild; non-empty ⇒ the operator
+  * schedules a full rebuild (or accepts first-arrival semantics, the
+  * standard production trade).
+  *
+  * == State is bounded by the batch, never the corpus ==
+  * The corpus-scale state lives in three APPEND-ONLY disk indexes
+  * (text hashes: 32 B/doc; MinHash sigs: k·8 B/doc; paragraph
+  * hashes: 32 B/block). Per batch, each is scanned ONCE, map-only,
+  * through a Bloom built over the BATCH's keys
+  * ([[BloomDedup.gateBigSide]]) — the only driver-resident state is
+  * that batch-keyed filter (~10 bits/key), and nothing corpus-scale
+  * ever shuffles for a batch-sized question: survivors of the gate
+  * are ~batch-sized and broadcast into the exact joins that make the
+  * decisions. Union-find runs over batch-incident pairs only.
+  *
+  * == Restartability ==
+  * Every per-batch layer writes to a `batch=<id>` partition
+  * subdirectory with mode(overwrite), and the batch id is a pure
+  * function of the watermark (max batch doc_id), so a crashed run —
+  * the watermark only advances in the FINAL stage — reruns the same
+  * batch into the same partitions and converges (spec-pinned).
+  * Standing-state reads filter `doc_id <= mark` (id-carrying layers)
+  * or `batch <= mark` (id-less hash indexes), so neither a torn
+  * partition from a crashed wider run nor the crashed attempt's OWN
+  * partition can leak into the standing side — without the latter a
+  * rerun would dedup the batch against itself.
+  */
+object CorpusIncrementalDag {
+
+  /** On-disk layout: per-batch partitioned layers + global refresh
+    * layers + the three standing indexes. */
+  final case class Layout(root: String) {
+    val flags: String = s"$root/flags"               // batch=N: doc flags incl. r3
+    val textHashes: String = s"$root/text_hashes"    // batch=N: fresh exact-dup hashes
+    val sigs: String = s"$root/sigs"                 // batch=N: MinHash sigs of r3 survivors
+    val pairs: String = s"$root/neardup_pairs"       // batch=N: batch-incident verified pairs
+    val keep: String = s"$root/keep"                 // batch=N: batch keepers
+    val paraHashes: String = s"$root/para_hashes"    // batch=N: fresh paragraph-block hashes
+    val clean: String = s"$root/clean"               // batch=N: stripped clean docs
+    val retractions: String = s"$root/retractions"   // batch=N: full-rebuild-would-drop ledger
+    val batchMeta: String = s"$root/batch_meta"      // scratch: (mark, batch_id, n_docs)
+    val selected: String = s"$root/selected"         // global refresh (overwrite)
+    val mixture: String = s"$root/mixture"
+    val splits: String = s"$root/splits"
+    val packs: String = s"$root/packs"
+    val marks: String = s"$root/marks"               // WatermarkStore dir
+  }
+
+  /** Watermark entity name and zero-padded numeric encoding (the
+    * store compares lexicographically, like the reference). */
+  private[graft] val entity = "corpus_doc_id"
+  private[graft] def pad(id: Long): String = f"$id%020d"
+  /** Bootstrap mark: one BELOW the smallest possible doc_id, so the
+    * first batch includes id 0 (`doc_id > mark` is strict). */
+  private[graft] val bootstrapMark: String = "-1"
+
+  /** Read a standing layer, or an empty frame of the declared schema
+    * when the layer doesn't exist yet (first batch). Existence goes
+    * through Hadoop FileSystem so remote layer roots behave. */
+  private def readLayerOr(s: SparkSession, path: String, ddl: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) s.read.parquet(path)
+    else s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
+  }
+
+  /** Standing view of an ID-LESS index layer (text hashes, paragraph
+    * hashes): only partitions from batches at or below the current
+    * mark count as standing. The `batch` partition-column filter is
+    * what makes a CRASHED-RUN RERUN converge — the prior attempt's
+    * own `batch=<id>` partition sits on disk, and without the filter
+    * the batch would dedup against ITSELF (every hash "already
+    * known", zero keepers). Layers carrying `doc_id` filter on the id
+    * instead, which also survives torn wider-run partitions. Partition
+    * pruning turns the filter into a directory skip — standing scans
+    * never touch the in-flight partition. */
+  private def readIndexStanding(
+      s: SparkSession, path: String, ddl: String, mark: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) s.read.parquet(path).where(col("batch") <= mark).drop("batch")
+    else s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
+  }
+
+  /** Build the incremental job graph. `upTo` bounds the batch
+    * (`mark < doc_id <= upTo`) — the "process up to ingest time T"
+    * knob a scheduled daily run uses; default = everything new. */
+  def build(
+      s: SparkSession, sfDir: String, layout: Layout,
+      upTo: Long = Long.MaxValue,
+      cleanSuite: Seq[DataQuality.Expectation] = CorpusPipelineDag.defaultCleanSuite,
+      auditReadBack: Boolean = false
+  ): JobGraph = {
+    val g = new JobGraph()
+    val store = new WatermarkStore(layout.marks, defaultMark = bootstrapMark)
+    def docs: DataFrame = Tables.documents(s, sfDir)
+    def write(df: DataFrame, path: String): Long =
+      CorpusPipelineDag.writeLayer(df, path, auditReadBack)
+
+    /** (mark, batch_id, n_docs) from the written scratch layer. */
+    def meta(): (Long, Long, Long) = {
+      val r = s.read.parquet(layout.batchMeta).head()
+      (r.getAs[Long]("mark"), r.getAs[Long]("batch_id"), r.getAs[Long]("n_docs"))
+    }
+    def batchDocs(mark: Long): DataFrame =
+      docs.where(col("doc_id") > mark && col("doc_id") <= upTo)
+
+    g.add("validate_corpus") {
+      val drift = DataQuality.columnsMatchSet(
+        docs.drop(CorpusPipelineDag.toleratedColumns.toSeq: _*),
+        CorpusPipelineDag.requiredColumns)
+      if (drift.nonEmpty)
+        throw new IllegalStateException(s"corpus schema drift: ${drift.toSeq.sorted.mkString(", ")}")
+      CorpusPipelineDag.requiredColumns.size.toLong
+    }
+
+    g.add("watermark_batch", deps = Seq("validate_corpus"), retries = 1) {
+      val mark = store.get(entity).trim.toLong
+      // batch id = max batch doc_id: a pure function of (mark, upTo,
+      // corpus), so a crashed run recomputes the SAME id and its
+      // reruns overwrite their own partitions
+      val st = batchDocs(mark).agg(
+        count(lit(1)).as("n"), coalesce(max("doc_id"), lit(mark)).as("mx")).head()
+      val (n, bid) = (st.getLong(0), st.getLong(1))
+      import s.implicits._
+      Seq((mark, bid, n)).toDF("mark", "batch_id", "n_docs")
+        .coalesce(1).write.mode("overwrite").parquet(layout.batchMeta)
+      n
+    }
+
+    g.add("batch_flags", deps = Seq("watermark_batch"), retries = 1) {
+      val (mark, bid, n) = meta()
+      if (n == 0) 0L else {
+        val flags = QueriesText.funnelFlags(batchDocs(mark))
+        val r2h = flags.where(col("r2"))
+          .select(col("doc_id"), md5(lower(trim(col("text")))).as("__th"))
+        // standing exact-dup index, Bloom-reduced to ~batch size
+        // map-side, then the exact anti-join (right side now small
+        // enough to broadcast) decides freshness
+        val standing = BloomDedup.gateBigSide(
+          readIndexStanding(s, layout.textHashes, "text_hash STRING", mark)
+            .select(col("text_hash").as("__th")),
+          xxhash64(col("__th")), r2h, xxhash64(col("__th")))
+        val fresh = r2h.join(standing, Seq("__th"), "left_anti")
+        val r3set = fresh.groupBy("__th").agg(min("doc_id").as("doc_id"))
+          .select(col("doc_id"), lit(true).as("__r3"))
+        write(
+          flags.select("doc_id", "lang", "source", "n_words", "r0", "r1", "r2")
+            .join(r3set, Seq("doc_id"), "left")
+            .withColumn("r3", coalesce(col("__r3"), lit(false)))
+            .drop("__r3"),
+          s"${layout.flags}/batch=$bid")
+      }
+    }
+
+    g.add("index_text_hashes", deps = Seq("batch_flags"), retries = 1) {
+      val (mark, bid, n) = meta()
+      if (n == 0) 0L else {
+        // fresh hashes = hashes of the batch's r3 keepers (each new
+        // hash has exactly one keeper); recomputed from the WRITTEN
+        // flags layer + the immutable source corpus — batch-bounded
+        val keepers = s.read.parquet(s"${layout.flags}/batch=$bid")
+          .where(col("r3")).select("doc_id")
+        write(
+          batchDocs(mark).join(keepers, Seq("doc_id"), "left_semi")
+            .select(md5(lower(trim(col("text")))).as("text_hash")),
+          s"${layout.textHashes}/batch=$bid")
+      }
+    }
+
+    g.add("batch_sigs", deps = Seq("batch_flags"), retries = 1) {
+      val (mark, bid, n) = meta()
+      if (n == 0) 0L else {
+        val keepers = s.read.parquet(s"${layout.flags}/batch=$bid")
+          .where(col("r3")).select("doc_id")
+        write(
+          DedupOps.minhashSignaturesNative(
+            batchDocs(mark).join(keepers, Seq("doc_id"), "left_semi"),
+            "doc_id", col("text"), n = 3, k = 48),
+          s"${layout.sigs}/batch=$bid")
+      }
+    }
+
+    g.add("neardup_pairs", deps = Seq("batch_sigs"), retries = 1) {
+      val (mark, bid, n) = meta()
+      if (n == 0) 0L else {
+        val batchSigs = s.read.parquet(s"${layout.sigs}/batch=$bid")
+        // standing side filtered by id, never by partition name, so a
+        // torn wider-run partition can't leak into the standing index
+        val standingSigs = readLayerOr(s, layout.sigs, "doc_id BIGINT, sig ARRAY<BIGINT>")
+          .where(col("doc_id") <= mark).select("doc_id", "sig")
+        val cross = DedupOps.minhashLshPairsAcrossGated(
+          batchSigs, standingSigs, "doc_id", k = 48, bands = 24, minEst = 0.25)
+        val within = DedupOps.minhashLshPairs(
+          batchSigs, "doc_id", k = 48, bands = 24, minEst = 0.25)
+        val cands = cross.select("doc1", "doc2").union(within.select("doc1", "doc2"))
+          .select(least(col("doc1"), col("doc2")).as("doc1"),
+            greatest(col("doc1"), col("doc2")).as("doc2"))
+          .distinct()
+        write(
+          DedupOps.verifyPairsExact(cands, docs.where(col("doc_id") <= bid),
+            "doc_id", col("text"), n = 3, minJaccardPct = 50),
+          s"${layout.pairs}/batch=$bid")
+      }
+    }
+
+    g.add("neardup_resolve", deps = Seq("neardup_pairs"), retries = 1) {
+      val (mark, bid, n) = meta()
+      if (n == 0) 0L else {
+        val resolved = DedupOps.resolveGroups(
+          s.read.parquet(s"${layout.pairs}/batch=$bid"))
+        val drops = resolved
+          .where(col("doc_id") =!= col("group_id") && col("doc_id") > mark)
+          .select("doc_id")
+        write(
+          s.read.parquet(s"${layout.flags}/batch=$bid").where(col("r3"))
+            .select("doc_id", "lang", "source", "n_words")
+            .join(drops, Seq("doc_id"), "left_anti"),
+          s"${layout.keep}/batch=$bid")
+      }
+    }
+
+    // sibling branch: the honesty ledger. Standing keepers that a
+    // FULL rebuild on the union would have dropped (a batch doc
+    // bridged their component to a smaller standing keeper). An
+    // append-only release cannot retract them — it reports them.
+    g.add("retraction_ledger", deps = Seq("neardup_pairs"), retries = 1) {
+      val (mark, bid, n) = meta()
+      if (n == 0) 0L else {
+        val resolved = DedupOps.resolveGroups(
+          s.read.parquet(s"${layout.pairs}/batch=$bid"))
+        val standingKeep = readLayerOr(s, layout.keep,
+          "doc_id BIGINT, lang STRING, source STRING, n_words BIGINT")
+          .where(col("doc_id") <= mark).select("doc_id")
+        write(
+          resolved.where(col("doc_id") =!= col("group_id") && col("doc_id") <= mark)
+            .join(standingKeep, Seq("doc_id"), "left_semi")
+            .select("doc_id", "group_id"),
+          s"${layout.retractions}/batch=$bid")
+      }
+    }
+
+    g.add("paragraph_strip", deps = Seq("neardup_resolve"), retries = 1) {
+      val (mark, bid, n) = meta()
+      if (n == 0) 0L else {
+        val keep = s.read.parquet(s"${layout.keep}/batch=$bid")
+        val gated = batchDocs(mark).join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+        val standingParas = readIndexStanding(s, layout.paraHashes, "para_hash STRING", mark)
+        val (stripped, freshHashes, release) = DedupOps.paragraphStripIncremental(
+          gated, "doc_id", col("text"), paraTokens = 20, known = standingParas)
+        val written =
+          write(
+            stripped.where(col("n_kept") >= 1)
+              .join(keep.select("doc_id", "lang", "source"), Seq("doc_id"))
+              .select(col("doc_id"), col("lang"), col("source"),
+                col("n_paras"), col("n_kept"), col("text_clean").as("text")),
+            s"${layout.clean}/batch=$bid")
+        write(freshHashes, s"${layout.paraHashes}/batch=$bid")
+        release()
+        written
+      }
+    }
+
+    g.add("clean_quality_check", deps = Seq("paragraph_strip")) {
+      val (_, bid, n) = meta()
+      if (n == 0) 0L
+      else JobGraph.gate(DataQuality.run(
+        s.read.parquet(s"${layout.clean}/batch=$bid"), cleanSuite))
+    }
+
+    // global selection refresh over the FULL clean layer — shared
+    // derivation with the full-rebuild DAG (one function, bit-equal
+    // outputs on equal clean content)
+    CorpusPipelineDag.addSelectionChain(g, s,
+      readClean = () => {
+        val (_, bid, _) = meta()
+        s.read.parquet(layout.clean).where(col("doc_id") <= bid)
+          .select("doc_id", "lang", "source", "n_paras", "n_kept", "text")
+      },
+      layout.selected, layout.mixture, layout.splits, layout.packs,
+      firstDep = Seq("clean_quality_check"), write = write)
+
+    // the watermark advances LAST: a crash anywhere above reruns the
+    // same batch into the same partitions and converges
+    g.add("advance_watermark", deps = Seq("seq_pack", "retraction_ledger", "index_text_hashes")) {
+      val (_, bid, n) = meta()
+      if (n > 0) store.update(entity, pad(bid))
+      bid
+    }
+
+    g.add("release_report", deps = Seq("advance_watermark")) {
+      s.read.parquet(layout.packs).count()
+    }
+    g
+  }
+
+  /** Build and run one incremental cycle; returns the report table. */
+  def run(s: SparkSession, sfDir: String, root: String,
+          upTo: Long = Long.MaxValue): Seq[JobGraph.JobReport] =
+    build(s, sfDir, Layout(root), upTo).run()
+}

@@ -75,9 +75,9 @@ object CorpusPipelineDag {
   }
 
   /** Columns the pipeline REQUIRES on the corpus. */
-  private val requiredColumns: Set[String] = Set("doc_id", "text", "lang", "source")
+  private[operators] val requiredColumns: Set[String] = Set("doc_id", "text", "lang", "source")
   /** Known corpus metadata the pipeline tolerates but doesn't read. */
-  private val toleratedColumns: Set[String] = Set("n_chars")
+  private[operators] val toleratedColumns: Set[String] = Set("n_chars")
 
   /** Write the layer, counting rows ON the writing job via
     * `observe()` — one scan per stage. The r13 read-back (`count()`
@@ -86,7 +86,7 @@ object CorpusPipelineDag {
     * can't report success rows: a failed write throws before the
     * observed value is read. `auditReadBack` keeps the old
     * paranoid mode opt-in (count what LANDED, trusting nothing). */
-  private def writeLayer(df: DataFrame, path: String, auditReadBack: Boolean): Long =
+  private[operators] def writeLayer(df: DataFrame, path: String, auditReadBack: Boolean): Long =
     if (auditReadBack) {
       df.write.mode("overwrite").parquet(path)
       df.sparkSession.read.parquet(path).count()
@@ -199,15 +199,40 @@ object CorpusPipelineDag {
       JobGraph.gate(DataQuality.run(s.read.parquet(layout.clean), cleanSuite))
     }
 
-    g.add("token_budget", deps = Seq("clean_quality_check"), retries = 1) {
-      val clean = s.read.parquet(layout.clean)
+    addSelectionChain(g, s, () => s.read.parquet(layout.clean),
+      layout.selected, layout.mixture, layout.splits, layout.packs,
+      firstDep = Seq("clean_quality_check"), write = write)
+
+    g.add("pipeline_metrics", deps = Seq("seq_pack", "dup_profile")) {
+      s.read.parquet(layout.packs).count()
+    }
+    g
+  }
+
+  /** Register the GLOBAL selection chain (token budget → mixture
+    * materialization → split → pack) over a clean layer — shared by
+    * the full-rebuild DAG and [[CorpusIncrementalDag]]'s per-batch
+    * refresh. Selection is corpus-global BY NATURE: the #145 budget
+    * threshold and the #147 water-fill allocation both move with
+    * every appended batch (a new batch can evict previously admitted
+    * docs), so the incremental path reruns this chain over the full
+    * clean layer instead of pretending admission composes per batch.
+    * One derivation = the two DAGs stay bit-identical on identical
+    * clean content (the batch/stream twin-contract practice). */
+  private[operators] def addSelectionChain(
+      g: JobGraph, s: SparkSession, readClean: () => DataFrame,
+      selected: String, mixture: String, splits: String, packs: String,
+      firstDep: Seq[String], write: (DataFrame, String) => Long): Unit = {
+
+    g.add("token_budget", deps = firstDep, retries = 1) {
+      val clean = readClean()
       val admitted = QueriesText.tokenBudgetOn(clean.select("doc_id", "text"))
         .where(col("admitted"))
         .select("doc_id", "quality_score", "n_words")
       write(
         clean.join(admitted, Seq("doc_id"))
           .select("doc_id", "lang", "source", "quality_score", "n_words", "text"),
-        layout.selected)
+        selected)
     }
 
     g.add("mix_materialize", deps = Seq("token_budget"), retries = 1) {
@@ -215,19 +240,19 @@ object CorpusPipelineDag {
       // the registered query pays the determinism orderBy — here it
       // would be an avoidable corpus-scale range exchange + sort
       write(
-        QueriesText.mixMaterializeRaw(s.read.parquet(layout.selected)),
-        layout.mixture)
+        QueriesText.mixMaterializeRaw(s.read.parquet(selected)),
+        mixture)
     }
 
     g.add("train_split", deps = Seq("mix_materialize"), retries = 1) {
       write(
-        s.read.parquet(layout.mixture)
+        s.read.parquet(mixture)
           .withColumn("split", QueriesText.mdSplit(col("doc_id"))),
-        layout.splits)
+        splits)
     }
 
     g.add("seq_pack", deps = Seq("train_split"), retries = 1) {
-      val train = s.read.parquet(layout.splits).where(col("split") === "train")
+      val train = s.read.parquet(splits).where(col("split") === "train")
       val budget = 2048L
       write(
         ScanOps.exclusivePrefixSum(train, Seq("source"), Seq("doc_id", "copy_id"),
@@ -235,13 +260,8 @@ object CorpusPipelineDag {
           .select(col("doc_id"), col("copy_id"), col("source"), col("n_words"),
             call_function("div", col("tok_before"), lit(budget)).as("pack_id"),
             pmod(col("tok_before"), lit(budget)).as("pack_offset")),
-        layout.packs)
+        packs)
     }
-
-    g.add("pipeline_metrics", deps = Seq("seq_pack", "dup_profile")) {
-      s.read.parquet(layout.packs).count()
-    }
-    g
   }
 
   /** Build and run sequentially; returns the report table. */

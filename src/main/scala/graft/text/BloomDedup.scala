@@ -44,4 +44,35 @@ object BloomDedup {
     BloomContains.withProbe(df.sparkSession, bits) { fn =>
       df.withColumn(asCol, call_function(fn, key))
     }
+
+  /** Corpus-side pre-gate for batch-vs-corpus joins: a Bloom over the
+    * SMALL (batch) side's long key, probed MAP-ONLY on the BIG
+    * (corpus-scale) side, reduces the big side to ~batch-matching rows
+    * before any exchange. This is the join direction Spark can't save
+    * on its own: a `left_anti`/`left_semi` with the small frame on the
+    * LEFT only broadcasts the RIGHT side, so the corpus-scale right
+    * would shuffle for a batch-sized question. After this gate the
+    * survivor set is batch-sized (plus the fpp tail) and the exact
+    * join the caller runs next can broadcast it.
+    *
+    * EXACTNESS: false negatives are impossible (the filter's defining
+    * guarantee), so no true match is lost; false positives only pad
+    * the survivor set and die in the caller's exact join.
+    *
+    * Driver state is the batch-keyed filter (~10 bits/key) — bounded
+    * by the BATCH, never the corpus. The big side is scanned once,
+    * map-only, no shuffle. */
+  def gateBigSide(big: DataFrame, bigKey: Column,
+                  small: DataFrame, smallKey: Column,
+                  fpp: Double = 0.01): DataFrame = {
+    val n = small.count()
+    // empty batch side: no key can match, and Spark's bloomFilter
+    // aggregate returns null bytes on zero rows — gate to nothing
+    if (n == 0) big.where(lit(false))
+    else {
+      val bits = buildFilter(small, smallKey, n, fpp)
+      flag(big, bigKey, bits, "__bloom_might")
+        .where(col("__bloom_might")).drop("__bloom_might")
+    }
+  }
 }

@@ -847,6 +847,43 @@ object DedupOps {
     graft.Caching.reap(observeCount(pairs, "cand_minhash_across"))()
   }
 
+  /** [[minhashLshPairsAcross]] with the Bloom pre-gate composed in —
+    * the incremental-release probe shape: band keys of the (small)
+    * NEW batch build a Bloom ([[BloomDedup.gateBigSide]]); the
+    * standing corpus's banded rows are probed map-side and only
+    * possible band collisions reach the band join, so the standing
+    * side never shuffles at corpus scale for a batch-sized question.
+    * Exactness unchanged: Bloom false positives die in the exact
+    * (band, bkey) equijoin; false negatives are impossible, so no
+    * candidate the ungated probe would surface is lost — the two
+    * generators emit the SAME pair set (spec-asserted).
+    *
+    * Driver state: the batch's band-key filter (~10 bits per
+    * batch-doc-band) — bounded by the batch, never the corpus. */
+  def minhashLshPairsAcrossGated(
+      newSigs: DataFrame, standingSigs: DataFrame, id: String,
+      k: Int, bands: Int, minEst: Double
+  ): DataFrame = {
+    require(k % bands == 0)
+    val r = k / bands
+    val bandKey = xxhash64(col("band"), col("bkey"))
+    // batch side: banded once, persisted — it feeds the Bloom build
+    // (one batch-bounded action) and the join probe
+    val a = minhashBanded(newSigs, id, r, bands)
+      .select(col(id).as("doc1"), col("sig").as("sig1"), col("band"), col("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = BloomDedup.gateBigSide(
+      minhashBanded(standingSigs, id, r, bands)
+        .select(col(id).as("doc2"), col("sig").as("sig2"), col("band"), col("bkey")),
+      bandKey, a, bandKey)
+    val pairs = a.join(b, Seq("band", "bkey"))
+      .withColumn("est_sim", estSim(col("sig1"), col("sig2"), k))
+      .where(col("est_sim") >= minEst)
+      .select("doc1", "doc2", "est_sim")
+      .distinct()
+    graft.Caching.reap(observeCount(pairs, "cand_minhash_across_gated"))(a)
+  }
+
   /** Benchmark-contamination report: for every corpus doc sharing at
     * least one word n-gram with any doc of the (small) eval set, the
     * number of distinct shared grams and of eval docs hit. This is
@@ -1156,6 +1193,65 @@ object DedupOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
       .orderBy("doc_id")
+  }
+
+  /** Incremental [[paragraphStrip]]: strip a NEW batch against a
+    * standing paragraph-hash index (`known`: one `para_hash` md5-hex
+    * column, the accumulated block hashes of every prior keeper).
+    * A batch block keeps iff (a) its hash is NOT standing and (b) the
+    * batch-local first occurrence (the same
+    * `min(struct(doc_id, para_idx, para))` rule as the full strip)
+    * is this one. With batches arriving in ascending doc_id order
+    * this equals the full strip's global-first ownership restricted
+    * to the batch — a standing occurrence always wins the min, and a
+    * batch-internal min is the union min when no earlier occurrence
+    * exists (the CorpusIncrementalDag equivalence spec pins it).
+    *
+    * Returns (stripped, freshHashes, release): `stripped` has the
+    * full-strip schema (doc_id, n_paras, n_kept, text_clean);
+    * `freshHashes` is the distinct `para_hash` set first seen in this
+    * batch — exactly what the caller appends to the index; `release`
+    * unpersists the shared block cache once both are written.
+    *
+    * Scale shape: the standing index (corpus-scale) is reduced
+    * MAP-SIDE by a Bloom over the batch's block hashes
+    * ([[BloomDedup.gateBigSide]]) before the exact anti-join, so the
+    * only exchanges are batch-bounded; ownership stays the combinable
+    * min-struct aggregate (no window, viral blocks collapse map-side),
+    * and the per-doc rebuild sorts only each doc's own kept blocks. */
+  private[graft] def paragraphStripIncremental(
+      docs: DataFrame, id: String, text: Column, paraTokens: Int,
+      known: DataFrame): (DataFrame, DataFrame, () => Unit) = {
+    require(paraTokens > 0)
+    val base = docs
+      .where(text.isNotNull)
+      .select(col(id), TextOps.tokens(text).as("__t"))
+    val paras = paragraphBlocks(base, id, paraTokens)
+      .withColumn("__h", md5(col("para")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gatedKnown = BloomDedup.gateBigSide(
+      known.select(col("para_hash").as("__h")), xxhash64(col("__h")),
+      paras, xxhash64(col("__h")))
+    val fresh = paras.join(gatedKnown, Seq("__h"), "left_anti")
+    val kept = fresh
+      .groupBy(col("__h"))
+      .agg(min(struct(col(id).as("d"), col("para_idx").as("i"),
+        col("para").as("p"))).as("__f"))
+      .groupBy(col("__f.d").as("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        collect_list(struct(col("__f.i").as("i"), col("__f.p").as("p"))).as("__ks"))
+      .select(col("doc_id"), col("n_kept"),
+        array_join(transform(array_sort(col("__ks")), x => x.getField("p")), " ")
+          .as("text_clean"))
+    val stripped = base
+      .select(col(id).as("doc_id"),
+        ceil(size(col("__t")) / lit(paraTokens.toDouble)).cast("long").as("n_paras"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+    val freshHashes = fresh.select(col("__h").as("para_hash")).distinct()
+    (stripped, freshHashes, () => { paras.unpersist(blocking = false); () })
   }
 
   /** Winnowing fingerprints (rolling Karp–Rabin sketch): hash word
