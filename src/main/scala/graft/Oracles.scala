@@ -2271,6 +2271,35 @@ object Oracles {
         |  FROM (SELECT doc_id, source,
         |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |        FROM documents) d) t""".stripMargin,
+    "q_pack_payload" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS t,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words
+        |  FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+        |), pre AS MATERIALIZED (
+        |  SELECT doc_id, source, t, n_words,
+        |    CAST(coalesce(sum(n_words) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM toks
+        |), spanned AS MATERIALIZED (
+        |  SELECT source, tok_before, n_words, t,
+        |    unnest(range(tok_before // 2048, (tok_before + n_words - 1) // 2048 + 1)) AS pack_id
+        |  FROM pre
+        |), sl AS MATERIALIZED (
+        |  SELECT source, CAST(pack_id AS BIGINT) AS pack_id, tok_before,
+        |    greatest(0, pack_id * 2048 - tok_before) AS s,
+        |    least(n_words, (pack_id + 1) * 2048 - tok_before) AS e,
+        |    t
+        |  FROM spanned
+        |)
+        |SELECT source, pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(e - s) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(array_to_string(list_slice(t, CAST(s + 1 AS BIGINT), CAST(e AS BIGINT)), ' '),
+        |    ' ' ORDER BY tok_before)) AS payload_md5
+        |FROM sl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_mix_sample" ->
       """WITH r AS (
         |  SELECT doc_id, source, lang,

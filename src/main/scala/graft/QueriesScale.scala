@@ -129,6 +129,66 @@ object QueriesScale {
         pmod(col("tok_before"), lit(budget)).as("pack_offset"))
   }
 
+  /** #153 sequence-pack PAYLOAD emission — the "last mile" #51 only
+    * points at: every 2048-token pack's ACTUAL concatenated token
+    * payload, with documents that straddle a pack boundary SPLIT
+    * across the packs they overlap (true sequence packing, not
+    * start-offset bookkeeping). Per-source packs over the train split
+    * (#72's md5 rule), same exclusive-prefix ledger as #51 so offsets
+    * reconcile exactly: Σ n_tokens over packs == Σ n_words over the
+    * packed docs (spec + DAG-report asserted).
+    *
+    * Scale shape: the prefix scan runs on the NARROW (keys, n_words)
+    * ledger (two-level bucket scan, no corpus-wide window); text joins
+    * back ONCE by key; the pack-boundary explode adds one row per
+    * extra pack a doc spans (≤ n_words/2048); and the per-pack
+    * assembly is a groupBy whose state is bounded by the 2048-token
+    * budget — a pack can never be viral. Ordering inside a pack is
+    * total (tok_before is unique per source), so the payload is
+    * deterministic at any parallelism on any engine. */
+  def packPayload(s: SparkSession, dir: String): DataFrame = {
+    val train = Tables.documents(s, dir)
+      .where(QueriesText.mdSplit(col("doc_id")) === "train")
+      .select(col("doc_id"), lit(1L).as("copy_id"), col("source"), col("text"))
+    packPayloadsOn(train)
+      .select(col("source"), col("pack_id"), col("n_docs"), col("n_tokens"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy("source", "pack_id")
+  }
+
+  /** Core payload packer over a (doc_id, copy_id, source, text)
+    * ledger — shared by #153 and the corpus DAGs' `pack_payloads`
+    * stage (one derivation, bit-identical shards). Emits
+    * (source, pack_id, n_docs, n_tokens, payload). */
+  private[graft] def packPayloadsOn(ledger: DataFrame, budget: Long = 2048L): DataFrame = {
+    val toks = ledger.select(col("doc_id"), col("copy_id"), col("source"),
+      TextOps.wordCount(col("text")).cast("long").as("n_words"))
+    val pre = graft.operators.ScanOps.exclusivePrefixSum(
+      toks, Seq("source"), Seq("doc_id", "copy_id"), col("n_words"), "tok_before")
+    val spanned = pre
+      .join(ledger.select("doc_id", "copy_id", "source", "text"),
+        Seq("doc_id", "copy_id", "source"))
+      // one row per (doc copy, pack it overlaps); slice bounds are the
+      // intersection of the doc's token range with the pack's range
+      .withColumn("pack_id", explode(sequence(
+        call_function("div", col("tok_before"), lit(budget)),
+        call_function("div", col("tok_before") + col("n_words") - 1, lit(budget)))))
+      .withColumn("__s", greatest(lit(0L), col("pack_id") * budget - col("tok_before")))
+      .withColumn("__e", least(col("n_words"), (col("pack_id") + 1) * budget - col("tok_before")))
+      .select(col("source"), col("pack_id"), col("tok_before"),
+        col("doc_id"), col("copy_id"),
+        slice(TextOps.tokens(col("text")),
+          (col("__s") + 1).cast("int"), (col("__e") - col("__s")).cast("int")).as("__slice"),
+        (col("__e") - col("__s")).as("__n"))
+    spanned.groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("tok_before").as("o"),
+            col("doc_id").as("d"), col("copy_id").as("c"), col("__slice").as("s")))),
+          x => x.getField("s"))), " ").as("payload"))
+  }
+
   /** #52 deterministic source-weighted sampling: the data-mixing gate
     * of a training pipeline. Keep-rate per source tier comes from a
     * pure function of the stable key (id mod 100), so the sample is
@@ -895,6 +955,7 @@ object QueriesScale {
     "q_window_suite" -> (windowSuite _),
     "q_quartiles" -> (quartiles _),
     "q_seq_pack" -> (seqPack _),
+    "q_pack_payload" -> (packPayload _),
     "q_mix_sample" -> (mixSample _),
     "q_mix_upsample" -> (mixUpsample _),
     "q_copurchase" -> (copurchase _),

@@ -84,6 +84,8 @@ object CorpusIncrementalDag {
     val mixture: String = s"$root/mixture"
     val splits: String = s"$root/splits"
     val packs: String = s"$root/packs"
+    val export: String = s"$root/export"             // global refresh: release artifact
+    val packPayloads: String = s"$root/pack_payloads"
     val marks: String = s"$root/marks"               // WatermarkStore dir
   }
 
@@ -312,18 +314,19 @@ object CorpusIncrementalDag {
     // global selection refresh over the FULL clean layer — shared
     // derivation with the full-rebuild DAG (one function, bit-equal
     // outputs on equal clean content)
-    CorpusPipelineDag.addSelectionChain(g, s,
+    val terminals = CorpusPipelineDag.addSelectionChain(g, s,
       readClean = () => {
         val (_, bid, _) = meta()
         s.read.parquet(layout.clean).where(col("doc_id") <= bid)
           .select("doc_id", "lang", "source", "n_paras", "n_kept", "text")
       },
       layout.selected, layout.mixture, layout.splits, layout.packs,
+      layout.export, layout.packPayloads,
       firstDep = Seq("clean_quality_check"), write = write)
 
     // the watermark advances LAST: a crash anywhere above reruns the
     // same batch into the same partitions and converges
-    g.add("advance_watermark", deps = Seq("seq_pack", "retraction_ledger", "index_text_hashes")) {
+    g.add("advance_watermark", deps = terminals ++ Seq("retraction_ledger", "index_text_hashes")) {
       val (_, bid, n) = meta()
       if (n > 0) store.update(entity, pad(bid))
       bid

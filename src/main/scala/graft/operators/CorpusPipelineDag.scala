@@ -72,6 +72,8 @@ object CorpusPipelineDag {
     val mixture: String = s"$root/mixture"
     val splits: String = s"$root/splits"
     val packs: String = s"$root/packs"
+    val export: String = s"$root/export"
+    val packPayloads: String = s"$root/pack_payloads"
   }
 
   /** Columns the pipeline REQUIRES on the corpus. */
@@ -199,11 +201,12 @@ object CorpusPipelineDag {
       JobGraph.gate(DataQuality.run(s.read.parquet(layout.clean), cleanSuite))
     }
 
-    addSelectionChain(g, s, () => s.read.parquet(layout.clean),
+    val terminals = addSelectionChain(g, s, () => s.read.parquet(layout.clean),
       layout.selected, layout.mixture, layout.splits, layout.packs,
+      layout.export, layout.packPayloads,
       firstDep = Seq("clean_quality_check"), write = write)
 
-    g.add("pipeline_metrics", deps = Seq("seq_pack", "dup_profile")) {
+    g.add("pipeline_metrics", deps = terminals :+ "dup_profile") {
       s.read.parquet(layout.packs).count()
     }
     g
@@ -222,7 +225,8 @@ object CorpusPipelineDag {
   private[operators] def addSelectionChain(
       g: JobGraph, s: SparkSession, readClean: () => DataFrame,
       selected: String, mixture: String, splits: String, packs: String,
-      firstDep: Seq[String], write: (DataFrame, String) => Long): Unit = {
+      export: String, packPayloads: String,
+      firstDep: Seq[String], write: (DataFrame, String) => Long): Seq[String] = {
 
     g.add("token_budget", deps = firstDep, retries = 1) {
       val clean = readClean()
@@ -262,6 +266,43 @@ object CorpusPipelineDag {
             pmod(col("tok_before"), lit(budget)).as("pack_offset")),
         packs)
     }
+
+    // the EXPORT last mile (r13 verdict #2): the mixture ledger joined
+    // back to text, written as the release artifact users actually
+    // read — hive-partitioned by (split, source) so a training reader
+    // prunes at the directory level, range-clustered on doc_id so
+    // row-group min/max prune inside partitions. repartitionByRange +
+    // sortWithinPartitions makes the file layout a pure function of
+    // the data: a rerun emits the same files (spec-pinned).
+    g.add("export_release", deps = Seq("train_split"), retries = 1) {
+      val release = s.read.parquet(splits)
+        .join(readClean().select("doc_id", "text"), Seq("doc_id"))
+        .select("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")
+        .repartitionByRange(col("split"), col("source"), col("doc_id"), col("copy_id"))
+      val obs = org.apache.spark.sql.Observation()
+      // observe above a HASH-free layout chain: sortWithinPartitions
+      // has no sampling pass, so the counter can sit under it safely —
+      // but top placement costs nothing, so it goes on top
+      graft.sources.ParquetSink.write(
+        release.observe(obs, count(lit(1)).as("rows"))
+          .sortWithinPartitions("split", "source", "doc_id", "copy_id"),
+        export, partitionCols = Seq("split", "source"))
+      obs.get("rows").asInstanceOf[Long]
+    }
+
+    // actual packed sequences (pack_id → concatenated token payload),
+    // shared derivation with #153 — offsets reconcile with seq_pack's
+    // ledger by construction (same prefix scan)
+    g.add("pack_payloads", deps = Seq("train_split"), retries = 1) {
+      val train = s.read.parquet(splits).where(col("split") === "train")
+        .select("doc_id", "copy_id", "source")
+      write(
+        graft.QueriesScale.packPayloadsOn(
+          train.join(readClean().select("doc_id", "text"), Seq("doc_id"))),
+        packPayloads)
+    }
+
+    Seq("seq_pack", "export_release", "pack_payloads")
   }
 
   /** Build and run sequentially; returns the report table. */

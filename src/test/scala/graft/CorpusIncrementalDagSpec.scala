@@ -76,6 +76,10 @@ class CorpusIncrementalDagSpec extends SparkSpec {
     assert(rows(li.splits, splitCols) == rows(lf.splits, splitCols), "splits layer")
     val packCols = Seq("doc_id", "copy_id", "source", "n_words", "pack_id", "pack_offset")
     assert(rows(li.packs, packCols) == rows(lf.packs, packCols), "packs layer")
+    val exCols = Seq("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")
+    assert(rows(li.export, exCols) == rows(lf.export, exCols), "export layer")
+    val ppCols = Seq("source", "pack_id", "n_docs", "n_tokens", "payload")
+    assert(rows(li.packPayloads, ppCols) == rows(lf.packPayloads, ppCols), "pack payload layer")
 
     // RESTART: reset the watermark to mid (simulates a crash anywhere
     // before advance_watermark) and rerun — batch 2 reprocesses into

@@ -115,6 +115,79 @@ class CorpusPipelineDagSpec extends SparkSpec {
     assert(packs.where(col("pack_offset") < 0 || col("pack_offset") >= 2048).isEmpty)
     assert(byId("pipeline_metrics").metric == packs.count())
     assert(packs.count() == splits.where(col("split") === "train").count())
+
+    // EXPORT (r14): the release artifact == splits ⋈ clean text, every
+    // row present, hive-partitioned by (split, source)
+    val export = spark.read.parquet(layout.export)
+    val expectExport = splits.join(clean.select("doc_id", "text"), Seq("doc_id"))
+      .select("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")
+    val exCols = Seq("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")
+    assert(export.select(exCols.map(col): _*).collect().map(_.toSeq).toSet ==
+      expectExport.collect().map(_.toSeq).toSet, "export content")
+    assert(byId("export_release").metric == export.count())
+    // a training reader's filter prunes at the DIRECTORY level
+    val pruned = spark.read.parquet(layout.export)
+      .where(col("split") === "train" && col("source") === "src3")
+    val scan = pruned.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Scan parquet")).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("split") &&
+      scan.contains("source"), scan)
+    assert(pruned.count() ==
+      expectExport.where(col("split") === "train" && col("source") === "src3").count())
+
+    // PACK PAYLOADS (r14): actual packed sequences. Token mass
+    // reconciles exactly with the train ledger; every pack is full at
+    // 2048 except each source's last; the payload string's own token
+    // count equals the ledger's
+    val pp = spark.read.parquet(layout.packPayloads)
+    val trainMass = splits.where(col("split") === "train")
+      .agg(sum("n_words")).head().getLong(0)
+    assert(pp.agg(sum("n_tokens")).head().getLong(0) == trainMass,
+      "pack token mass == train ledger mass")
+    val lastPack = pp.groupBy("source").agg(max("pack_id").as("__mx"))
+    assert(pp.join(lastPack, Seq("source"))
+      .where(col("pack_id") =!= col("__mx") && col("n_tokens") =!= 2048).isEmpty,
+      "every non-final pack is exactly full")
+    assert(pp.where(size(split(col("payload"), " ", -1)) =!= col("n_tokens")).isEmpty,
+      "payload token count == n_tokens")
+    // pack ids are the contiguous range per source (docs are SPLIT
+    // across boundaries, so no pack can be skipped)
+    assert(pp.groupBy("source")
+      .agg(count(lit(1)).as("n"), (max("pack_id") + 1).as("want"))
+      .where(col("n") =!= col("want")).isEmpty, "contiguous pack ids per source")
+  }
+
+  test("export is byte-stable across reruns: same file layout, sizes, and content") {
+    val root = tmp()
+    val layout = CorpusPipelineDag.Layout(root)
+    // file identity = (partition dir, part index, byte size): Spark
+    // embeds a per-job UUID in file NAMES, so the stable part of the
+    // name is the task index prefix; sizes pin the bytes
+    def fileMap(): Map[String, Long] = {
+      val base = java.nio.file.Paths.get(layout.export)
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      val walk = java.nio.file.Files.walk(base)
+      try walk.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && n.startsWith("part-")) {
+          val stable = base.relativize(p.getParent).toString + "/" +
+            n.split("-").take(2).mkString("-")
+          out += stable -> java.nio.file.Files.size(p)
+        }
+      } finally walk.close()
+      out.toMap
+    }
+    val r1 = CorpusPipelineDag.run(spark, sf, root)
+    assert(r1.forall(_.status == Succeeded), s"run1: ${r1.map(r => r.id -> r.status)}")
+    val m1 = fileMap()
+    assert(m1.nonEmpty)
+    val c1 = spark.read.parquet(layout.export).collect().map(_.toSeq).toSet
+    val r2 = CorpusPipelineDag.run(spark, sf, root)
+    assert(r2.forall(_.status == Succeeded), s"run2: ${r2.map(r => r.id -> r.status)}")
+    assert(fileMap() == m1,
+      "rerun must emit the identical file layout (partition dirs, part indexes, byte sizes)")
+    assert(spark.read.parquet(layout.export).collect().map(_.toSeq).toSet == c1,
+      "rerun content identical")
   }
 
   test("validate_corpus surfaces drift: missing AND unexpected columns, tolerated metadata passes") {

@@ -57,6 +57,34 @@ class ScaleSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("pack_payload: slices reassemble the token stream exactly, packs full except the last") {
+    import spark.implicits._
+    // a hand-built ledger with one doc that SPANS a pack boundary:
+    // source A: 1500 + 1500 tokens → packs 0 (2048) and 1 (952)
+    val mk = (n: Int, tag: String) => (1 to n).map(i => s"$tag$i").mkString(" ")
+    val ledger = Seq(
+      (1L, 1L, "A", mk(1500, "a")),
+      (2L, 1L, "A", mk(1500, "b")),
+      (3L, 1L, "B", mk(10, "c"))
+    ).toDF("doc_id", "copy_id", "source", "text")
+    val out = QueriesScale.packPayloadsOn(ledger)
+      .orderBy("source", "pack_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      Seq(("A", 0L, 2L, 2048L), ("A", 1L, 1L, 952L), ("B", 0L, 1L, 10L)))
+    // pack 0 = all of doc 1 + the first 548 tokens of doc 2; pack 1 =
+    // the remaining 952 — concatenation reassembles doc 2 exactly
+    val p0 = out(0)._5.split(" "); val p1 = out(1)._5.split(" ")
+    assert(p0.take(1500).sameElements((1 to 1500).map(i => s"a$i")))
+    assert((p0.drop(1500) ++ p1).sameElements((1 to 1500).map(i => s"b$i")),
+      "the boundary-spanning doc reassembles from its slices")
+    // determinism: a repartitioned rerun yields identical payloads
+    val again = QueriesScale.packPayloadsOn(ledger.repartition(7))
+      .orderBy("source", "pack_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("mix_sample keeps rates deterministic per source tier") {
     val out = QueriesScale.mixSample(spark, sf)
     val rates = out.select("keep_rate_pct").distinct().as[Long].collect().toSet
