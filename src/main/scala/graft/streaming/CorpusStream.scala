@@ -1,0 +1,236 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
+
+import graft.text.{DedupOps, TextOps}
+
+/** The STREAMING corpus release pipeline — [[FunnelStream]],
+  * [[DedupStream]], [[ParagraphStream]] and [[SelectionStream]]
+  * composed into one ingest chain over a shared on-disk layout, the
+  * corpus-side twin of [[MedallionStream]]'s sales composition
+  * (VERDICT r13 item 6). A corpus that ARRIVES (crawl drops, ingest
+  * feeds) flows:
+  *
+  * {{{
+  *   docs ─A→ admissions (funnel gates + exact-dup ownership)
+  *        └──→ admitted docs ─B→ near-dup candidates (band index)
+  *   [cycle step: verify new candidates exactly → resolve → keepers]
+  *   keepers ─C→ paragraph claims (block ownership) → clean rebuild
+  *   clean   ─D→ selection ledger (≤101 score cells)
+  *   [derived read: exact admission verdicts from ledger + budget]
+  * }}}
+  *
+  * Stages A–D are separate Structured Streaming queries chained
+  * through file sinks/sources — the standard production shape for
+  * multi-stage streaming (each stage restarts independently from its
+  * own checkpoint; the stateful ownership indexes live in the state
+  * stores and survive cycles). Every `foreachBatch` writes its OWN
+  * `batch_v{id}` directory with overwrite, so a replay after a crash
+  * heals torn files instead of duplicating rows (the
+  * [[MedallionStream.factWriter]] idempotence contract).
+  *
+  * == Equivalence to the batch DAG ==
+  * Each component is individually replay-equivalent to its batch row
+  * (spec-pinned in FunnelStream/ParagraphStream/SelectionStream
+  * specs); composed, a corpus streamed in ascending doc_id order
+  * reproduces [[graft.operators.CorpusPipelineDag]]'s flags, clean
+  * and selection layers on the union (CorpusStreamSpec pins two
+  * cycles against the full DAG). The candidate stage emits band
+  * collisions WITHOUT the batch router's est-sim pre-gate — a
+  * superset of the batch candidates — and exact verification makes
+  * the decisions, so the verified pair set matches wherever banding
+  * recall does. First-arrival caveat (same as the incremental DAG):
+  * a later doc bridging two standing keepers cannot retract the
+  * larger one — [[materializeKeep]] never un-keeps.
+  *
+  * == Scale shape ==
+  * Stream state is the three ownership indexes (text-hash owners,
+  * band buckets + pair bits, block owners) and the ≤101-cell score
+  * ledger — each sharded by its group key exactly as the batch
+  * aggregates' exchanges distribute. The cycle step verifies ONLY
+  * candidates not yet verified (pair-grain anti-join), and resolution
+  * runs over the pair graph, never the corpus.
+  */
+object CorpusStream {
+
+  final case class Layout(root: String) {
+    val admissions: String = s"$root/admissions"   // batch_v*: the flags layer
+    val admitted: String = s"$root/admitted"       // batch_v*: r3 docs with text
+    val candidates: String = s"$root/candidates"   // batch_v*: band-collision pairs
+    val pairs: String = s"$root/pairs"             // cycle_v*: exactly-verified pairs
+    val keep: String = s"$root/keep"               // cycle_v*: keeper docs with text
+    val claims: String = s"$root/claims"           // batch_v*: block claims
+    val clean: String = s"$root/clean"             // batch_v*: stripped clean docs
+    val ledger: String = s"$root/ledger"           // batch_v*: score-cell updates
+    def chk(name: String): String = s"$root/_chk_$name"
+  }
+
+  /** Source schema for the arriving corpus stream. */
+  val docSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, lang STRING, source STRING, text STRING")
+  private[streaming] val admittedSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, lang STRING, source STRING, text STRING")
+  private[streaming] val keepSchema: StructType = admittedSchema
+  private[streaming] val cleanSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, lang STRING, source STRING, n_paras BIGINT, n_kept BIGINT, text STRING")
+
+  private def readAccumulated(spark: SparkSession, glob: String, ddl: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(glob)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.globStatus(p) != null && fs.globStatus(p).nonEmpty)
+      spark.read.parquet(glob)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
+  }
+
+  /** Stage A: funnel gates + exact-dup ownership. Writes the flags
+    * layer (admissions) and the admitted-docs layer (stage B's
+    * source). Admission rows carry flags only, so lang/source/text
+    * re-join from a STATIC read of the immutable source directory —
+    * a streaming frame cannot be referenced inside foreachBatch. */
+  def admissionsWriter(docs: DataFrame, layout: Layout,
+                       sourceGlob: String): DataStreamWriter[Row] = {
+    val spark = docs.sparkSession
+    FunnelStream.admissions(docs.select(col("doc_id"), col("lang"), col("text")))
+      .toDF()
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val byDoc = spark.read.schema(docSchema).parquet(sourceGlob)
+          .select("doc_id", "lang", "source", "text")
+        val enriched = batch.join(byDoc, Seq("doc_id"))
+        enriched
+          .select("doc_id", "lang", "source", "n_words", "r0", "r1", "r2", "r3")
+          .write.mode("overwrite").parquet(s"${layout.admissions}/batch_v$batchId")
+        enriched.where(col("r3"))
+          .select("doc_id", "lang", "source", "text")
+          .write.mode("overwrite").parquet(s"${layout.admitted}/batch_v$batchId")
+        ()
+      }.option("checkpointLocation", layout.chk("admissions"))
+  }
+
+  /** Stage B: the band index over admitted docs → candidate pairs
+    * (exactly once per pair — the [[DedupStream.candidates]]
+    * contract). */
+  def candidatesWriter(admitted: DataFrame, layout: Layout,
+                       maxPerBucket: Int = 64): DataStreamWriter[Row] =
+    DedupStream.candidates(admitted, maxPerBucket = maxPerBucket)
+      .toDF()
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"${layout.candidates}/batch_v$batchId")
+        ()
+      }.option("checkpointLocation", layout.chk("candidates"))
+
+  /** Cycle step (the `neardup_resolve` twin, driver-sequenced like a
+    * [[graft.operators.JobGraph]] job): exactly verify the candidates
+    * not yet verified, append them to the pair layer, resolve the
+    * ACCUMULATED pair graph, and emit this cycle's NEW keepers =
+    * admitted − drops − already-kept. Never un-keeps (first-arrival;
+    * the bridge caveat above). Returns the new-keeper count. */
+  def materializeKeep(spark: SparkSession, layout: Layout, cycleId: Long,
+                      minJaccardPct: Int = 50, n: Int = 3): Long = {
+    val admitted = readAccumulated(spark, s"${layout.admitted}/batch_v*",
+      "doc_id BIGINT, lang STRING, source STRING, text STRING")
+    val cands = readAccumulated(spark, s"${layout.candidates}/batch_v*",
+      "doc_id BIGINT, prior_doc_id BIGINT, band INT")
+      .select(least(col("doc_id"), col("prior_doc_id")).as("doc1"),
+        greatest(col("doc_id"), col("prior_doc_id")).as("doc2"))
+      .distinct()
+    val verifiedSoFar = readAccumulated(spark, s"${layout.pairs}/cycle_v*",
+      "doc1 BIGINT, doc2 BIGINT, jaccard_pct BIGINT")
+    // pair-grain anti-join: only candidates never verified pay the
+    // exact gram check (the batch-bounded cycle cost)
+    val fresh = cands.join(verifiedSoFar.select("doc1", "doc2"), Seq("doc1", "doc2"), "left_anti")
+    DedupOps.verifyPairsExact(fresh, admitted, "doc_id", col("text"), n, minJaccardPct)
+      .write.mode("overwrite").parquet(s"${layout.pairs}/cycle_v$cycleId")
+    val allPairs = spark.read.parquet(s"${layout.pairs}/cycle_v*")
+    val drops = DedupOps.resolveGroups(allPairs)
+      .where(col("doc_id") =!= col("group_id")).select("doc_id")
+    val kept = readAccumulated(spark, s"${layout.keep}/cycle_v*",
+      "doc_id BIGINT, lang STRING, source STRING, text STRING")
+    val newKeep = admitted
+      .join(drops, Seq("doc_id"), "left_anti")
+      .join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    newKeep.write.mode("overwrite").parquet(s"${layout.keep}/cycle_v$cycleId")
+    spark.read.parquet(s"${layout.keep}/cycle_v$cycleId").count()
+  }
+
+  /** Stage C: block-ownership claims over keeper docs, plus the clean
+    * rebuild — each micro-batch's docs re-cut batch-side and their
+    * OWNED blocks reassembled in para_idx order (the #142 kept-text
+    * formulation; docs stripped to nothing drop out, like the DAG). */
+  def claimsWriter(keepers: DataFrame, layout: Layout,
+                   paraTokens: Int = 20): DataStreamWriter[Row] = {
+    val spark = keepers.sparkSession
+    ParagraphStream.claims(keepers.select("doc_id", "text"), paraTokens)
+      .toDF()
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"${layout.claims}/batch_v$batchId")
+        // doc text re-reads from the WRITTEN keep layer (static; a
+        // streaming frame cannot be referenced inside foreachBatch)
+        val byDoc = spark.read.schema(keepSchema)
+          .parquet(s"${layout.keep}/cycle_v*")
+          .select("doc_id", "lang", "source", "text")
+        val docs = batch.select("doc_id").distinct().join(byDoc, Seq("doc_id"))
+        val blocks = DedupOps.paragraphBlocks(
+          docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__t")),
+          "doc_id", paraTokens)
+        val owned = blocks
+          .join(batch.where(col("owned")).select("doc_id", "para_idx"),
+            Seq("doc_id", "para_idx"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(array_sort(collect_list(
+              struct(col("para_idx").as("i"), col("para").as("p")))),
+              x => x.getField("p")), " ").as("text_clean"))
+        docs.select(col("doc_id"), col("lang"), col("source"),
+          ceil(TextOps.wordCount(col("text")) / lit(paraTokens.toDouble))
+            .cast("long").as("n_paras"))
+          .join(owned, Seq("doc_id"))
+          .where(col("n_kept") >= 1)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_paras"), col("n_kept"), col("text_clean").as("text"))
+          .write.mode("overwrite").parquet(s"${layout.clean}/batch_v$batchId")
+        ()
+      }.option("checkpointLocation", layout.chk("claims"))
+  }
+
+  /** Stage D: the bounded selection ledger over clean docs. */
+  def ledgerWriter(clean: DataFrame, layout: Layout): DataStreamWriter[Row] =
+    SelectionStream.ledger(clean.select("doc_id", "text"))
+      .toDF()
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"${layout.ledger}/batch_v$batchId")
+        ()
+      }.option("checkpointLocation", layout.chk("ledger"))
+
+  /** Derived read: exact per-doc admission verdicts from the
+    * accumulated ledger (threshold closed-form + boundary-stratum
+    * refine — [[SelectionStream.verdicts]]), at the #145 self-budget
+    * (half the seen clean mass). */
+  def selection(spark: SparkSession, layout: Layout): DataFrame = {
+    val cells = SelectionStream.latest(
+      spark.read.parquet(s"${layout.ledger}/batch_v*"))
+    val clean = spark.read.parquet(s"${layout.clean}/batch_v*")
+    SelectionStream.verdicts(
+      clean.select("doc_id", "text"), cells, cells.map(_.token_mass).sum / 2)
+  }
+
+  /** One ingest cycle with the DAG edges enforced: A drains, B drains
+    * over A's admitted files, the keeper step runs, C drains over the
+    * new keepers, D drains over C's clean output. Pass AvailableNow
+    * queries (file sources), exactly like [[MedallionStream.runCycle]]. */
+  def runCycle(
+      startAdmissions: () => org.apache.spark.sql.streaming.StreamingQuery,
+      startCandidates: () => org.apache.spark.sql.streaming.StreamingQuery,
+      keepStep: () => Long,
+      startClaims: () => org.apache.spark.sql.streaming.StreamingQuery,
+      startLedger: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val a = startAdmissions(); a.awaitTermination()
+    val b = startCandidates(); b.awaitTermination()
+    keepStep()
+    val c = startClaims(); c.awaitTermination()
+    val d = startLedger(); d.awaitTermination()
+  }
+}

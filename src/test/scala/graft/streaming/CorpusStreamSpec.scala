@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{CorpusPipelineDag, JobGraph}
+
+/** Composed streaming corpus release (VERDICT r13 item 6): two ingest
+  * cycles through the chained file-source streams must reproduce the
+  * batch [[CorpusPipelineDag]]'s flags, clean and selection layers on
+  * the union of all input — the corpus twin of PipelineStreamSpec's
+  * sales equivalence. */
+class CorpusStreamSpec extends SparkSpec {
+
+  test("two streamed cycles == the batch DAG's flags/clean/selection on the union") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cstream").toString
+    val layout = CorpusStream.Layout(root)
+    val srcDir = s"$root/src_docs"
+
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "text")
+      .persist()
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val mid = ids(ids.length / 2)
+
+    // ascending-id arrival: the precondition under which streaming
+    // first-arrival ownership == the batch min-id rules
+    var cycleId = 0L
+    def cycle(lo: Long, hi: Long): Unit = {
+      docs.where(col("doc_id") > lo && col("doc_id") <= hi)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      cycleId += 1
+      val cid = cycleId
+      CorpusStream.runCycle(
+        () => CorpusStream.admissionsWriter(
+            spark.readStream.schema(CorpusStream.docSchema).parquet(srcDir),
+            layout, srcDir)
+          .trigger(Trigger.AvailableNow()).start(),
+        () => CorpusStream.candidatesWriter(
+            spark.readStream.schema(CorpusStream.admittedSchema)
+              .parquet(s"${layout.admitted}/batch_v*"),
+            layout)
+          .trigger(Trigger.AvailableNow()).start(),
+        () => CorpusStream.materializeKeep(spark, layout, cid),
+        () => CorpusStream.claimsWriter(
+            spark.readStream.schema(CorpusStream.keepSchema)
+              .parquet(s"${layout.keep}/cycle_v*"),
+            layout)
+          .trigger(Trigger.AvailableNow()).start(),
+        () => CorpusStream.ledgerWriter(
+            spark.readStream.schema(CorpusStream.cleanSchema)
+              .parquet(s"${layout.clean}/batch_v*"),
+            layout)
+          .trigger(Trigger.AvailableNow()).start())
+    }
+    cycle(-1L, mid)
+    cycle(mid, Long.MaxValue)
+
+    // the batch DAG over the whole corpus
+    val dagRoot = java.nio.file.Files.createTempDirectory("graft_cstream_dag").toString
+    val lf = CorpusPipelineDag.Layout(dagRoot)
+    val rf = CorpusPipelineDag.run(spark, sf, dagRoot)
+    assert(rf.forall(_.status == JobGraph.Succeeded), rf.map(r => r.id -> r.status).toString)
+
+    def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Set[Seq[Any]] =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+
+    // FLAGS: streamed admissions == the DAG flags layer
+    val flagsCols = Seq("doc_id", "lang", "source", "n_words", "r0", "r1", "r2", "r3")
+    val streamedFlags = spark.read.parquet(s"${layout.admissions}/batch_v*")
+    assert(rows(streamedFlags, flagsCols) == rows(spark.read.parquet(lf.flags), flagsCols),
+      "flags layer")
+
+    // KEEP: accumulated streamed keepers == the DAG keep set
+    val streamedKeep = spark.read.parquet(s"${layout.keep}/cycle_v*")
+    assert(rows(streamedKeep, Seq("doc_id")) ==
+      rows(spark.read.parquet(lf.keep), Seq("doc_id")), "keep set")
+
+    // CLEAN: streamed strip == the DAG clean layer
+    val cleanCols = Seq("doc_id", "lang", "source", "n_paras", "n_kept", "text")
+    val streamedClean = spark.read.parquet(s"${layout.clean}/batch_v*")
+    assert(rows(streamedClean, cleanCols) == rows(spark.read.parquet(lf.clean), cleanCols),
+      "clean layer")
+
+    // SELECTION: derived verdicts == the DAG's selected doc set, and
+    // the ledger is the bounded sufficient statistic (≤ 101 cells)
+    val verdicts = CorpusStream.selection(spark, layout)
+    val admitted = verdicts.where(col("admitted"))
+      .select("doc_id", "quality_score", "n_words")
+    assert(rows(admitted, Seq("doc_id", "quality_score", "n_words")) ==
+      rows(spark.read.parquet(lf.selected), Seq("doc_id", "quality_score", "n_words")),
+      "selection verdicts")
+    val nCells = spark.read.parquet(s"${layout.ledger}/batch_v*")
+      .select("quality_score").distinct().count()
+    assert(nCells <= 101, s"ledger must stay bounded, got $nCells cells")
+
+    docs.unpersist()
+  }
+}
