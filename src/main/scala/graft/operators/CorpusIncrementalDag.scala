@@ -174,7 +174,10 @@ object CorpusIncrementalDag {
     g.add("batch_flags", deps = Seq("watermark_batch"), retries = 1) {
       val (mark, bid, n) = meta()
       if (n == 0) 0L else {
+        // batch-bounded persist: the flags projection feeds the Bloom
+        // count, the anti-join and the written layer — one pass
         val flags = QueriesText.funnelFlags(batchDocs(mark))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val r2h = flags.where(col("r2"))
           .select(col("doc_id"), md5(lower(trim(col("text")))).as("__th"))
         // standing exact-dup index, Bloom-reduced to ~batch size
@@ -187,12 +190,14 @@ object CorpusIncrementalDag {
         val fresh = r2h.join(standing, Seq("__th"), "left_anti")
         val r3set = fresh.groupBy("__th").agg(min("doc_id").as("doc_id"))
           .select(col("doc_id"), lit(true).as("__r3"))
-        write(
+        val written = write(
           flags.select("doc_id", "lang", "source", "n_words", "r0", "r1", "r2")
             .join(r3set, Seq("doc_id"), "left")
             .withColumn("r3", coalesce(col("__r3"), lit(false)))
             .drop("__r3"),
           s"${layout.flags}/batch=$bid")
+        flags.unpersist(blocking = false)
+        written
       }
     }
 

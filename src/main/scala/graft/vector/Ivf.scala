@@ -372,6 +372,44 @@ object Ivf {
     graft.Caching.reap(out)(idx.lists, blocks)
   }
 
+  /** Per-nprobe RECALL telemetry against the exact neighbors — the
+    * tuning table an operator reads before fixing `nprobe` for a
+    * 100 TB deployment (VERDICT r13 stretch item): for each candidate
+    * `nprobe`, what fraction of the true top-k does the plain
+    * list-bounded [[probe]] return on this sampled query set?
+    *
+    * Ground truth comes from [[probeExact]] (triangle-inequality
+    * complete at ANY nprobe — IvfSpec pins its equality with brute
+    * force), so the report needs no quadratic scan. Recall counts
+    * (query, neighbor) ID hits; cosine TIES at the k-th rank can make
+    * an equally-good neighbor register as a miss, so the number is
+    * conservative — the direction a tuning decision wants.
+    *
+    * Output: one row per nprobe — (nprobe, n_queries, top_k, n_hits,
+    * n_truth, recall_permille), recall monotone in nprobe by
+    * construction (spec-pinned). Driver loops over the handful of
+    * candidate nprobes; each iteration is one distributed probe over
+    * the SAMPLED query set, never the corpus². */
+  def recallReport(index: Index, queries: DataFrame, idCol: String, vecCol: String,
+                   topK: Int, nprobes: Seq[Int])(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    val truth = probeExact(index, queries, idCol, vecCol, nprobe = 1, topK = topK)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTruth = truth.count()
+    val nQueries = truth.select("query_id").distinct().count()
+    val rows = nprobes.distinct.sorted.map { np =>
+      val hits = probe(index, queries, idCol, vecCol, nprobe = np, topK = topK)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      (np, nQueries, topK, hits, nTruth,
+        if (nTruth == 0) 1000L else hits * 1000L / nTruth)
+    }
+    truth.unpersist(blocking = false)
+    rows.toDF("nprobe", "n_queries", "top_k", "n_hits", "n_truth", "recall_permille")
+  }
+
   /** Top-k neighbors per query, scanning only `nprobe` lists. */
   def probe(index: Index, queries: DataFrame, idCol: String, vecCol: String,
             nprobe: Int, topK: Int)(implicit s: SparkSession): DataFrame = {

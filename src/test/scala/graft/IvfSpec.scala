@@ -24,6 +24,26 @@ class IvfSpec extends SparkSpec {
     assert(out(1L) == ((1001L, 1.0)))
   }
 
+  test("recallReport: recall is monotone in nprobe and hits 1000 permille at nprobe = k") {
+    val emb = Tables.embeddings(spark, sf)
+    val index = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val qs = emb.where($"vec_id" < 20)
+    val rep = Ivf.recallReport(index, qs, "vec_id", "embedding",
+      topK = 5, nprobes = Seq(1, 2, 4, 8))
+      .orderBy("nprobe")
+      .select($"nprobe", $"n_queries", $"n_hits", $"n_truth", $"recall_permille")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(rep.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    assert(rep.forall(r => r._2 == 20 && r._4 == 100), s"20 queries x top-5 truth: ${rep.toSeq}")
+    // more lists scanned can only move the returned top-k toward the
+    // exact top-k (same tiebreak order on both sides)
+    assert(rep.map(_._5).toSeq == rep.map(_._5).toSeq.sorted,
+      s"recall must be monotone in nprobe: ${rep.toSeq}")
+    assert(rep.last._5 == 1000L,
+      s"scanning all k lists IS the exact scan: ${rep.toSeq}")
+    index.release()
+  }
+
   test("index structure: every vector in exactly one list, k centroids") {
     val emb = Tables.embeddings(spark, sf)
     val index = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 1)
