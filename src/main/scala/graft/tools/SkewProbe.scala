@@ -63,6 +63,10 @@ object SkewProbe {
     println("| query | plain wall s | skew wall s | wall ratio | plain max/mean task | skew max/mean task | skew max task ms |")
     println("|---|---|---|---|---|---|---|")
     queries.foreach { q =>
+      // untimed warmup on BOTH dirs: page cache + JIT must not bill
+      // the plain side (it runs first) — the measured pair below then
+      // compares equally-warm scans
+      run(q, plain); run(q, skew)
       val p = run(q, plain)
       val s = run(q, skew)
       def ratio(st: Stat): String =
