@@ -46,8 +46,13 @@ object DataQuality {
   /** Run a suite: one scan, long-form results (check_name, check_value),
     * plus a `row_count` check. */
   def run(df: DataFrame, suite: Seq[Expectation]): DataFrame = {
+    // coalesce: on an EMPTY frame the sum-based violation aggregates
+    // return NULL, which downstream readers (stack, gate getLong)
+    // reject — an empty input has zero violations by definition (an
+    // all-filtered batch is a legitimate pipeline state, found by the
+    // sf1 incremental rehearsal)
     val aggs = count(lit(1)).as("row_count") +:
-      suite.map(e => e.violations.cast("long").as(e.name))
+      suite.map(e => coalesce(e.violations.cast("long"), lit(0L)).as(e.name))
     val one = df.agg(aggs.head, aggs.tail: _*)
     val names = "row_count" +: suite.map(_.name)
     val stackArgs = names.map(n => s"'$n', `$n`").mkString(", ")

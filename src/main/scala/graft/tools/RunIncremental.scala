@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.functions.col
+
+import graft.GraftSession
+import graft.operators.{CorpusIncrementalDag, CorpusPipelineDag}
+
+/** Drive [[CorpusIncrementalDag]] cycles from the shell — the scale
+  * rehearsal harness for the incremental release path (each arg after
+  * the two dirs is one batch boundary; a final unbounded cycle picks
+  * up the rest).
+  *
+  * Usage: `runMain graft.tools.RunIncremental <sfDir> <root> [upTo...]`
+  * e.g. `runMain graft.tools.RunIncremental /root/repo/testdata_sf1
+  * /tmp/inc_sf1 24999` → batch 1 = doc_id ≤ 24999, batch 2 = rest. */
+object RunIncremental {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RunIncremental <sfDir> <root> [upTo...]")
+    val sfDir = args(0)
+    val root = args(1)
+    val bounds = args.drop(2).map(_.toLong).toSeq :+ Long.MaxValue
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    bounds.zipWithIndex.foreach { case (upTo, i) =>
+      val t0 = System.nanoTime()
+      val reports = CorpusIncrementalDag.run(spark, sfDir, root, upTo)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[cycle ${i + 1}] upTo=$upTo wall=$wall%.1f s")
+      reports.foreach { r =>
+        println(f"[cycle ${i + 1}]   ${r.id}%-22s ${r.status}%-12s ${r.millis / 1000.0}%8.2f s  metric=${r.metric}")
+      }
+    }
+
+    // SPARK_GRAFT_INC_CHECK=1: run the FULL rebuild on the same corpus
+    // and diff the release layers — the spec's equivalence contract
+    // exercised at whatever SF the rehearsal ran (symmetric exceptAll:
+    // both directions must be empty)
+    if (sys.env.get("SPARK_GRAFT_INC_CHECK").contains("1")) {
+      val t0 = System.nanoTime()
+      val fullRoot = s"${root}_full"
+      val rf = CorpusPipelineDag.run(spark, sfDir, fullRoot)
+      println(f"[check] full rebuild wall=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"statuses=${rf.count(_.status == graft.operators.JobGraph.Succeeded)}/${rf.size} ok")
+      val li = CorpusIncrementalDag.Layout(root)
+      val lf = CorpusPipelineDag.Layout(fullRoot)
+      val layers = Seq(
+        ("flags", li.flags, lf.flags,
+          Seq("doc_id", "lang", "source", "n_words", "r0", "r1", "r2", "r3")),
+        ("clean", li.clean, lf.clean,
+          Seq("doc_id", "lang", "source", "n_paras", "n_kept", "text")),
+        ("selected", li.selected, lf.selected,
+          Seq("doc_id", "lang", "source", "quality_score", "n_words", "text")),
+        ("packs", li.packs, lf.packs,
+          Seq("doc_id", "copy_id", "source", "n_words", "pack_id", "pack_offset")),
+        ("pack_payloads", li.packPayloads, lf.packPayloads,
+          Seq("source", "pack_id", "n_docs", "n_tokens", "payload")))
+      layers.foreach { case (name, incPath, fullPath, cols) =>
+        val inc = spark.read.parquet(incPath).select(cols.map(col): _*)
+        val full = spark.read.parquet(fullPath).select(cols.map(col): _*)
+        val missing = full.exceptAll(inc).count()
+        val extra = inc.exceptAll(full).count()
+        val verdict = if (missing == 0 && extra == 0) "OK" else "MISMATCH"
+        println(s"[check] $name: $verdict (missing=$missing extra=$extra rows=${full.count()})")
+      }
+      val retr = spark.read.parquet(li.retractions).count()
+      println(s"[check] retraction ledger: $retr rows" +
+        (if (retr > 0) " — first-arrival divergence, mismatches above are BY CONTRACT" else ""))
+    }
+    spark.stop()
+  }
+}

@@ -66,6 +66,17 @@ class IncrementalSpec extends SparkSpec {
     assert(res("row_count") == 3 && res("not_null_v_violations") == 1 &&
       res("unique_k_violations") == 1 && res("k_positive_violations") == 0)
     assert(!DataQuality.passed(DataQuality.run(dirty, Seq(DataQuality.NotNull("v")))))
+
+    // an EMPTY frame has zero violations by definition (an
+    // all-filtered incremental batch is a legitimate state — the
+    // sum-based aggregates must not surface NULL to the gate)
+    val empty = DataQuality.run(dirty.where($"k" < 0),
+      Seq(DataQuality.NotNull("v"), DataQuality.Unique("k"),
+        DataQuality.Between("k", 0, 10), DataQuality.MatchesRegex("v", "a"),
+        DataQuality.Satisfies("k_positive", $"k" > 0)))
+    assert(DataQuality.passed(empty))
+    assert(graft.operators.JobGraph.gate(empty) == 0L,
+      "the job-graph gate must pass an empty layer, not crash on NULL")
   }
 
   test("normalizeEventTs refuses a non-UTC session for NTZ inputs, accepts UTC aliases") {
