@@ -327,7 +327,11 @@ object CorpusIncrementalDag {
       },
       layout.selected, layout.mixture, layout.splits, layout.packs,
       layout.export, layout.packPayloads,
-      firstDep = Seq("clean_quality_check"), write = write)
+      firstDep = Seq("clean_quality_check"), write = write,
+      // an EMPTY batch leaves the clean layer untouched, and selection
+      // is a pure function of the clean layer — a no-op ingest day
+      // must not pay the corpus-scale selection rebuild
+      skipWhen = () => meta()._3 == 0)
 
     // the watermark advances LAST: a crash anywhere above reruns the
     // same batch into the same partitions and converges

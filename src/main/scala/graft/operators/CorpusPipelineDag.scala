@@ -226,9 +226,20 @@ object CorpusPipelineDag {
       g: JobGraph, s: SparkSession, readClean: () => DataFrame,
       selected: String, mixture: String, splits: String, packs: String,
       export: String, packPayloads: String,
-      firstDep: Seq[String], write: (DataFrame, String) => Long): Seq[String] = {
+      firstDep: Seq[String], write: (DataFrame, String) => Long,
+      skipWhen: () => Boolean = () => false): Seq[String] = {
+    // `skipWhen`: the incremental DAG passes "this batch was empty" —
+    // the standing selection layers are already exactly what a rerun
+    // would produce (selection is a pure function of the clean layer,
+    // which didn't change), so a no-op ingest day must not pay a
+    // corpus-scale selection rebuild. Stages report metric 0 and leave
+    // the layers untouched.
+    def stage(id: String, deps: Seq[String])(body: => Long): Unit = {
+      g.add(id, deps = deps, retries = 1) { if (skipWhen()) 0L else body }
+      ()
+    }
 
-    g.add("token_budget", deps = firstDep, retries = 1) {
+    stage("token_budget", deps = firstDep) {
       val clean = readClean()
       val admitted = QueriesText.tokenBudgetOn(clean.select("doc_id", "text"))
         .where(col("admitted"))
@@ -239,7 +250,7 @@ object CorpusPipelineDag {
         selected)
     }
 
-    g.add("mix_materialize", deps = Seq("token_budget"), retries = 1) {
+    stage("mix_materialize", deps = Seq("token_budget")) {
       // unordered #151: the layer is keyed by (doc_id, copy_id); only
       // the registered query pays the determinism orderBy — here it
       // would be an avoidable corpus-scale range exchange + sort
@@ -248,14 +259,14 @@ object CorpusPipelineDag {
         mixture)
     }
 
-    g.add("train_split", deps = Seq("mix_materialize"), retries = 1) {
+    stage("train_split", deps = Seq("mix_materialize")) {
       write(
         s.read.parquet(mixture)
           .withColumn("split", QueriesText.mdSplit(col("doc_id"))),
         splits)
     }
 
-    g.add("seq_pack", deps = Seq("train_split"), retries = 1) {
+    stage("seq_pack", deps = Seq("train_split")) {
       val train = s.read.parquet(splits).where(col("split") === "train")
       val budget = 2048L
       write(
@@ -274,7 +285,7 @@ object CorpusPipelineDag {
     // row-group min/max prune inside partitions. repartitionByRange +
     // sortWithinPartitions makes the file layout a pure function of
     // the data: a rerun emits the same files (spec-pinned).
-    g.add("export_release", deps = Seq("train_split"), retries = 1) {
+    stage("export_release", deps = Seq("train_split")) {
       val release = s.read.parquet(splits)
         .join(readClean().select("doc_id", "text"), Seq("doc_id"))
         .select("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")
@@ -293,7 +304,7 @@ object CorpusPipelineDag {
     // actual packed sequences (pack_id → concatenated token payload),
     // shared derivation with #153 — offsets reconcile with seq_pack's
     // ledger by construction (same prefix scan)
-    g.add("pack_payloads", deps = Seq("train_split"), retries = 1) {
+    stage("pack_payloads", deps = Seq("train_split")) {
       val train = s.read.parquet(splits).where(col("split") === "train")
         .select("doc_id", "copy_id", "source")
       write(

@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.vector.Ivf
+
+/** Diagnostic main: the [[Ivf.recallReport]] tuning table on real
+  * testdata — what recall each nprobe buys on this corpus's embedding
+  * distribution (near-orthogonal vectors are the HARD case for IVF:
+  * lists barely separate, so low nprobe recall here is a floor, not a
+  * ceiling). Usage: runMain graft.tools.IvfRecallProbe [sfDir] [k] */
+object IvfRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(16)
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val index = Ivf.build(emb, "vec_id", "embedding", k = k, iters = 2)
+    val qs = emb.where(col("vec_id") % 50 === 0) // deterministic 2% sample
+    val rep = Ivf.recallReport(index, qs, "vec_id", "embedding",
+      topK = 10, nprobes = Seq(1, 2, 4, 8, k))
+    println(s"corpus=$dir n=$n lists=$k queries=${qs.count()} topK=10")
+    println("| nprobe | recall_permille | scanned fraction ≈ nprobe/k |")
+    println("|---|---|---|")
+    rep.orderBy("nprobe").collect().foreach { r =>
+      println(f"| ${r.getAs[Int]("nprobe")} | ${r.getAs[Long]("recall_permille")} " +
+        f"| ${r.getAs[Int]("nprobe").toDouble / k}%.2f |")
+    }
+    index.release()
+    spark.stop()
+  }
+}

@@ -97,6 +97,12 @@ class CorpusIncrementalDagSpec extends SparkSpec {
     val r3 = CorpusIncrementalDag.run(spark, sf, incRoot)
     assert(r3.forall(_.status == Succeeded), s"empty: ${r3.map(r => r.id -> r.status)}")
     assert(r3.find(_.id == "watermark_batch").get.metric == 0L, "empty batch detected")
+    // an empty batch must SKIP the corpus-scale selection rebuild
+    // (metric 0 = stage body short-circuited), not rerun it
+    Seq("token_budget", "mix_materialize", "train_split", "seq_pack",
+      "export_release", "pack_payloads").foreach { id =>
+      assert(r3.find(_.id == id).get.metric == 0L, s"$id must no-op on an empty batch")
+    }
     assert(new WatermarkStore(li.marks, CorpusIncrementalDag.bootstrapMark)
       .get(CorpusIncrementalDag.entity).trim.toLong == ids.last, "watermark unchanged")
     assert(rows(li.clean, cleanCols) == rows(lf.clean, cleanCols), "clean unchanged")
