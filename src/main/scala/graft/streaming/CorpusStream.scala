@@ -60,8 +60,8 @@ object CorpusStream {
     val admissions: String = s"$root/admissions"   // batch_v*: the flags layer
     val admitted: String = s"$root/admitted"       // batch_v*: r3 docs with text
     val candidates: String = s"$root/candidates"   // batch_v*: band-collision pairs
-    val pairs: String = s"$root/pairs"             // cycle_v*: exactly-verified pairs
-    val keep: String = s"$root/keep"               // cycle_v*: keeper docs with text
+    val pairs: String = s"$root/pairs"             // cycle=N: exactly-verified pairs
+    val keep: String = s"$root/keep"               // cycle=N: keeper docs with text
     val claims: String = s"$root/claims"           // batch_v*: block claims
     val clean: String = s"$root/clean"             // batch_v*: stripped clean docs
     val ledger: String = s"$root/ledger"           // batch_v*: score-cell updates
@@ -127,7 +127,14 @@ object CorpusStream {
     * not yet verified, append them to the pair layer, resolve the
     * ACCUMULATED pair graph, and emit this cycle's NEW keepers =
     * admitted − drops − already-kept. Never un-keeps (first-arrival;
-    * the bridge caveat above). Returns the new-keeper count. */
+    * the bridge caveat above). Returns the new-keeper count.
+    *
+    * Crash-rerun safety: the pair and keep layers are hive-partitioned
+    * by `cycle=<id>`, and the "already verified"/"already kept" reads
+    * filter `cycle < cycleId` — a rerun of a crashed cycle must not
+    * dedup against ITS OWN torn partition (it would verify nothing
+    * and emit an empty keep set); it overwrites its own partition and
+    * converges instead (the CorpusIncrementalDag standing-read rule). */
   def materializeKeep(spark: SparkSession, layout: Layout, cycleId: Long,
                       minJaccardPct: Int = 50, n: Int = 3): Long = {
     val admitted = readAccumulated(spark, s"${layout.admitted}/batch_v*",
@@ -137,23 +144,25 @@ object CorpusStream {
       .select(least(col("doc_id"), col("prior_doc_id")).as("doc1"),
         greatest(col("doc_id"), col("prior_doc_id")).as("doc2"))
       .distinct()
-    val verifiedSoFar = readAccumulated(spark, s"${layout.pairs}/cycle_v*",
-      "doc1 BIGINT, doc2 BIGINT, jaccard_pct BIGINT")
-    // pair-grain anti-join: only candidates never verified pay the
-    // exact gram check (the batch-bounded cycle cost)
-    val fresh = cands.join(verifiedSoFar.select("doc1", "doc2"), Seq("doc1", "doc2"), "left_anti")
+    val verifiedBefore = readAccumulated(spark, layout.pairs,
+      "doc1 BIGINT, doc2 BIGINT, jaccard_pct BIGINT, cycle BIGINT")
+      .where(col("cycle") < cycleId)
+    // pair-grain anti-join: only candidates never verified in a PRIOR
+    // cycle pay the exact gram check (the batch-bounded cycle cost)
+    val fresh = cands.join(verifiedBefore.select("doc1", "doc2"), Seq("doc1", "doc2"), "left_anti")
     DedupOps.verifyPairsExact(fresh, admitted, "doc_id", col("text"), n, minJaccardPct)
-      .write.mode("overwrite").parquet(s"${layout.pairs}/cycle_v$cycleId")
-    val allPairs = spark.read.parquet(s"${layout.pairs}/cycle_v*")
-    val drops = DedupOps.resolveGroups(allPairs)
+      .write.mode("overwrite").parquet(s"${layout.pairs}/cycle=$cycleId")
+    val allPairs = spark.read.parquet(layout.pairs).where(col("cycle") <= cycleId)
+    val drops = DedupOps.resolveGroups(allPairs.drop("cycle"))
       .where(col("doc_id") =!= col("group_id")).select("doc_id")
-    val kept = readAccumulated(spark, s"${layout.keep}/cycle_v*",
-      "doc_id BIGINT, lang STRING, source STRING, text STRING")
+    val keptBefore = readAccumulated(spark, layout.keep,
+      "doc_id BIGINT, lang STRING, source STRING, text STRING, cycle BIGINT")
+      .where(col("cycle") < cycleId)
     val newKeep = admitted
       .join(drops, Seq("doc_id"), "left_anti")
-      .join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
-    newKeep.write.mode("overwrite").parquet(s"${layout.keep}/cycle_v$cycleId")
-    spark.read.parquet(s"${layout.keep}/cycle_v$cycleId").count()
+      .join(keptBefore.select("doc_id"), Seq("doc_id"), "left_anti")
+    newKeep.write.mode("overwrite").parquet(s"${layout.keep}/cycle=$cycleId")
+    spark.read.parquet(s"${layout.keep}/cycle=$cycleId").count()
   }
 
   /** Stage C: block-ownership claims over keeper docs, plus the clean
@@ -170,7 +179,7 @@ object CorpusStream {
         // doc text re-reads from the WRITTEN keep layer (static; a
         // streaming frame cannot be referenced inside foreachBatch)
         val byDoc = spark.read.schema(keepSchema)
-          .parquet(s"${layout.keep}/cycle_v*")
+          .parquet(s"${layout.keep}/cycle=*")
           .select("doc_id", "lang", "source", "text")
         val docs = batch.select("doc_id").distinct().join(byDoc, Seq("doc_id"))
         val blocks = DedupOps.paragraphBlocks(

@@ -45,7 +45,7 @@ class CorpusStreamSpec extends SparkSpec {
         () => CorpusStream.materializeKeep(spark, layout, cid),
         () => CorpusStream.claimsWriter(
             spark.readStream.schema(CorpusStream.keepSchema)
-              .parquet(s"${layout.keep}/cycle_v*"),
+              .parquet(s"${layout.keep}/cycle=*"),
             layout)
           .trigger(Trigger.AvailableNow()).start(),
         () => CorpusStream.ledgerWriter(
@@ -73,7 +73,7 @@ class CorpusStreamSpec extends SparkSpec {
       "flags layer")
 
     // KEEP: accumulated streamed keepers == the DAG keep set
-    val streamedKeep = spark.read.parquet(s"${layout.keep}/cycle_v*")
+    val streamedKeep = spark.read.parquet(s"${layout.keep}/cycle=*")
     assert(rows(streamedKeep, Seq("doc_id")) ==
       rows(spark.read.parquet(lf.keep), Seq("doc_id")), "keep set")
 
@@ -94,6 +94,19 @@ class CorpusStreamSpec extends SparkSpec {
     val nCells = spark.read.parquet(s"${layout.ledger}/batch_v*")
       .select("quality_score").distinct().count()
     assert(nCells <= 101, s"ledger must stay bounded, got $nCells cells")
+
+    // CRASH-RERUN of the cycle-2 keeper step: the standing reads
+    // filter cycle < 2, so the rerun must not dedup against its own
+    // prior partition (which would re-verify nothing and emit an
+    // EMPTY keep set) — it overwrites its partition and converges
+    val pairsBefore = rows(spark.read.parquet(layout.pairs),
+      Seq("doc1", "doc2", "jaccard_pct"))
+    val keepBefore = rows(streamedKeep, Seq("doc_id"))
+    CorpusStream.materializeKeep(spark, layout, 2L)
+    assert(rows(spark.read.parquet(layout.pairs), Seq("doc1", "doc2", "jaccard_pct")) ==
+      pairsBefore, "pairs layer converges on keeper-step rerun")
+    assert(rows(spark.read.parquet(s"${layout.keep}/cycle=*"), Seq("doc_id")) ==
+      keepBefore, "keep layer converges on keeper-step rerun")
 
     docs.unpersist()
   }
