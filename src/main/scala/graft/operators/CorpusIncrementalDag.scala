@@ -75,6 +75,7 @@ object CorpusIncrementalDag {
     val textHashes: String = s"$root/text_hashes"    // batch=N: fresh exact-dup hashes
     val sigs: String = s"$root/sigs"                 // batch=N: MinHash sigs of r3 survivors
     val pairs: String = s"$root/neardup_pairs"       // batch=N: batch-incident verified pairs
+    val resolved: String = s"$root/neardup_resolved" // batch=N: resolved (doc_id, group_id)
     val keep: String = s"$root/keep"                 // batch=N: batch keepers
     val paraHashes: String = s"$root/para_hashes"    // batch=N: fresh paragraph-block hashes
     val clean: String = s"$root/clean"               // batch=N: stripped clean docs
@@ -105,6 +106,39 @@ object CorpusIncrementalDag {
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(p)) s.read.parquet(path)
     else s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
+  }
+
+  /** Delete per-batch partitions left behind by a CRASHED attempt that
+    * ran with a DIFFERENT `upTo` (advice r14: a crashed wider-upTo
+    * attempt leaves a `batch=<wideId>` partition no narrower rerun
+    * ever overwrites; once the watermark later advances past its doc
+    * ids, its rows would double-count into every standing read). Any
+    * partition with `mark < batchId != bid` is by construction garbage
+    * from an unfinished attempt — the watermark only advances after
+    * ALL layers land, so nothing at `batch > mark` is standing state,
+    * and the current run owns exactly `batch = bid`. Healing runs
+    * before the first layer write, making reruns converge even when
+    * `upTo` shrinks between a crash and its rerun. */
+  private def healTornPartitions(
+      s: SparkSession, layerPaths: Seq[String], mark: Long, bid: Long): Long = {
+    var removed = 0L
+    layerPaths.foreach { layer =>
+      val root = new org.apache.hadoop.fs.Path(layer)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(root)) {
+        fs.listStatus(root).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory && name.startsWith("batch=")) {
+            val id = scala.util.Try(name.stripPrefix("batch=").toLong).toOption
+            if (id.exists(i => i > mark && i != bid)) {
+              fs.delete(st.getPath, true)
+              removed += 1
+            }
+          }
+        }
+      }
+    }
+    removed
   }
 
   /** Standing view of an ID-LESS index layer (text hashes, paragraph
@@ -165,6 +199,14 @@ object CorpusIncrementalDag {
       val st = batchDocs(mark).agg(
         count(lit(1)).as("n"), coalesce(max("doc_id"), lit(mark)).as("mx")).head()
       val (n, bid) = (st.getLong(0), st.getLong(1))
+      // heal BEFORE any layer write: partitions from a crashed attempt
+      // that ran with a different upTo (batch id > mark, != this run's)
+      // are deleted so they can never leak into standing reads after
+      // the watermark advances past their doc ids
+      healTornPartitions(s, Seq(
+        layout.flags, layout.textHashes, layout.sigs, layout.pairs,
+        layout.resolved, layout.keep, layout.paraHashes, layout.clean,
+        layout.retractions), mark, bid)
       import s.implicits._
       Seq((mark, bid, n)).toDF("mark", "batch_id", "n_docs")
         .coalesce(1).write.mode("overwrite").parquet(layout.batchMeta)
@@ -252,12 +294,22 @@ object CorpusIncrementalDag {
       }
     }
 
-    g.add("neardup_resolve", deps = Seq("neardup_pairs"), retries = 1) {
+    // ONE resolution pass per batch (r14 verdict item 2): the iterative
+    // label propagation runs once and lands as a layer; both consumers
+    // (keep derivation, retraction ledger) read the WRITTEN frame
+    g.add("neardup_resolved", deps = Seq("neardup_pairs"), retries = 1) {
+      val (_, bid, n) = meta()
+      if (n == 0) 0L else {
+        write(
+          DedupOps.resolveGroups(s.read.parquet(s"${layout.pairs}/batch=$bid")),
+          s"${layout.resolved}/batch=$bid")
+      }
+    }
+
+    g.add("neardup_resolve", deps = Seq("neardup_resolved"), retries = 1) {
       val (mark, bid, n) = meta()
       if (n == 0) 0L else {
-        val resolved = DedupOps.resolveGroups(
-          s.read.parquet(s"${layout.pairs}/batch=$bid"))
-        val drops = resolved
+        val drops = s.read.parquet(s"${layout.resolved}/batch=$bid")
           .where(col("doc_id") =!= col("group_id") && col("doc_id") > mark)
           .select("doc_id")
         write(
@@ -272,16 +324,15 @@ object CorpusIncrementalDag {
     // FULL rebuild on the union would have dropped (a batch doc
     // bridged their component to a smaller standing keeper). An
     // append-only release cannot retract them — it reports them.
-    g.add("retraction_ledger", deps = Seq("neardup_pairs"), retries = 1) {
+    g.add("retraction_ledger", deps = Seq("neardup_resolved"), retries = 1) {
       val (mark, bid, n) = meta()
       if (n == 0) 0L else {
-        val resolved = DedupOps.resolveGroups(
-          s.read.parquet(s"${layout.pairs}/batch=$bid"))
         val standingKeep = readLayerOr(s, layout.keep,
           "doc_id BIGINT, lang STRING, source STRING, n_words BIGINT")
           .where(col("doc_id") <= mark).select("doc_id")
         write(
-          resolved.where(col("doc_id") =!= col("group_id") && col("doc_id") <= mark)
+          s.read.parquet(s"${layout.resolved}/batch=$bid")
+            .where(col("doc_id") =!= col("group_id") && col("doc_id") <= mark)
             .join(standingKeep, Seq("doc_id"), "left_semi")
             .select("doc_id", "group_id"),
           s"${layout.retractions}/batch=$bid")
@@ -322,7 +373,10 @@ object CorpusIncrementalDag {
     val terminals = CorpusPipelineDag.addSelectionChain(g, s,
       readClean = () => {
         val (_, bid, _) = meta()
-        s.read.parquet(layout.clean).where(col("doc_id") <= bid)
+        // batch <= bid: partition-prunes any torn partition a crashed
+        // wider-upTo attempt might have left (also healed at start)
+        s.read.parquet(layout.clean)
+          .where(col("batch") <= bid && col("doc_id") <= bid)
           .select("doc_id", "lang", "source", "n_paras", "n_kept", "text")
       },
       layout.selected, layout.mixture, layout.splits, layout.packs,
@@ -342,7 +396,13 @@ object CorpusIncrementalDag {
     }
 
     g.add("release_report", deps = Seq("advance_watermark")) {
-      s.read.parquet(layout.packs).count()
+      // a first-ever cycle with an EMPTY batch never ran the selection
+      // chain, so the packs layer may not exist — report a no-op
+      // instead of throwing (mirrors the skipWhen guard)
+      val packsPath = new org.apache.hadoop.fs.Path(layout.packs)
+      val fs = packsPath.getFileSystem(s.sessionState.newHadoopConf())
+      if (meta()._3 == 0 && !fs.exists(packsPath)) 0L
+      else s.read.parquet(layout.packs).count()
     }
     g
   }

@@ -109,6 +109,38 @@ class CorpusIncrementalDagSpec extends SparkSpec {
     assert(rows(li.packs, packCols) == rows(lf.packs, packCols), "packs unchanged")
   }
 
+  test("torn partition from a crashed wider-upTo attempt is healed before the narrower rerun") {
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val mid = ids(ids.length / 2)
+    val mid2 = ids(ids.length * 3 / 4)
+
+    val root = tmp()
+    val li = CorpusIncrementalDag.Layout(root)
+    val r1 = CorpusIncrementalDag.run(spark, sf, root, upTo = mid)
+    assert(r1.forall(_.status == Succeeded), s"batch1: ${r1.map(r => r.id -> r.status)}")
+
+    // simulate a crashed WIDER attempt (upTo = ids.last) that landed a
+    // clean partition before dying: batch id ids.last > the narrower
+    // rerun's bid (mid2), so without healing its rows pass every
+    // doc_id filter once the watermark advances past them
+    val wideBid = ids.last
+    spark.read.parquet(s"${li.clean}/batch=$mid")
+      .write.mode("overwrite").parquet(s"${li.clean}/batch=$wideBid")
+
+    val r2 = CorpusIncrementalDag.run(spark, sf, root, upTo = mid2)
+    assert(r2.forall(_.status == Succeeded), s"batch2: ${r2.map(r => r.id -> r.status)}")
+
+    val fs = new org.apache.hadoop.fs.Path(li.clean)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${li.clean}/batch=$wideBid")),
+      "healing must delete the torn wider-upTo partition")
+    // no doc appears twice across clean batch partitions
+    val dups = spark.read.parquet(li.clean)
+      .groupBy("doc_id").count().where(col("count") > 1).count()
+    assert(dups == 0L, "clean layer must hold each doc at most once after healing")
+  }
+
   test("gated cross-corpus probe == ungated probe (Bloom adds no misses), on a clone corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
