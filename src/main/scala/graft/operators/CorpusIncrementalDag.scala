@@ -32,8 +32,14 @@ import graft.text.{BloomDedup, DedupOps}
   * id, i.e. the earliest arrival. So processing batch k sees exactly
   * the state the full rebuild's min-rules would consult, and the
   * incremental layers equal [[CorpusPipelineDag]]'s full rebuild on
-  * the union (CorpusIncrementalDagSpec pins it layer by layer), with
-  * ONE documented exception: a new batch can BRIDGE two standing
+  * the union (CorpusIncrementalDagSpec pins it layer by layer).
+  * SKETCH IDENTITY backs that equality (ADVICE r14): this path's
+  * candidates come from MinHash banding (k=48, bands=24 — the only
+  * sketch with a standing cross-probe), and [[CorpusPipelineDag]]
+  * pins the SAME generator (`sketchRoute = "minhash"`), so the two
+  * DAGs can only differ where exact verification differs — never
+  * through independent sketch-recall channels. ONE documented
+  * exception remains: a new batch can BRIDGE two standing
   * near-dup components (doc C near-dup of standing keepers A and B;
   * a full rebuild would merge the component and drop B). An
   * append-only release cannot retract B, so the run reports such

@@ -108,11 +108,32 @@ object CorpusPipelineDag {
     DataQuality.Satisfies("kept_blocks_positive", col("n_kept") >= 1))
 
   /** Build the job graph. `cleanSuite` is the quality gate's
-    * expectation set (tests drive the failure path through it). */
+    * expectation set (tests drive the failure path through it).
+    *
+    * `sketchRoute` (default "minhash") pins the near-dup candidate
+    * generator. The DAG pins MinHash rather than inheriting the #24
+    * adaptive router (ADVICE r14): [[CorpusIncrementalDag]]'s standing
+    * signature index is MinHash by necessity (SimHash has no standing
+    * cross-probe), and the two DAGs' layer-by-layer equality contract
+    * must be SKETCH-IDENTICAL — two sketches have independent
+    * probabilistic recall, so equality across different generators
+    * would hold only until one sketch misses a true pair the other
+    * finds. At 100 TB the adaptive router cuts over to MinHash anyway
+    * (~33k docs at the defaults); the pin only changes small-corpus
+    * runs, where the banding cost difference is immaterial. Pass
+    * "adaptive" to restore routing (standalone full rebuilds that
+    * never feed an incremental twin).
+    *
+    * `boilerGuardPermille` arms the boilerplate-before-banding guard
+    * on the near-dup stage (warn-only here — the DAG strips paragraphs
+    * AFTER dedup by design, so the guard surfaces the one input shape
+    * where that order breaks the banding contract's cost bound). */
   def build(
       s: SparkSession, sfDir: String, layout: Layout,
       cleanSuite: Seq[DataQuality.Expectation] = defaultCleanSuite,
-      auditReadBack: Boolean = false
+      auditReadBack: Boolean = false,
+      sketchRoute: String = "minhash",
+      boilerGuardPermille: Int = 150
   ): JobGraph = {
     val g = new JobGraph()
     def docs: DataFrame = Tables.documents(s, sfDir)
@@ -161,7 +182,9 @@ object CorpusPipelineDag {
           // bump forces re-certification on an unchanged corpus
           budgetKey = Some(DedupOps.snapshotKey(s"$sfDir/documents.parquet") +
             s"|r3|${QueriesText.funnelRulesVersion}"),
-          budgetStore = Some(DedupOps.defaultBudgetStore)),
+          budgetStore = Some(DedupOps.defaultBudgetStore),
+          route = sketchRoute,
+          boilerGuardPermille = boilerGuardPermille),
         layout.pairs)
     }
 

@@ -22,6 +22,56 @@ import org.apache.spark.sql.expressions.Window
   *  - All similarity decisions use exact integer arithmetic.
   */
 object DedupOps {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Corpus-wide permille of word-n-gram POSITIONS covered by high-df
+    * grams (df ≥ max(5, 1% of docs) — the #83 boilerplate rule) — the
+    * cheap pre-check behind the boilerplate-before-banding guard. One
+    * (gram, doc)-keyed aggregate with map-side combine, one gram-grain
+    * re-aggregation, one 1-row total; never a pair join. */
+  def boilerplateCoveragePermille(
+      docs: DataFrame, id: String, text: Column, n: Int, nDocs: Long): Long = {
+    if (nDocs == 0L) return 0L
+    val perDoc = wordGramHashesAll(docs, id, text, n)
+      .groupBy(col("gram"), col(id)).agg(count(lit(1)).as("__c"))
+    val byGram = perDoc.groupBy("gram")
+      .agg(count(lit(1)).as("__df"), sum(col("__c")).as("__pos"))
+    val dfThr = math.max(5L, (nDocs + 99L) / 100L)
+    val r = byGram.agg(
+      coalesce(sum(col("__pos")), lit(0L)).as("__tot"),
+      coalesce(sum(when(col("__df") >= dfThr, col("__pos")).otherwise(0L)), lit(0L))
+        .as("__boiler")).head()
+    val (tot, boiler) = (r.getLong(0), r.getLong(1))
+    if (tot == 0L) 0L else boiler * 1000L / tot
+  }
+
+  /** Sketch-input view with UNIVERSAL paragraph blocks removed: each
+    * doc re-cut into `paraTokens`-token blocks (#142's grain), blocks
+    * whose block-hash df ≥ `dfPermille` of the corpus dropped, the
+    * rest reassembled in block order as `__stext`. The universal set
+    * is tiny by construction (df ≥ half the docs) and broadcasts.
+    * Docs consisting ONLY of universal blocks drop out — they carry
+    * no content signal for a similarity sketch (their exact-dup
+    * handling lives upstream). SKETCH input only: callers verify
+    * candidates against the original text. */
+  private[graft] def stripUniversalBlocksForSketch(
+      docs: DataFrame, id: String, text: Column, nDocs: Long,
+      paraTokens: Int = 20, dfPermille: Int = 500): DataFrame = {
+    val toks = docs.select(col(id), TextOps.tokens(text).as("__t"))
+    val blocks = paragraphBlocks(toks, id, paraTokens)
+      .select(col(id), col("para_idx"), col("para"), md5(col("para")).as("__bh"))
+    val universal = blocks.select(col(id), col("__bh")).distinct()
+      .groupBy("__bh").agg(count(lit(1)).as("__df"))
+      .where(col("__df") * 1000L >= lit(nDocs) * lit(dfPermille.toLong))
+      .select("__bh")
+    blocks
+      .join(broadcast(universal), Seq("__bh"), "left_anti")
+      .groupBy(col(id))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("para_idx").as("i"), col("para").as("p")))),
+        x => x.getField("p")), " ").as("__stext"))
+  }
+
   /** Exact duplicate groups by normalized text: one row per distinct
     * text with the keeper (min id) and the multiplicity. */
   def exactGroups(docs: DataFrame, id: String, text: Column): DataFrame =
@@ -701,25 +751,75 @@ object DedupOps {
     * `budgetStore` points at an on-disk certificate directory
     * ([[saveBudget]]/[[loadBudget]]) so certificates survive driver
     * restarts — pair it with a [[snapshotKey]]-fingerprinted
-    * `budgetKey` so a mutated corpus can never reuse one. */
+    * `budgetKey` so a mutated corpus can never reuse one.
+    *
+    * `route` pins the candidate generator: "adaptive" (default) keeps
+    * the pre-gate-bound routing above; "minhash" forces the floor-free
+    * MinHash branch regardless of corpus size. The pinned route exists
+    * for twin contracts — [[graft.operators.CorpusIncrementalDag]]'s
+    * standing signature index is MinHash, so its full-rebuild
+    * equivalence target must sketch with the SAME generator (two
+    * sketches have independent probabilistic recall; equality claimed
+    * across different sketches would be recall-coincidental).
+    *
+    * `boilerGuardPermille` > 0 arms the boilerplate-before-banding
+    * guard: a universal banner (one block on ~all docs) pushes every
+    * pairwise est-sim toward the banding threshold, and band-collision
+    * volume stops being true-pair-driven — the one input shape that
+    * breaks the banding contract SILENTLY (wall time blows up, answers
+    * stay right). The guard measures corpus gram coverage by high-df
+    * grams ([[boilerplateCoveragePermille]]) and, at or above the
+    * bound, WARNS via the `boiler_coverage` observe metric + log.
+    * With `boilerStripForSketch` it additionally removes UNIVERSAL
+    * blocks (df ≥ half the docs, [[stripUniversalBlocksForSketch]])
+    * from the SKETCH input only — candidate volume returns to
+    * content-similarity-driven. Contract change, stated: pairs whose
+    * similarity lives ONLY in universal boilerplate are then not
+    * candidates (by design — those are banner matches, not content
+    * dups); verification stays exact on the ORIGINAL text. */
   def nearDupPairsAdaptive(
       docs: DataFrame, id: String, text: Column, n: Int, minJaccardPct: Int,
       candBudgetPerDoc: Long = 2048,
       simhashBands: Int = 16, simhashTables: Int = 2, hammingCap: Int = 31,
       minhashK: Int = 48, minhashBands: Int = 24, minhashMinEst: Double = 0.25,
       hammingBudget: Option[Int] = None, budgetKey: Option[String] = None,
-      marginMinPairs: Long = 12, budgetStore: Option[String] = None): DataFrame = {
+      marginMinPairs: Long = 12, budgetStore: Option[String] = None,
+      route: String = "adaptive",
+      boilerGuardPermille: Int = 0, boilerStripForSketch: Boolean = false): DataFrame = {
+    require(route == "adaptive" || route == "minhash",
+      s"nearDupPairsAdaptive: unknown route '$route' (adaptive | minhash)")
     // one cheap count (parquet row-group stats) sizes the decision
     val nDocs = docs.count()
+    // boilerplate-before-banding guard (one gram-grain aggregate;
+    // armed only when the caller sets a bound)
+    val boilerCov =
+      if (boilerGuardPermille > 0) boilerplateCoveragePermille(docs, id, text, n, nDocs)
+      else -1L
+    val guardFired = boilerGuardPermille > 0 && boilerCov >= boilerGuardPermille
+    if (guardFired) log.warn(
+      s"nearDupPairsAdaptive: high-df boilerplate covers $boilerCov permille of gram " +
+        s"positions (bound $boilerGuardPermille) — banding candidate volume is " +
+        s"boilerplate-driven; ${if (boilerStripForSketch) "sketching on universal-block-stripped text"
+        else "consider boilerStripForSketch or a paragraph strip before dedup"}")
+    // sketch input: original text, or the universal-block-stripped
+    // view when the armed guard fired (verification below ALWAYS
+    // reads the original docs — the decision contract is unchanged)
+    val sketchDocs =
+      if (guardFired && boilerStripForSketch)
+        stripUniversalBlocksForSketch(docs, id, text, nDocs)
+      else docs.select(col(id), text.as("__stext"))
+    def withGuardMetric(df: DataFrame): DataFrame =
+      if (boilerGuardPermille > 0)
+        df.observe("boiler_coverage", max(lit(boilerCov)).as("n")) else df
     val preGate = simhashPreGateBound(nDocs, simhashBands, simhashTables)
-    if (preGate > candBudgetPerDoc.toDouble * nDocs) {
+    if (route == "minhash" || preGate > candBudgetPerDoc.toDouble * nDocs) {
       // floor-free route: MinHash band keys collide on similarity,
       // not keyspace exhaustion — candidate volume stays linear in
       // true-pair density at any corpus size
-      val sigs = minhashSignaturesNative(docs, id, text, n, minhashK)
+      val sigs = minhashSignaturesNative(sketchDocs, id, col("__stext"), n, minhashK)
       val cands = minhashLshPairs(sigs, id, minhashK, minhashBands, minhashMinEst)
-      verifyPairsExact(cands, docs, id, text, n, minJaccardPct)
-        .observe("route_minhash", max(lit(1L)).as("n"))
+      withGuardMetric(verifyPairsExact(cands, docs, id, text, n, minJaccardPct)
+        .observe("route_minhash", max(lit(1L)).as("n")))
     } else {
       val memoKey = budgetKey.map(k => budgetMemoKey(k, nDocs, n,
         minJaccardPct, simhashBands, simhashTables, hammingCap))
@@ -729,7 +829,7 @@ object DedupOps {
           k <- memoKey; d <- budgetStore; b <- loadBudget(d, k, hammingCap)
         } yield { budgetMemo.put(k, b); b }) // disk certificate seeds the memo
       val gate = known.getOrElse(hammingCap)
-      val cands = simhashPairs128(simhashGrams128(docs, id, text, n), id,
+      val cands = simhashPairs128(simhashGrams128(sketchDocs, id, col("__stext"), n), id,
         maxDist = gate, bands = simhashBands, tables = simhashTables)
       val verified = verifyPairsExact(cands, docs, id, text, n, minJaccardPct)
       val out =
@@ -753,8 +853,8 @@ object DedupOps {
         } else verified
       // max() metrics: idempotent under a Sort's sampling-pass
       // double-fire, so callers may orderBy above them
-      out.observe("route_minhash", max(lit(0L)).as("n"))
-        .observe("hamming_gate", max(lit(gate.toLong)).as("n"))
+      withGuardMetric(out.observe("route_minhash", max(lit(0L)).as("n"))
+        .observe("hamming_gate", max(lit(gate.toLong)).as("n")))
     }
   }
 
