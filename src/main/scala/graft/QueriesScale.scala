@@ -159,12 +159,27 @@ object QueriesScale {
   /** Core payload packer over a (doc_id, copy_id, source, text)
     * ledger — shared by #153 and the corpus DAGs' `pack_payloads`
     * stage (one derivation, bit-identical shards). Emits
-    * (source, pack_id, n_docs, n_tokens, payload). */
-  private[graft] def packPayloadsOn(ledger: DataFrame, budget: Long = 2048L): DataFrame = {
+    * (source, pack_id, n_docs, n_tokens, payload).
+    *
+    * `tokBase` ((source, tok_base), broadcast) shifts each source's
+    * token axis — the incremental delta path packs ONE batch's
+    * additions starting at the standing high-water pack boundary
+    * (tok_base = next free pack id × budget), so delta shards never
+    * collide with standing pack ids. Boundaries align because
+    * tok_base is a multiple of the budget: shifted packing ==
+    * unshifted packing of the same rows with pack_id += base. */
+  private[graft] def packPayloadsOn(ledger: DataFrame, budget: Long = 2048L,
+      tokBase: Option[DataFrame] = None): DataFrame = {
     val toks = ledger.select(col("doc_id"), col("copy_id"), col("source"),
       TextOps.wordCount(col("text")).cast("long").as("n_words"))
-    val pre = graft.operators.ScanOps.exclusivePrefixSum(
+    val pre0 = graft.operators.ScanOps.exclusivePrefixSum(
       toks, Seq("source"), Seq("doc_id", "copy_id"), col("n_words"), "tok_before")
+    val pre = tokBase match {
+      case None => pre0
+      case Some(b) => pre0.join(broadcast(b), Seq("source"), "left")
+        .withColumn("tok_before", col("tok_before") + coalesce(col("tok_base"), lit(0L)))
+        .drop("tok_base")
+    }
     val spanned = pre
       .join(ledger.select("doc_id", "copy_id", "source", "text"),
         Seq("doc_id", "copy_id", "source"))

@@ -1162,6 +1162,22 @@ object QueriesText {
       .select(col("doc_id"), col("lang"), col("source"),
         TextOps.wordCount(t).cast("long").as("n_words"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = mixCopiesFromBase(base)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+    Caching.reap(out)(base)
+  }
+
+  /** The #151 allocation at the PRE-EXPLODE grain: per-doc target copy
+    * counts over a NARROW (doc_id, lang, source, n_words) base — the
+    * single derivation behind [[mixMaterializeRaw]] (which feeds it
+    * the tokenized corpus) and the incremental selection delta
+    * ([[graft.operators.CorpusSelectionDelta]], which feeds it the
+    * standing narrow doc index — NO text scan). Emits the base
+    * columns + `n_copies` (> 0 rows only); copies are 1..n_copies per
+    * doc, so two callers of this function agree on the exact
+    * (doc_id, copy_id) set by construction. */
+  private[graft] def mixCopiesFromBase(base: DataFrame): DataFrame = {
     val cells = base.groupBy(col("lang"), col("source"))
       .agg(sum(col("n_words")).as("cap_tokens"))
     val ledger = waterFill(cells, col("cap_tokens") * 4L)
@@ -1170,13 +1186,11 @@ object QueriesText {
         pmod(col("allocated_tokens"), col("cap_tokens")).as("__rem"))
     val pre = graft.operators.ScanOps
       .exclusivePrefixSum(base, Seq("lang", "source"), Seq("doc_id"), col("n_words"), "__cum")
-    val out = pre.join(broadcast(ledger), Seq("lang", "source"))
+    pre.join(broadcast(ledger), Seq("lang", "source"))
       .withColumn("n_copies", col("__whole") +
         when(col("__cum") + col("n_words") <= col("__rem"), 1L).otherwise(0L))
       .where(col("n_copies") > 0)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
-        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
-    Caching.reap(out)(base)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_words"), col("n_copies"))
   }
 
   /** #91 pairwise source overlap: exact 3-gram Jaccard between every

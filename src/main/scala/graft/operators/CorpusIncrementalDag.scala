@@ -93,7 +93,32 @@ object CorpusIncrementalDag {
     val packs: String = s"$root/packs"
     val export: String = s"$root/export"             // global refresh: release artifact
     val packPayloads: String = s"$root/pack_payloads"
+    val rebuildFlag: String = s"$root/rebuild_flag"  // batch=N: ReleasePolicy verdicts
     val marks: String = s"$root/marks"               // WatermarkStore dir
+  }
+
+  /** The rebuild-scheduling policy (VERDICT r14 item 4): the two
+    * honesty ledgers this operator emits — near-dup RETRACTIONS
+    * (standing keepers a full rebuild would have dropped; bridge
+    * merges) and, on the delta selection path, pack TOMBSTONES (dead
+    * tokens inside standing shards) — previously reported and nothing
+    * consumed them. The policy turns them into an action: when either
+    * crosses its bound, the batch writes a `rebuild_flag` row, and
+    * [[rebuildRequested]] tells the scheduler (RunIncremental, or a
+    * real orchestrator's branch operator) to run a full-rebuild
+    * COMPACTION cycle instead of the next incremental one. Defaults:
+    * any retraction flags (first-arrival drift is a correctness-shaped
+    * debt), dead tokens flag at 10% (a storage/efficiency debt). */
+  final case class ReleasePolicy(
+      maxRetractions: Long = 0L,
+      maxDeadTokenPermille: Long = 100L)
+
+  /** True when any batch has raised a rebuild flag (cleared by a
+    * compaction deleting the flag layer). */
+  def rebuildRequested(s: SparkSession, layout: Layout): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(layout.rebuildFlag)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.exists(p) && !s.read.parquet(layout.rebuildFlag).isEmpty
   }
 
   /** Watermark entity name and zero-padded numeric encoding (the
@@ -167,13 +192,32 @@ object CorpusIncrementalDag {
 
   /** Build the incremental job graph. `upTo` bounds the batch
     * (`mark < doc_id <= upTo`) — the "process up to ingest time T"
-    * knob a scheduled daily run uses; default = everything new. */
+    * knob a scheduled daily run uses; default = everything new.
+    *
+    * `selection` picks the refresh posture after the dedup layers:
+    *   - "rebuild" — re-run the full selection chain over the whole
+    *     clean layer (bit-identical release every batch, including
+    *     pack ids; the compaction mode, and the small-corpus default);
+    *   - "delta" — [[CorpusSelectionDelta]]: the admission cut from
+    *     the ≤101-cell ledger + one boundary-interval re-read of the
+    *     NARROW doc index, emitting add/drop patches and per-batch
+    *     pack/export/payload shards with tombstones. Batch-
+    *     proportional where rebuild is corpus-proportional — the
+    *     daily-100 TB posture; views equal the rebuild exactly except
+    *     pack-id numbering (content-equal, spec-pinned).
+    *
+    * `policy` is evaluated every batch in BOTH modes (see
+    * [[ReleasePolicy]]); a violated bound writes `rebuild_flag`. */
   def build(
       s: SparkSession, sfDir: String, layout: Layout,
       upTo: Long = Long.MaxValue,
       cleanSuite: Seq[DataQuality.Expectation] = CorpusPipelineDag.defaultCleanSuite,
-      auditReadBack: Boolean = false
+      auditReadBack: Boolean = false,
+      selection: String = "rebuild",
+      policy: ReleasePolicy = ReleasePolicy()
   ): JobGraph = {
+    require(selection == "rebuild" || selection == "delta",
+      s"CorpusIncrementalDag: unknown selection mode '$selection' (rebuild | delta)")
     val g = new JobGraph()
     val store = new WatermarkStore(layout.marks, defaultMark = bootstrapMark)
     def docs: DataFrame = Tables.documents(s, sfDir)
@@ -212,7 +256,8 @@ object CorpusIncrementalDag {
       healTornPartitions(s, Seq(
         layout.flags, layout.textHashes, layout.sigs, layout.pairs,
         layout.resolved, layout.keep, layout.paraHashes, layout.clean,
-        layout.retractions), mark, bid)
+        layout.retractions, layout.rebuildFlag) ++
+        CorpusSelectionDelta.Layers(layout.root).all, mark, bid)
       import s.implicits._
       Seq((mark, bid, n)).toDF("mark", "batch_id", "n_docs")
         .coalesce(1).write.mode("overwrite").parquet(layout.batchMeta)
@@ -373,42 +418,100 @@ object CorpusIncrementalDag {
         s.read.parquet(s"${layout.clean}/batch=$bid"), cleanSuite))
     }
 
-    // global selection refresh over the FULL clean layer — shared
-    // derivation with the full-rebuild DAG (one function, bit-equal
-    // outputs on equal clean content)
-    val terminals = CorpusPipelineDag.addSelectionChain(g, s,
-      readClean = () => {
-        val (_, bid, _) = meta()
-        // batch <= bid: partition-prunes any torn partition a crashed
-        // wider-upTo attempt might have left (also healed at start)
-        s.read.parquet(layout.clean)
-          .where(col("batch") <= bid && col("doc_id") <= bid)
-          .select("doc_id", "lang", "source", "n_paras", "n_kept", "text")
-      },
-      layout.selected, layout.mixture, layout.splits, layout.packs,
-      layout.export, layout.packPayloads,
-      firstDep = Seq("clean_quality_check"), write = write,
-      // an EMPTY batch leaves the clean layer untouched, and selection
-      // is a pure function of the clean layer — a no-op ingest day
-      // must not pay the corpus-scale selection rebuild
-      skipWhen = () => meta()._3 == 0)
+    val deltaLayers = CorpusSelectionDelta.Layers(layout.root)
+    val terminals =
+      if (selection == "delta")
+        // batch-proportional refresh: admission delta from the cell
+        // ledger + narrow-index interval re-read, patch layers with
+        // tombstones (CorpusSelectionDelta's contract)
+        CorpusSelectionDelta.addDeltaChain(g, s, deltaLayers,
+          meta = () => meta(),
+          readCleanBatch = () => {
+            val (_, bid, _) = meta()
+            s.read.parquet(s"${layout.clean}/batch=$bid")
+          },
+          readCleanStanding = () => {
+            val (mark, _, _) = meta()
+            s.read.parquet(layout.clean)
+              .where(col("batch") <= mark && col("doc_id") <= mark)
+          },
+          firstDep = Seq("clean_quality_check"), write = write)
+      else
+        // global selection refresh over the FULL clean layer — shared
+        // derivation with the full-rebuild DAG (one function, bit-equal
+        // outputs on equal clean content)
+        CorpusPipelineDag.addSelectionChain(g, s,
+          readClean = () => {
+            val (_, bid, _) = meta()
+            // batch <= bid: partition-prunes any torn partition a crashed
+            // wider-upTo attempt might have left (also healed at start)
+            s.read.parquet(layout.clean)
+              .where(col("batch") <= bid && col("doc_id") <= bid)
+              .select("doc_id", "lang", "source", "n_paras", "n_kept", "text")
+          },
+          layout.selected, layout.mixture, layout.splits, layout.packs,
+          layout.export, layout.packPayloads,
+          firstDep = Seq("clean_quality_check"), write = write,
+          // an EMPTY batch leaves the clean layer untouched, and selection
+          // is a pure function of the clean layer — a no-op ingest day
+          // must not pay the corpus-scale selection rebuild
+          skipWhen = () => meta()._3 == 0)
+
+    // the policy gate: consume the honesty ledgers (retractions; dead
+    // pack tokens on the delta path) and flag a full-rebuild
+    // compaction when a bound is crossed — part of the batch
+    // transaction, so the watermark never advances past an
+    // unevaluated policy
+    g.add("release_policy", deps = terminals :+ "retraction_ledger") {
+      val (_, bid, n) = meta()
+      if (n == 0) 0L else {
+        val nRetr = readLayerOr(s, layout.retractions,
+          "doc_id BIGINT, group_id BIGINT, batch BIGINT")
+          .where(col("batch") === bid).count()
+        val flags = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        if (nRetr > policy.maxRetractions)
+          flags += (("retractions", nRetr, policy.maxRetractions))
+        if (selection == "delta") {
+          val packed = readLayerOr(s, deltaLayers.packsDelta,
+            "doc_id BIGINT, n_words BIGINT, batch BIGINT")
+            .where(col("batch") <= bid)
+            .agg(coalesce(sum("n_words"), lit(0L))).head().getLong(0)
+          val dead = readLayerOr(s, deltaLayers.packTombs,
+            "doc_id BIGINT, n_words BIGINT, batch BIGINT")
+            .where(col("batch") <= bid)
+            .agg(coalesce(sum("n_words"), lit(0L))).head().getLong(0)
+          val permille = if (packed > 0L) dead * 1000L / packed else 0L
+          if (permille > policy.maxDeadTokenPermille)
+            flags += (("dead_tokens", permille, policy.maxDeadTokenPermille))
+        }
+        import s.implicits._
+        flags.toSeq.toDF("reason", "metric", "bound")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${layout.rebuildFlag}/batch=$bid")
+        flags.size.toLong
+      }
+    }
 
     // the watermark advances LAST: a crash anywhere above reruns the
     // same batch into the same partitions and converges
-    g.add("advance_watermark", deps = terminals ++ Seq("retraction_ledger", "index_text_hashes")) {
+    g.add("advance_watermark",
+      deps = terminals ++ Seq("release_policy", "retraction_ledger", "index_text_hashes")) {
       val (_, bid, n) = meta()
       if (n > 0) store.update(entity, pad(bid))
       bid
     }
 
     g.add("release_report", deps = Seq("advance_watermark")) {
-      // a first-ever cycle with an EMPTY batch never ran the selection
-      // chain, so the packs layer may not exist — report a no-op
-      // instead of throwing (mirrors the skipWhen guard)
-      val packsPath = new org.apache.hadoop.fs.Path(layout.packs)
-      val fs = packsPath.getFileSystem(s.sessionState.newHadoopConf())
-      if (meta()._3 == 0 && !fs.exists(packsPath)) 0L
-      else s.read.parquet(layout.packs).count()
+      if (selection == "delta") CorpusSelectionDelta.packsLive(s, deltaLayers).count()
+      else {
+        // a first-ever cycle with an EMPTY batch never ran the selection
+        // chain, so the packs layer may not exist — report a no-op
+        // instead of throwing (mirrors the skipWhen guard)
+        val packsPath = new org.apache.hadoop.fs.Path(layout.packs)
+        val fs = packsPath.getFileSystem(s.sessionState.newHadoopConf())
+        if (meta()._3 == 0 && !fs.exists(packsPath)) 0L
+        else s.read.parquet(layout.packs).count()
+      }
     }
     g
   }
@@ -417,4 +520,10 @@ object CorpusIncrementalDag {
   def run(s: SparkSession, sfDir: String, root: String,
           upTo: Long = Long.MaxValue): Seq[JobGraph.JobReport] =
     build(s, sfDir, Layout(root), upTo).run()
+
+  /** One DELTA-selection cycle (the batch-proportional daily posture). */
+  def runDelta(s: SparkSession, sfDir: String, root: String,
+               upTo: Long = Long.MaxValue,
+               policy: ReleasePolicy = ReleasePolicy()): Seq[JobGraph.JobReport] =
+    build(s, sfDir, Layout(root), upTo, selection = "delta", policy = policy).run()
 }

@@ -9,7 +9,12 @@ import graft.vector.Ivf
   * testdata — what recall each nprobe buys on this corpus's embedding
   * distribution (near-orthogonal vectors are the HARD case for IVF:
   * lists barely separate, so low nprobe recall here is a floor, not a
-  * ceiling). Usage: runMain graft.tools.IvfRecallProbe [sfDir] [k] */
+  * ceiling). Pass `clustered[:n[:dim[:clusters]]]` as the first arg to
+  * run on [[MakeClustered]]'s deterministic clustered twin instead —
+  * the distribution IVF exists for; the two tables together are the
+  * operator's honest tuning input (recall ≈ scan fraction on the
+  * orthogonal floor, recall ≫ scan fraction when lists carry signal).
+  * Usage: runMain graft.tools.IvfRecallProbe [sfDir|clustered[:n:dim:c]] [k] */
 object IvfRecallProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -17,7 +22,15 @@ object IvfRecallProbe {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     implicit val s: org.apache.spark.sql.SparkSession = spark
     spark.sparkContext.setLogLevel("WARN")
-    val emb = Tables.embeddings(spark, dir)
+    val emb =
+      if (dir.startsWith("clustered")) {
+        val p = dir.split(":")
+        MakeClustered.frame(spark,
+          n = p.lift(1).map(_.toLong).getOrElse(20000L),
+          dim = p.lift(2).map(_.toInt).getOrElse(64),
+          clusters = p.lift(3).map(_.toInt).getOrElse(16))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else Tables.embeddings(spark, dir)
     val n = emb.count()
     val index = Ivf.build(emb, "vec_id", "embedding", k = k, iters = 2)
     val qs = emb.where(col("vec_id") % 50 === 0) // deterministic 2% sample

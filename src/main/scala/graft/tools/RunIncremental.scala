@@ -12,19 +12,29 @@ import graft.operators.{CorpusIncrementalDag, CorpusPipelineDag}
   *
   * Usage: `runMain graft.tools.RunIncremental <sfDir> <root> [upTo...]`
   * e.g. `runMain graft.tools.RunIncremental /root/repo/testdata_sf1
-  * /tmp/inc_sf1 24999` → batch 1 = doc_id ≤ 24999, batch 2 = rest. */
+  * /tmp/inc_sf1 24999` → batch 1 = doc_id ≤ 24999, batch 2 = rest.
+  *
+  * `SPARK_GRAFT_INC_MODE=delta` runs the [[CorpusSelectionDelta]]
+  * selection path instead of the per-batch full rebuild — the
+  * rehearsal that shows the selection chain's cycle wall dropping to
+  * batch-proportional; the equivalence check then compares the delta
+  * VIEWS against the full rebuild (packs content-equal, ids
+  * batch-sequential by design). */
 object RunIncremental {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: RunIncremental <sfDir> <root> [upTo...]")
     val sfDir = args(0)
     val root = args(1)
+    val delta = sys.env.get("SPARK_GRAFT_INC_MODE").contains("delta")
     val bounds = args.drop(2).map(_.toLong).toSeq :+ Long.MaxValue
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     bounds.zipWithIndex.foreach { case (upTo, i) =>
       val t0 = System.nanoTime()
-      val reports = CorpusIncrementalDag.run(spark, sfDir, root, upTo)
+      val reports =
+        if (delta) CorpusIncrementalDag.runDelta(spark, sfDir, root, upTo)
+        else CorpusIncrementalDag.run(spark, sfDir, root, upTo)
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"[cycle ${i + 1}] upTo=$upTo wall=$wall%.1f s")
+      println(f"[cycle ${i + 1}] upTo=$upTo mode=${if (delta) "delta" else "rebuild"} wall=$wall%.1f s")
       reports.foreach { r =>
         println(f"[cycle ${i + 1}]   ${r.id}%-22s ${r.status}%-12s ${r.millis / 1000.0}%8.2f s  metric=${r.metric}")
       }
@@ -42,19 +52,34 @@ object RunIncremental {
         s"statuses=${rf.count(_.status == graft.operators.JobGraph.Succeeded)}/${rf.size} ok")
       val li = CorpusIncrementalDag.Layout(root)
       val lf = CorpusPipelineDag.Layout(fullRoot)
-      val layers = Seq(
-        ("flags", li.flags, lf.flags,
-          Seq("doc_id", "lang", "source", "n_words", "r0", "r1", "r2", "r3")),
-        ("clean", li.clean, lf.clean,
-          Seq("doc_id", "lang", "source", "n_paras", "n_kept", "text")),
-        ("selected", li.selected, lf.selected,
-          Seq("doc_id", "lang", "source", "quality_score", "n_words", "text")),
-        ("packs", li.packs, lf.packs,
-          Seq("doc_id", "copy_id", "source", "n_words", "pack_id", "pack_offset")),
-        ("pack_payloads", li.packPayloads, lf.packPayloads,
-          Seq("source", "pack_id", "n_docs", "n_tokens", "payload")))
-      layers.foreach { case (name, incPath, fullPath, cols) =>
-        val inc = spark.read.parquet(incPath).select(cols.map(col): _*)
+      val dl = graft.operators.CorpusSelectionDelta.Layers(root)
+      val layers: Seq[(String, () => org.apache.spark.sql.DataFrame, String, Seq[String])] =
+        if (delta) Seq(
+          ("flags", () => spark.read.parquet(li.flags), lf.flags,
+            Seq("doc_id", "lang", "source", "n_words", "r0", "r1", "r2", "r3")),
+          ("clean", () => spark.read.parquet(li.clean), lf.clean,
+            Seq("doc_id", "lang", "source", "n_paras", "n_kept", "text")),
+          ("selected(view)", () => graft.operators.CorpusSelectionDelta.selectedView(spark, dl),
+            lf.selected, Seq("doc_id", "lang", "source", "quality_score", "n_words", "text")),
+          ("mixture(view)", () => graft.operators.CorpusSelectionDelta.mixtureView(spark, dl),
+            lf.mixture, Seq("doc_id", "lang", "source", "n_words", "copy_id")),
+          ("export(view)", () => graft.operators.CorpusSelectionDelta.exportView(spark, dl),
+            lf.export, Seq("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")),
+          ("packs(content)", () => graft.operators.CorpusSelectionDelta.packsLive(spark, dl),
+            lf.packs, Seq("doc_id", "copy_id", "source", "n_words")))
+        else Seq(
+          ("flags", () => spark.read.parquet(li.flags), lf.flags,
+            Seq("doc_id", "lang", "source", "n_words", "r0", "r1", "r2", "r3")),
+          ("clean", () => spark.read.parquet(li.clean), lf.clean,
+            Seq("doc_id", "lang", "source", "n_paras", "n_kept", "text")),
+          ("selected", () => spark.read.parquet(li.selected), lf.selected,
+            Seq("doc_id", "lang", "source", "quality_score", "n_words", "text")),
+          ("packs", () => spark.read.parquet(li.packs), lf.packs,
+            Seq("doc_id", "copy_id", "source", "n_words", "pack_id", "pack_offset")),
+          ("pack_payloads", () => spark.read.parquet(li.packPayloads), lf.packPayloads,
+            Seq("source", "pack_id", "n_docs", "n_tokens", "payload")))
+      layers.foreach { case (name, incRead, fullPath, cols) =>
+        val inc = incRead().select(cols.map(col): _*)
         val full = spark.read.parquet(fullPath).select(cols.map(col): _*)
         val missing = full.exceptAll(inc).count()
         val extra = inc.exceptAll(full).count()

@@ -242,6 +242,45 @@ class IvfSpec extends SparkSpec {
     assert(per.where($"n_build".isNull).isEmpty, "every list existed at build time")
   }
 
+  test("recallReport on the clustered twin: routing signal beats the scan fraction (the orthogonal contrast)") {
+    // the testdata embeddings are near-orthogonal — IVF's worst case,
+    // where recall ≈ nprobe/k. On a CLUSTERED corpus (the distribution
+    // IVF exists for) the router carries real signal: recall at
+    // nprobe=1 must far exceed the 1/k scan fraction, stay monotone,
+    // and still reach exactly 1000 permille at nprobe=k.
+    val k = 8
+    val emb = graft.tools.MakeClustered.frame(spark, 2000L, dim = 16, clusters = k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = Ivf.build(emb, "vec_id", "embedding", k = k, iters = 2)
+    val qs = emb.where($"vec_id" % 40 === 0) // deterministic 2.5% sample
+    val rep = Ivf.recallReport(index, qs, "vec_id", "embedding",
+      topK = 5, nprobes = Seq(1, 2, 4, k))
+      .orderBy("nprobe").collect()
+    val recalls = rep.map(_.getAs[Long]("recall_permille")).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall monotone in nprobe: $recalls")
+    assert(recalls.last == 1000L, s"nprobe=k is exact: $recalls")
+    // scan fraction at nprobe=1 is 1/8 = 125 permille; clustered
+    // routing must beat it by a wide margin (measured ~1000 here —
+    // the bar is 3x, the SIGNAL not a magic value)
+    assert(recalls.head >= 3L * 1000L / k,
+      s"clustered corpus: nprobe=1 recall ${recalls.head} must be >> scan fraction ${1000 / k}")
+
+    // the contrast leg: the same report on the near-orthogonal
+    // testdata shows recall in the same ballpark as the scan fraction
+    // (the r14 BENCH_NOTES floor) — pin the CONTRAST, not the exact
+    // floor value
+    val ortho = Tables.embeddings(spark, sf)
+    val oIndex = Ivf.build(ortho, "vec_id", "embedding", k = k, iters = 2)
+    val oQs = ortho.where($"vec_id" % 40 === 0)
+    val oHead = Ivf.recallReport(oIndex, oQs, "vec_id", "embedding",
+      topK = 5, nprobes = Seq(1))
+      .collect().head.getAs[Long]("recall_permille")
+    assert(recalls.head > 2L * oHead,
+      s"clustered nprobe=1 recall (${recalls.head}) must dominate the orthogonal floor ($oHead)")
+    emb.unpersist(blocking = false)
+  }
+
   implicit class MapOps2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
