@@ -849,6 +849,33 @@ object Oracles {
         |FROM r, t WHERE rank <= 50 ORDER BY rank""".stripMargin,
     // boilerplate = grams in >= max(5, 1% of docs) documents; per-doc
     // POSITION coverage (multiset), half-up integer permille
+    // corpus-level high-df gram coverage — the #154 pre-banding gate;
+    // same df rule and tokenization as q_boilerplate, aggregated to
+    // one row (floor-div permille like the engine's integer math)
+    "q_boiler_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), pos AS (
+        |  SELECT doc_id, unnest(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS gram
+        |  FROM toks
+        |), dfq AS (
+        |  SELECT gram, count(DISTINCT doc_id) AS df, count(*) AS positions
+        |  FROM pos GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |)
+        |SELECT
+        |  CAST(coalesce(sum(positions), 0) AS BIGINT) AS n_positions,
+        |  CAST(coalesce(sum(positions) FILTER (
+        |    WHERE df >= greatest(5, (n_docs + 99) // 100)), 0) AS BIGINT) AS n_boiler,
+        |  CAST(CASE WHEN coalesce(sum(positions), 0) = 0 THEN 0
+        |       ELSE coalesce(sum(positions) FILTER (
+        |         WHERE df >= greatest(5, (n_docs + 99) // 100)), 0) * 1000
+        |         // sum(positions)
+        |  END AS BIGINT) AS coverage_permille
+        |FROM dfq CROSS JOIN n
+        |GROUP BY n_docs""".stripMargin,
     "q_boilerplate" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

@@ -608,6 +608,23 @@ object QueriesText {
   def boilerplate(s: SparkSession, dir: String): DataFrame =
     boilerplateOn(Tables.documents(s, dir))
 
+  /** #154 corpus boilerplate-coverage gate: the 1-row permille of
+    * gram POSITIONS covered by high-df grams — the number the
+    * boilerplate-before-banding guard reads before any near-dup
+    * banding runs (a universal banner pushes pairwise est-sim toward
+    * the banding threshold, turning candidate volume boilerplate-
+    * driven; SURVEY §4). The per-doc view is #83; this is its
+    * corpus-level reading, the one the adaptive router consults.
+    *
+    * Scale shape: one (gram, doc)-keyed aggregate with map-side
+    * combine, one gram-grain re-aggregation, one 1-row total — never
+    * a pair join, never a corpus-scale sort. */
+  def boilerCoverage(s: SparkSession, dir: String): DataFrame =
+    boilerCoverageOn(Tables.documents(s, dir))
+
+  private[graft] def boilerCoverageOn(docs: DataFrame): DataFrame =
+    DedupOps.boilerplateCoverageFrame(docs, "doc_id", col("text"), 3, docs.count())
+
   /** Frame-level #83: works over any (doc_id, text) frame. */
   def boilerplateOn(docs: DataFrame): DataFrame = {
     val grams = DedupOps.wordGramHashes(docs, "doc_id", col("text"), 3)
@@ -1599,6 +1616,7 @@ object QueriesText {
   }
 
   def all: Map[String, Q] = Map(
+    "q_boiler_coverage" -> (boilerCoverage _),
     "q_novelty_by_source" -> (noveltyBySource _),
     "q_cross_source_dup" -> (crossSourceDup _),
     "q_ngram_novelty" -> (ngramNovelty _),

@@ -80,10 +80,16 @@ object CorpusSelectionDelta {
       packsDelta, packHeads, packTombs, exportDelta, exportTombs, payloadsDelta)
   }
 
+  /** Read a delta layer with its schema EXPLICIT (never inferred):
+    * a batch with an empty patch writes a partition with no parquet
+    * files at all (hive-partitioned writes create subdirs per value),
+    * and schema inference would throw on it; the explicit schema also
+    * pins the `batch` partition column to BIGINT instead of whatever
+    * width discovery guesses. Missing layers read as empty frames. */
   private def readOr(s: SparkSession, path: String, ddl: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (fs.exists(p)) s.read.parquet(path)
+    if (fs.exists(p)) s.read.schema(StructType.fromDDL(ddl)).parquet(path)
     else s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
   }
 
@@ -403,7 +409,13 @@ object CorpusSelectionDelta {
     // ordering, same base, boundaries align at budget multiples).
     stage("payload_delta", Seq("pack_delta", "export_delta")) {
       val (mark, bid, _) = meta()
-      val train = s.read.parquet(s"${L.exportDelta}/batch=$bid")
+      // schema-explicit: an adds-free batch leaves this partition
+      // with no parquet files (only partition dirs get created), and
+      // inference would throw where the correct answer is zero packs
+      val train = s.read.schema(StructType.fromDDL(
+        "doc_id BIGINT, copy_id BIGINT, lang STRING, n_words BIGINT, text STRING, " +
+          "split STRING, source STRING"))
+        .parquet(s"${L.exportDelta}/batch=$bid")
         .where(col("split") === "train")
         .select("doc_id", "copy_id", "source", "text")
       val tokBase = readOr(s, L.packHeads, headDdl).where(col("batch") <= mark)

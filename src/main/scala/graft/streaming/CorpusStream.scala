@@ -65,6 +65,8 @@ object CorpusStream {
     val claims: String = s"$root/claims"           // batch_v*: block claims
     val clean: String = s"$root/clean"             // batch_v*: stripped clean docs
     val ledger: String = s"$root/ledger"           // batch_v*: score-cell updates
+    val export: String = s"$root/export"           // cycle=N/(split,source): release artifact
+    val payloads: String = s"$root/pack_payloads"  // cycle=N: packed token payloads
     def chk(name: String): String = s"$root/_chk_$name"
   }
 
@@ -258,6 +260,56 @@ object CorpusStream {
     val clean = spark.read.parquet(s"${layout.clean}/batch_v*")
     SelectionStream.verdicts(
       clean.select("doc_id", "text"), cells, cells.map(_.token_mass).sum / 2)
+  }
+
+  /** Cycle step E — the batch DAG's EXPORT LAST MILE in stream form
+    * (VERDICT r14 stretch item 9), driver-sequenced after stage D like
+    * [[materializeKeep]]: derive exact admission verdicts from the
+    * bounded ledger ([[selection]]'s machinery: threshold closed-form
+    * + one boundary-stratum refine), materialize the mixture copies
+    * via [[QueriesText.mixCopiesFromBase]] (the SAME derivation the
+    * batch DAG's `mix_materialize` uses), split with the #72 md5 rule
+    * and emit the release artifact + the packed token payloads into
+    * this cycle's own `cycle=N` dirs (overwrite ⇒ crash-rerun safe).
+    * Replaying a finished stream's final export cycle equals the
+    * batch DAG's `export_release`/`pack_payloads` layers exactly
+    * (CorpusStreamSpec pins it on a two-cycle corpus). Admission is
+    * corpus-global, so each cycle's artifact is a full release cut at
+    * that cycle's watermark — the delta posture (patch + tombstones)
+    * lives on the batch side in
+    * [[graft.operators.CorpusSelectionDelta]]. */
+  def exportStep(spark: SparkSession, layout: Layout, cycleId: Long,
+                 packBudget: Long = 2048L): Long = {
+    import graft.QueriesText
+    val clean = spark.read.parquet(s"${layout.clean}/batch_v*")
+      .select("doc_id", "lang", "source", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = SelectionStream.latest(
+      spark.read.parquet(s"${layout.ledger}/batch_v*"))
+    val verdicts = SelectionStream.verdicts(
+      clean.select("doc_id", "text"), cells, cells.map(_.token_mass).sum / 2)
+    val selected = clean.select("doc_id", "lang", "source")
+      .join(verdicts.where(col("admitted")).select("doc_id", "n_words"), Seq("doc_id"))
+    val mix = QueriesText.mixCopiesFromBase(
+      selected.select("doc_id", "lang", "source", "n_words"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+      .withColumn("split", QueriesText.mdSplit(col("doc_id")))
+    val release = mix.join(clean.select("doc_id", "text"), Seq("doc_id"))
+      .select("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")
+      .repartitionByRange(col("split"), col("source"), col("doc_id"), col("copy_id"))
+    val obs = org.apache.spark.sql.Observation()
+    graft.sources.ParquetSink.write(
+      release.observe(obs, count(lit(1)).as("rows"))
+        .sortWithinPartitions("split", "source", "doc_id", "copy_id"),
+      s"${layout.export}/cycle=$cycleId", partitionCols = Seq("split", "source"))
+    val train = mix.where(col("split") === "train")
+      .select("doc_id", "copy_id", "source")
+      .join(clean.select("doc_id", "text"), Seq("doc_id"))
+    graft.QueriesScale.packPayloadsOn(train, packBudget)
+      .write.mode("overwrite").parquet(s"${layout.payloads}/cycle=$cycleId")
+    clean.unpersist(blocking = false)
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** One ingest cycle with the DAG edges enforced: A drains, B drains

@@ -32,17 +32,29 @@ object DedupOps {
   def boilerplateCoveragePermille(
       docs: DataFrame, id: String, text: Column, n: Int, nDocs: Long): Long = {
     if (nDocs == 0L) return 0L
+    boilerplateCoverageFrame(docs, id, text, n, nDocs)
+      .head().getAs[Long]("coverage_permille")
+  }
+
+  /** The corpus-level boilerplate coverage as a 1-row frame
+    * (n_positions, n_boiler, coverage_permille) — the #154 registry
+    * surface; [[boilerplateCoveragePermille]] is its driver-side
+    * reading for the router guard. */
+  def boilerplateCoverageFrame(
+      docs: DataFrame, id: String, text: Column, n: Int, nDocs: Long): DataFrame = {
     val perDoc = wordGramHashesAll(docs, id, text, n)
       .groupBy(col("gram"), col(id)).agg(count(lit(1)).as("__c"))
     val byGram = perDoc.groupBy("gram")
       .agg(count(lit(1)).as("__df"), sum(col("__c")).as("__pos"))
     val dfThr = math.max(5L, (nDocs + 99L) / 100L)
-    val r = byGram.agg(
-      coalesce(sum(col("__pos")), lit(0L)).as("__tot"),
+    byGram.agg(
+      coalesce(sum(col("__pos")), lit(0L)).as("n_positions"),
       coalesce(sum(when(col("__df") >= dfThr, col("__pos")).otherwise(0L)), lit(0L))
-        .as("__boiler")).head()
-    val (tot, boiler) = (r.getLong(0), r.getLong(1))
-    if (tot == 0L) 0L else boiler * 1000L / tot
+        .as("n_boiler"))
+      .select(col("n_positions"), col("n_boiler"),
+        when(col("n_positions") === 0L, lit(0L))
+          .otherwise(call_function("div", col("n_boiler") * 1000L, col("n_positions")))
+          .as("coverage_permille"))
   }
 
   /** Sketch-input view with UNIVERSAL paragraph blocks removed: each

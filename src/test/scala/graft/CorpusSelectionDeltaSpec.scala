@@ -164,17 +164,24 @@ class CorpusSelectionDeltaSpec extends SparkSpec {
     val batch1 = (1L to 40L).map(d => (d, "en", src(d), lDoc(d)))     // low-score mass
     val batch2 = (101L to 140L).map(d => (d, "en", src(d), hDoc(d)))  // cut jumps UP: evictions
     val batch3 = (201L to 320L).map(d => (d, "en", src(d), lDoc(d)))  // cut sinks: re-admits
+    // a non-empty ingest day whose docs ALL fail the funnel (< 20
+    // words): the delta stages must run through an adds-free patch —
+    // the empty hive-partitioned export partition has NO parquet
+    // files, the regression the sf1 rehearsal caught
+    val batch4 = (401L to 420L).map(d => (d, "en", src(d), "the tiny doc"))
     val corpusDir = tmp()
-    (batch1 ++ batch2 ++ batch3).toDF("doc_id", "lang", "source", "text")
+    (batch1 ++ batch2 ++ batch3 ++ batch4).toDF("doc_id", "lang", "source", "text")
       .repartition(4)
       .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
 
     val root = tmp()
     val L = CorpusSelectionDelta.Layers(root)
-    Seq(40L, 140L, Long.MaxValue).zipWithIndex.foreach { case (upTo, i) =>
+    Seq(40L, 140L, 320L, Long.MaxValue).zipWithIndex.foreach { case (upTo, i) =>
       val r = CorpusIncrementalDag.runDelta(spark, corpusDir, root, upTo = upTo)
       assert(r.forall(_.status == Succeeded),
         s"cycle ${i + 1}: ${r.filterNot(_.status == Succeeded).map(x => x.id -> x.status)}")
+      if (i == 3) assert(r.find(_.id == "payload_delta").get.metric == 0L,
+        "adds-free batch: payload stage emits zero packs instead of throwing")
     }
 
     val verdicts = spark.read.parquet(L.verdicts)

@@ -95,6 +95,23 @@ class CorpusStreamSpec extends SparkSpec {
       .select("quality_score").distinct().count()
     assert(nCells <= 101, s"ledger must stay bounded, got $nCells cells")
 
+    // EXPORT TAIL (stage E): the final cycle's release artifact and
+    // packed payloads equal the batch DAG's last mile exactly — and a
+    // rerun of the step converges (own-cycle overwrite)
+    val exported = CorpusStream.exportStep(spark, layout, 2L)
+    assert(exported > 0, "export step emits rows")
+    val exCols = Seq("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")
+    val streamedExport = spark.read.parquet(s"${layout.export}/cycle=2")
+    assert(rows(streamedExport, exCols) == rows(spark.read.parquet(lf.export), exCols),
+      "export artifact == the batch DAG's export_release")
+    val ppCols = Seq("source", "pack_id", "n_docs", "n_tokens", "payload")
+    val streamedPp = spark.read.parquet(s"${layout.payloads}/cycle=2")
+    assert(rows(streamedPp, ppCols) == rows(spark.read.parquet(lf.packPayloads), ppCols),
+      "packed payloads == the batch DAG's pack_payloads")
+    CorpusStream.exportStep(spark, layout, 2L)
+    assert(rows(spark.read.parquet(s"${layout.export}/cycle=2"), exCols) ==
+      rows(spark.read.parquet(lf.export), exCols), "export step rerun converges")
+
     // CRASH-RERUN of the cycle-2 keeper step: the standing reads
     // filter cycle < 2, so the rerun must not dedup against its own
     // prior partition (which would re-verify nothing and emit an
