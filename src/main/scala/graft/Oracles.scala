@@ -874,7 +874,7 @@ object Oracles {
         |         WHERE df >= greatest(5, (n_docs + 99) // 100)), 0) * 1000
         |         // sum(positions)
         |  END AS BIGINT) AS coverage_permille
-        |FROM dfq CROSS JOIN n
+        |FROM n LEFT JOIN dfq ON TRUE
         |GROUP BY n_docs""".stripMargin,
     "q_boilerplate" ->
       """WITH toks AS (

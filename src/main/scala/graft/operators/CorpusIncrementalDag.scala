@@ -113,6 +113,16 @@ object CorpusIncrementalDag {
       maxRetractions: Long = 0L,
       maxDeadTokenPermille: Long = 100L)
 
+  /** The COMMITTED release watermark — the last batch id whose every
+    * layer landed (the mark only advances after all stages). Pass it
+    * as `upTo` to [[CorpusSelectionDelta]]'s view readers for a
+    * consistent committed-state read: their MaxValue default includes
+    * a crashed in-flight batch's torn partitions (mixture adds with
+    * no matching export rows yet), which is correct for the rerunning
+    * operator but not for an out-of-band consumer. */
+  def releaseWatermark(layout: Layout): Long =
+    new WatermarkStore(layout.marks, bootstrapMark).get(entity).trim.toLong
+
   /** True when any batch has raised a rebuild flag (cleared by a
     * compaction deleting the flag layer). */
   def rebuildRequested(s: SparkSession, layout: Layout): Boolean = {
@@ -130,14 +140,11 @@ object CorpusIncrementalDag {
   private[graft] val bootstrapMark: String = "-1"
 
   /** Read a standing layer, or an empty frame of the declared schema
-    * when the layer doesn't exist yet (first batch). Existence goes
-    * through Hadoop FileSystem so remote layer roots behave. */
-  private def readLayerOr(s: SparkSession, path: String, ddl: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (fs.exists(p)) s.read.parquet(path)
-    else s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
-  }
+    * when the layer doesn't exist yet (first batch) — [[LayerIO]]'s
+    * inference posture (these layers never hold file-less partitions;
+    * the DDL shapes only the empty fallback). */
+  private def readLayerOr(s: SparkSession, path: String, ddl: String): DataFrame =
+    LayerIO.readOr(s, path, ddl, explicitSchema = false)
 
   /** Delete per-batch partitions left behind by a CRASHED attempt that
     * ran with a DIFFERENT `upTo` (advice r14: a crashed wider-upTo
@@ -462,7 +469,7 @@ object CorpusIncrementalDag {
     // compaction when a bound is crossed — part of the batch
     // transaction, so the watermark never advances past an
     // unevaluated policy
-    g.add("release_policy", deps = terminals :+ "retraction_ledger") {
+    g.add("release_policy", deps = terminals :+ "retraction_ledger", retries = 1) {
       val (_, bid, n) = meta()
       if (n == 0) 0L else {
         val nRetr = readLayerOr(s, layout.retractions,
@@ -472,12 +479,16 @@ object CorpusIncrementalDag {
         if (nRetr > policy.maxRetractions)
           flags += (("retractions", nRetr, policy.maxRetractions))
         if (selection == "delta") {
-          val packed = readLayerOr(s, deltaLayers.packsDelta,
-            "doc_id BIGINT, n_words BIGINT, batch BIGINT")
+          // delta layers read schema-EXPLICIT (a patch-free batch
+          // partition has no files; inference would throw)
+          val packed = CorpusSelectionDelta.readOr(s, deltaLayers.packsDelta,
+            "doc_id BIGINT, copy_id BIGINT, source STRING, n_words BIGINT, " +
+              "pack_id BIGINT, pack_offset BIGINT, batch BIGINT")
             .where(col("batch") <= bid)
             .agg(coalesce(sum("n_words"), lit(0L))).head().getLong(0)
-          val dead = readLayerOr(s, deltaLayers.packTombs,
-            "doc_id BIGINT, n_words BIGINT, batch BIGINT")
+          val dead = CorpusSelectionDelta.readOr(s, deltaLayers.packTombs,
+            "doc_id BIGINT, copy_id BIGINT, source STRING, n_words BIGINT, " +
+              "pack_id BIGINT, batch BIGINT")
             .where(col("batch") <= bid)
             .agg(coalesce(sum("n_words"), lit(0L))).head().getLong(0)
           val permille = if (packed > 0L) dead * 1000L / packed else 0L

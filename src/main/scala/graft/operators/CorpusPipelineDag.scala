@@ -127,13 +127,18 @@ object CorpusPipelineDag {
     * `boilerGuardPermille` arms the boilerplate-before-banding guard
     * on the near-dup stage (warn-only here — the DAG strips paragraphs
     * AFTER dedup by design, so the guard surfaces the one input shape
-    * where that order breaks the banding contract's cost bound). */
+    * where that order breaks the banding contract's cost bound).
+    * Default OFF: the detector is a corpus-scale gram pass that can
+    * only warn, so a standing daily release should not pay it every
+    * run — arm it when the ingest mix changes (new crawl, new
+    * source), or run the standalone #154 `q_boiler_coverage` as a
+    * scheduled diagnostic instead (same derivation, same number). */
   def build(
       s: SparkSession, sfDir: String, layout: Layout,
       cleanSuite: Seq[DataQuality.Expectation] = defaultCleanSuite,
       auditReadBack: Boolean = false,
       sketchRoute: String = "minhash",
-      boilerGuardPermille: Int = 150
+      boilerGuardPermille: Int = 0
   ): JobGraph = {
     val g = new JobGraph()
     def docs: DataFrame = Tables.documents(s, sfDir)

@@ -80,18 +80,12 @@ object CorpusSelectionDelta {
       packsDelta, packHeads, packTombs, exportDelta, exportTombs, payloadsDelta)
   }
 
-  /** Read a delta layer with its schema EXPLICIT (never inferred):
-    * a batch with an empty patch writes a partition with no parquet
-    * files at all (hive-partitioned writes create subdirs per value),
-    * and schema inference would throw on it; the explicit schema also
-    * pins the `batch` partition column to BIGINT instead of whatever
-    * width discovery guesses. Missing layers read as empty frames. */
-  private def readOr(s: SparkSession, path: String, ddl: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (fs.exists(p)) s.read.schema(StructType.fromDDL(ddl)).parquet(path)
-    else s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
-  }
+  /** Delta layers always read schema-EXPLICIT ([[LayerIO]]): an
+    * adds-free batch writes a hive-partitioned partition with no
+    * parquet files (inference throws), and the DDL pins `batch` to
+    * BIGINT. Missing layers read as empty frames. */
+  private[operators] def readOr(s: SparkSession, path: String, ddl: String): DataFrame =
+    LayerIO.readOr(s, path, ddl, explicitSchema = true)
 
   private val verdictDdl =
     "doc_id BIGINT, lang STRING, source STRING, quality_score BIGINT, n_words BIGINT, op STRING, batch BIGINT"
@@ -106,7 +100,14 @@ object CorpusSelectionDelta {
 
   /** Currently admitted docs (narrow) as of `upTo`: latest op per doc
     * over the verdict ledger, keep the adds. The ledger is doc-grain
-    * NARROW rows bounded by admission churn — never text. */
+    * NARROW rows bounded by admission churn — never text.
+    *
+    * `upTo` on every view below: the DAG's own stages pass the batch
+    * id they own; an OUT-OF-BAND reader must pass
+    * [[CorpusIncrementalDag.releaseWatermark]] — the MaxValue default
+    * reads in-flight state and can expose a crashed batch's torn
+    * partial patch (e.g. mixture adds whose export rows never
+    * landed) until the rerun converges. */
   def admittedIndex(s: SparkSession, L: Layers, upTo: Long): DataFrame =
     readOr(s, L.verdicts, verdictDdl).where(col("batch") <= upTo)
       .groupBy("doc_id")

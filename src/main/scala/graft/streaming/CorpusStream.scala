@@ -79,11 +79,17 @@ object CorpusStream {
   private[streaming] val cleanSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, lang STRING, source STRING, n_paras BIGINT, n_kept BIGINT, text STRING")
 
+  /** Accumulated-layer read with the schema EXPLICIT: inference picks
+    * one arbitrary footer, which breaks on mixed-schema layers (a
+    * resumed stream whose old files predate a column — the pair
+    * layer's `pass` verdict column is exactly that case; legacy rows
+    * read the missing column as null and the consumer decides the
+    * legacy meaning). */
   private def readAccumulated(spark: SparkSession, glob: String, ddl: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(glob)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.globStatus(p) != null && fs.globStatus(p).nonEmpty)
-      spark.read.parquet(glob)
+      spark.read.schema(StructType.fromDDL(ddl)).parquet(glob)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
   }
@@ -183,8 +189,12 @@ object CorpusStream {
         col("jaccard_pct").isNotNull.as("pass"))
       .write.mode("overwrite").parquet(s"${layout.pairs}/cycle=$cycleId")
     fresh.unpersist(blocking = false)
-    val allPairs = spark.read.parquet(layout.pairs)
-      .where(col("cycle") <= cycleId && col("pass"))
+    // legacy migration: pair files written before the verdict-ledger
+    // change carried ONLY passing pairs (no `pass` column) — a null
+    // verdict on a resumed stream therefore means `pass = true`
+    val allPairs = readAccumulated(spark, layout.pairs,
+      "doc1 BIGINT, doc2 BIGINT, jaccard_pct BIGINT, pass BOOLEAN, cycle BIGINT")
+      .where(col("cycle") <= cycleId && coalesce(col("pass"), lit(true)))
     val drops = DedupOps.resolveGroups(allPairs.select("doc1", "doc2", "jaccard_pct"))
       .where(col("doc_id") =!= col("group_id")).select("doc_id")
     val keptBefore = readAccumulated(spark, layout.keep,

@@ -33,7 +33,11 @@ object IvfRecallProbe {
       } else Tables.embeddings(spark, dir)
     val n = emb.count()
     val index = Ivf.build(emb, "vec_id", "embedding", k = k, iters = 2)
-    val qs = emb.where(col("vec_id") % 50 === 0) // deterministic 2% sample
+    // deterministic ~2% sample; PRIME step so it cannot alias with
+    // MakeClustered's vec_id-mod-clusters axis assignment (a step
+    // sharing a factor with the cluster count samples a cluster
+    // subset and measures only those router buckets)
+    val qs = emb.where(col("vec_id") % 53 === 0)
     val rep = Ivf.recallReport(index, qs, "vec_id", "embedding",
       topK = 10, nprobes = Seq(1, 2, 4, 8, k))
     println(s"corpus=$dir n=$n lists=$k queries=${qs.count()} topK=10")

@@ -53,19 +53,22 @@ object RunIncremental {
       val li = CorpusIncrementalDag.Layout(root)
       val lf = CorpusPipelineDag.Layout(fullRoot)
       val dl = graft.operators.CorpusSelectionDelta.Layers(root)
+      // committed-state read: out-of-band view consumers pass the
+      // release watermark, never the in-flight MaxValue default
+      val mark = CorpusIncrementalDag.releaseWatermark(li)
       val layers: Seq[(String, () => org.apache.spark.sql.DataFrame, String, Seq[String])] =
         if (delta) Seq(
           ("flags", () => spark.read.parquet(li.flags), lf.flags,
             Seq("doc_id", "lang", "source", "n_words", "r0", "r1", "r2", "r3")),
           ("clean", () => spark.read.parquet(li.clean), lf.clean,
             Seq("doc_id", "lang", "source", "n_paras", "n_kept", "text")),
-          ("selected(view)", () => graft.operators.CorpusSelectionDelta.selectedView(spark, dl),
+          ("selected(view)", () => graft.operators.CorpusSelectionDelta.selectedView(spark, dl, mark),
             lf.selected, Seq("doc_id", "lang", "source", "quality_score", "n_words", "text")),
-          ("mixture(view)", () => graft.operators.CorpusSelectionDelta.mixtureView(spark, dl),
+          ("mixture(view)", () => graft.operators.CorpusSelectionDelta.mixtureView(spark, dl, mark),
             lf.mixture, Seq("doc_id", "lang", "source", "n_words", "copy_id")),
-          ("export(view)", () => graft.operators.CorpusSelectionDelta.exportView(spark, dl),
+          ("export(view)", () => graft.operators.CorpusSelectionDelta.exportView(spark, dl, mark),
             lf.export, Seq("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")),
-          ("packs(content)", () => graft.operators.CorpusSelectionDelta.packsLive(spark, dl),
+          ("packs(content)", () => graft.operators.CorpusSelectionDelta.packsLive(spark, dl, mark),
             lf.packs, Seq("doc_id", "copy_id", "source", "n_words")))
         else Seq(
           ("flags", () => spark.read.parquet(li.flags), lf.flags,

@@ -252,7 +252,10 @@ class IvfSpec extends SparkSpec {
     val emb = graft.tools.MakeClustered.frame(spark, 2000L, dim = 16, clusters = k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val index = Ivf.build(emb, "vec_id", "embedding", k = k, iters = 2)
-    val qs = emb.where($"vec_id" % 40 === 0) // deterministic 2.5% sample
+    // sample step COPRIME to the cluster count: vec_id % clusters is
+    // the cluster axis, so a multiple-of-8 step would draw every
+    // query from cluster 0 and measure one router bucket
+    val qs = emb.where($"vec_id" % 41 === 0)
     val rep = Ivf.recallReport(index, qs, "vec_id", "embedding",
       topK = 5, nprobes = Seq(1, 2, 4, k))
       .orderBy("nprobe").collect()
@@ -272,7 +275,7 @@ class IvfSpec extends SparkSpec {
     // floor value
     val ortho = Tables.embeddings(spark, sf)
     val oIndex = Ivf.build(ortho, "vec_id", "embedding", k = k, iters = 2)
-    val oQs = ortho.where($"vec_id" % 40 === 0)
+    val oQs = ortho.where($"vec_id" % 41 === 0)
     val oHead = Ivf.recallReport(oIndex, oQs, "vec_id", "embedding",
       topK = 5, nprobes = Seq(1))
       .collect().head.getAs[Long]("recall_permille")
