@@ -622,8 +622,10 @@ object QueriesText {
   def boilerCoverage(s: SparkSession, dir: String): DataFrame =
     boilerCoverageOn(Tables.documents(s, dir))
 
+  // in-plan nDocs (VERDICT r15 item 4): the df threshold is a 1-row
+  // broadcast aggregate inside the ONE plan — no docs.count() pre-job
   private[graft] def boilerCoverageOn(docs: DataFrame): DataFrame =
-    DedupOps.boilerplateCoverageFrame(docs, "doc_id", col("text"), 3, docs.count())
+    DedupOps.boilerplateCoverageFrame(docs, "doc_id", col("text"), 3)
 
   /** Frame-level #83: works over any (doc_id, text) frame. */
   def boilerplateOn(docs: DataFrame): DataFrame = {

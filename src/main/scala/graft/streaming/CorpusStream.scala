@@ -78,6 +78,8 @@ object CorpusStream {
   private[streaming] val keepSchema: StructType = admittedSchema
   private[streaming] val cleanSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, lang STRING, source STRING, n_paras BIGINT, n_kept BIGINT, text STRING")
+  private[streaming] val ledgerSchema: StructType = StructType.fromDDL(
+    "quality_score BIGINT, token_mass BIGINT, n_docs BIGINT")
 
   /** Accumulated-layer read with the schema EXPLICIT: inference picks
     * one arbitrary footer, which breaks on mixed-schema layers (a
@@ -265,9 +267,13 @@ object CorpusStream {
     * refine — [[SelectionStream.verdicts]]), at the #145 self-budget
     * (half the seen clean mass). */
   def selection(spark: SparkSession, layout: Layout): DataFrame = {
-    val cells = SelectionStream.latest(
-      spark.read.parquet(s"${layout.ledger}/batch_v*"))
-    val clean = spark.read.parquet(s"${layout.clean}/batch_v*")
+    // readAccumulated posture (ADVICE r15): explicit schema for
+    // mixed-schema resilience, empty-frame fallback so a stream with
+    // no completed cycles reads as "nothing admitted yet" rather than
+    // path-not-found
+    val cells = SelectionStream.latest(readAccumulated(
+      spark, s"${layout.ledger}/batch_v*", ledgerSchema.toDDL))
+    val clean = readAccumulated(spark, s"${layout.clean}/batch_v*", cleanSchema.toDDL)
     SelectionStream.verdicts(
       clean.select("doc_id", "text"), cells, cells.map(_.token_mass).sum / 2)
   }
@@ -291,11 +297,16 @@ object CorpusStream {
   def exportStep(spark: SparkSession, layout: Layout, cycleId: Long,
                  packBudget: Long = 2048L): Long = {
     import graft.QueriesText
-    val clean = spark.read.parquet(s"${layout.clean}/batch_v*")
+    // both accumulated reads go through readAccumulated (ADVICE r15):
+    // a stream with no completed cycles no-ops on the empty frame
+    // instead of throwing path-not-found, and the explicit schema
+    // keeps resumed mixed-schema layers readable like every other
+    // accumulated read in this file
+    val clean = readAccumulated(spark, s"${layout.clean}/batch_v*", cleanSchema.toDDL)
       .select("doc_id", "lang", "source", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = SelectionStream.latest(
-      spark.read.parquet(s"${layout.ledger}/batch_v*"))
+    val cells = SelectionStream.latest(readAccumulated(
+      spark, s"${layout.ledger}/batch_v*", ledgerSchema.toDDL))
     val verdicts = SelectionStream.verdicts(
       clean.select("doc_id", "text"), cells, cells.map(_.token_mass).sum / 2)
     val selected = clean.select("doc_id", "lang", "source")

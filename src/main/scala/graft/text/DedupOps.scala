@@ -41,12 +41,29 @@ object DedupOps {
     * surface; [[boilerplateCoveragePermille]] is its driver-side
     * reading for the router guard. */
   def boilerplateCoverageFrame(
-      docs: DataFrame, id: String, text: Column, n: Int, nDocs: Long): DataFrame = {
+      docs: DataFrame, id: String, text: Column, n: Int, nDocs: Long): DataFrame =
+    boilerplateCoverageFrame(docs, id, text, n,
+      lit(math.max(5L, (nDocs + 99L) / 100L)))
+
+  /** In-plan variant (VERDICT r15 item 4): the df threshold rides the
+    * plan as a broadcast 1-row aggregate (#83's `boilerplateOn`
+    * shape) instead of a driver-side `docs.count()` pre-pass — frame
+    * construction triggers NO job; callers that already hold nDocs
+    * (the router guard) keep the literal-threshold overload above. */
+  def boilerplateCoverageFrame(
+      docs: DataFrame, id: String, text: Column, n: Int): DataFrame =
+    boilerplateCoverageFrame(docs, id, text, n,
+      greatest(lit(5L), call_function("div", col("__nDocs") + 99L, lit(100L))),
+      withNDocs = Some(docs.agg(count(lit(1)).as("__nDocs"))))
+
+  private def boilerplateCoverageFrame(
+      docs: DataFrame, id: String, text: Column, n: Int, dfThr: Column,
+      withNDocs: Option[DataFrame] = None): DataFrame = {
     val perDoc = wordGramHashesAll(docs, id, text, n)
       .groupBy(col("gram"), col(id)).agg(count(lit(1)).as("__c"))
-    val byGram = perDoc.groupBy("gram")
+    val byGram0 = perDoc.groupBy("gram")
       .agg(count(lit(1)).as("__df"), sum(col("__c")).as("__pos"))
-    val dfThr = math.max(5L, (nDocs + 99L) / 100L)
+    val byGram = withNDocs.fold(byGram0)(nd => byGram0.crossJoin(broadcast(nd)))
     byGram.agg(
       coalesce(sum(col("__pos")), lit(0L)).as("n_positions"),
       coalesce(sum(when(col("__df") >= dfThr, col("__pos")).otherwise(0L)), lit(0L))
@@ -588,14 +605,25 @@ object DedupOps {
   private val budgetMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** `stripped` = the EFFECTIVE sketch-input posture (the armed
+    * boilerplate guard fired AND universal blocks were removed from
+    * the sketch input): a hamming-budget certificate is a measurement
+    * of the est-sim distribution the sketch actually saw, so one
+    * minted on original text must never gate a run sketching on
+    * stripped text (or vice versa) — the margin contract would be
+    * validated against a different distribution (ADVICE r15). Route
+    * needs no key component: certificates are only minted/consulted
+    * on the SimHash branch. */
   private def budgetMemoKey(key: String, nDocs: Long, n: Int,
-      minJaccardPct: Int, bands: Int, tables: Int, cap: Int): String =
-    s"$key|$nDocs|$n|$minJaccardPct|$bands|$tables|$cap"
+      minJaccardPct: Int, bands: Int, tables: Int, cap: Int,
+      stripped: Boolean = false): String =
+    s"$key|$nDocs|$n|$minJaccardPct|$bands|$tables|$cap|sketch=${if (stripped) "stripped" else "orig"}"
 
   private[graft] def certifiedBudget(key: String, nDocs: Long, n: Int,
-      minJaccardPct: Int, bands: Int, tables: Int, cap: Int): Option[Int] =
+      minJaccardPct: Int, bands: Int, tables: Int, cap: Int,
+      stripped: Boolean = false): Option[Int] =
     Option(budgetMemo.get(budgetMemoKey(key, nDocs, n, minJaccardPct,
-      bands, tables, cap))).map(_.intValue)
+      bands, tables, cap, stripped))).map(_.intValue)
 
   private[graft] def clearBudgetMemo(): Unit = budgetMemo.clear()
 
@@ -834,7 +862,8 @@ object DedupOps {
         .observe("route_minhash", max(lit(1L)).as("n")))
     } else {
       val memoKey = budgetKey.map(k => budgetMemoKey(k, nDocs, n,
-        minJaccardPct, simhashBands, simhashTables, hammingCap))
+        minJaccardPct, simhashBands, simhashTables, hammingCap,
+        stripped = guardFired && boilerStripForSketch))
       val known: Option[Int] = hammingBudget
         .orElse(memoKey.flatMap(k => Option(budgetMemo.get(k)).map(_.intValue)))
         .orElse(for {

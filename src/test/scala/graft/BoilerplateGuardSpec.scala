@@ -124,6 +124,62 @@ class BoilerplateGuardSpec extends SparkSpec {
     assert(a == b, "below-bound corpus: armed guard is a no-op on decisions")
   }
 
+  test("#154 is ONE plan: frame construction runs no driver pre-pass job; in-plan nDocs equals the literal overload") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val docs = bannerCorpus(30, 2).persist()
+    docs.count() // materialize OUTSIDE the counted window
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val frame = QueriesText.boilerCoverageOn(docs)
+      // drain the async listener bus so a pre-pass job could not hide
+      // in flight before the zero-job assertion
+      org.apache.spark.GraftBusFlush.flush(spark.sparkContext)
+      assert(jobs.get() == 0,
+        s"building #154's frame must be lazy — ${jobs.get()} job(s) ran (VERDICT r15 item 4)")
+      val got = frame.head()
+      val want = DedupOps.boilerplateCoverageFrame(
+        docs, "doc_id", $"text", 3, docs.count()).head()
+      assert(got == want, s"in-plan nDocs variant: $got != literal-threshold $want")
+      assert(got.getAs[Long]("coverage_permille") >= 150,
+        "banner corpus still reads as boilerplate-covered")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      docs.unpersist()
+      ()
+    }
+  }
+
+  test("hamming certificates are keyed to the sketch posture: orig-text and stripped-sketch never share one") {
+    import graft.text.DedupOps
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 40).flatMap { i =>
+      val content = (1 to 60).map(_ => s"c${i}_${rnd.nextInt(100000)}").mkString(" ")
+      Seq((i * 2L, banner + " " + content), (i * 2L + 1L, banner + " " + content))
+    }.toDF("doc_id", "text").persist()
+    val n = docs.count()
+    DedupOps.clearBudgetMemo()
+    val key = "spec://sketch-posture"
+    // run 1: armed guard, NO strip — certificate minted on ORIGINAL text
+    DedupOps.nearDupPairsAdaptive(docs, "doc_id", $"text", 3, 50,
+      budgetKey = Some(key), boilerGuardPermille = 150).collect()
+    assert(DedupOps.certifiedBudget(key, n, 3, 50, 16, 2, 31).isDefined,
+      "orig-posture certification run must mint a certificate")
+    assert(DedupOps.certifiedBudget(key, n, 3, 50, 16, 2, 31, stripped = true).isEmpty,
+      "an orig-text certificate must be INVISIBLE to the stripped-sketch posture (ADVICE r15)")
+    // run 2: the strip fires — re-certifies under its own posture key
+    DedupOps.nearDupPairsAdaptive(docs, "doc_id", $"text", 3, 50,
+      budgetKey = Some(key), boilerGuardPermille = 150, boilerStripForSketch = true).collect()
+    assert(DedupOps.certifiedBudget(key, n, 3, 50, 16, 2, 31, stripped = true).isDefined,
+      "stripped-posture run certifies its own budget")
+    DedupOps.clearBudgetMemo()
+    docs.unpersist()
+  }
+
   test("route=minhash equals route=adaptive on a small corpus (sketch-identical twin contract)") {
     val docs = bannerCorpus(30, 2)
     def pairs(route: String) = DedupOps.nearDupPairsAdaptive(

@@ -159,4 +159,16 @@ class CorpusStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(keepIds == Set(1L, 3L), s"doc 2 must remain dropped, got $keepIds")
   }
+
+  test("export step on a stream with no completed cycles no-ops instead of throwing (ADVICE r15)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cstream_empty").toString
+    val layout = CorpusStream.Layout(root)
+    // no clean/ledger batch ever landed — the accumulated reads must
+    // fall back to empty frames, the step emits zero rows
+    val exported = CorpusStream.exportStep(spark, layout, 1L)
+    assert(exported == 0L, s"empty-stream export step must be a 0-row no-op, got $exported")
+    // selection() shares the posture: empty verdicts, no throw
+    assert(CorpusStream.selection(spark, layout).isEmpty,
+      "selection over an empty stream is an empty frame")
+  }
 }
