@@ -138,9 +138,21 @@ object Bench {
     })
     val calPre = calibrate()
     val calSerPre = calibrateSerial()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // MID-RUN sentinels (verdict r15 #3): the endpoint pair has a
+    // blind spot — a transient ambient episode that starts and ends
+    // INSIDE the query loop leaves both endpoints flat (the r15 07:27
+    // board hid +32 s that way; adjudication needed an alphabetical-
+    // contiguity argument). Interleave the same sentinel pair every
+    // `calEvery` queries and record the series in the JSON, so a
+    // mid-run episode flags itself. Sentinels run OUTSIDE the query
+    // timers; at the default cadence (~6 checkpoints over 154
+    // queries) the overhead is ~8 s of untimed wall, zero query skew.
+    val calEvery = sys.env.getOrElse("SPARK_GRAFT_CAL_EVERY", "25").toInt.max(1)
+    val calSeries = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    calSeries += (("start", calPre, calSerPre))
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val results = named.zipWithIndex.map { case ((name, fn), qi) =>
       currentQuery.set(name)
       // min of `runs` full executions (data is re-read and recomputed
       // each time — hygiene() drops all storage between them; only JIT
@@ -171,10 +183,15 @@ object Bench {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] bus flush after $name failed (${e.getMessage}): observed-metric attribution may lag")
       }
+      // mid-run checkpoint: after every calEvery-th query (not after
+      // the last — the post sentinel covers the tail)
+      if ((qi + 1) % calEvery == 0 && qi + 1 < named.size)
+        calSeries += ((name, calibrate(), calibrateSerial()))
       name -> t
     }
     val calPost = calibrate()
     val calSerPost = calibrateSerial()
+    calSeries += (("end", calPost, calSerPost))
     // millisecond precision: full-precision doubles double the line
     // length, and the driver keeps only a bounded tail of the output —
     // a JSON line that doesn't fit is a JSON line that doesn't parse.
@@ -197,8 +214,18 @@ object Bench {
     // catch exactly that case.
     val loadedStart = calSerPre > 0.22 || calPre > 0.52
     val loadedEnd = calSerPost > 0.22 || calPost > 0.52
+    // mid-run flag: any INTERIOR sentinel outside the honest bands —
+    // the queries timed between the last flat checkpoint and the next
+    // one ran under ambient load even when both endpoints read flat
+    val loadedMid = calSeries.drop(1).dropRight(1)
+      .exists { case (_, par, ser) => ser > 0.22 || par > 0.52 }
     val loaded = (if (loadedStart) s""","loaded_start":true""" else "") +
-      (if (loadedEnd) s""","loaded_end":true""" else "")
+      (if (loadedEnd) s""","loaded_end":true""" else "") +
+      (if (loadedMid) s""","loaded_mid":true""" else "")
+    if (loadedMid) System.err.println(
+      s"[bench] WARNING loaded-mid board: an interior calibration checkpoint sits above " +
+        "the honest bands (par ~0.30-0.45, ser ~0.14-0.20) — queries between the " +
+        "adjacent flat checkpoints ran under ambient load; see cal_series in the JSON")
     if (loadedStart) System.err.println(
       s"[bench] WARNING loaded-start board: cal_pre=${fmt(calPre)} cal_ser_pre=${fmt(calSerPre)} " +
         "above honest bands (par ~0.30-0.45, ser ~0.14-0.20) — do not stamp as a round headline")
@@ -234,7 +261,15 @@ object Bench {
     // not comparable, and the methodology must not live only in notes
     // cal_pre/cal_post make a loaded box self-identifying (see
     // BENCH_NOTES "Calibration sentinel" for the normalization rule)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cal_pre":${fmt(calPre)},"cal_post":${fmt(calPost)},"cal_ser_pre":${fmt(calSerPre)},"cal_ser_post":${fmt(calSerPost)}$loaded$obsJson$partial}"""
+    // the full sentinel series: "after" = the last query completed
+    // before the checkpoint ("start"/"end" for the endpoints), so a
+    // flagged episode localizes to a query range without alphabetical
+    // forensics
+    val seriesJson = calSeries
+      .map { case (after, par, ser) =>
+        s"""{"after":"$after","par":${fmt(par)},"ser":${fmt(ser)}}""" }
+      .mkString(""","cal_series":[""", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cal_pre":${fmt(calPre)},"cal_post":${fmt(calPost)},"cal_ser_pre":${fmt(calSerPre)},"cal_ser_post":${fmt(calSerPost)}$seriesJson$loaded$obsJson$partial}"""
     println(line)
     // the driver's artifact keeps only a bounded TAIL of stdout, which
     // silently drops the first ~23 queries' timings once the line grows
