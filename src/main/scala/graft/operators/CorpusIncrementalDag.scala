@@ -123,12 +123,140 @@ object CorpusIncrementalDag {
   def releaseWatermark(layout: Layout): Long =
     new WatermarkStore(layout.marks, bootstrapMark).get(entity).trim.toLong
 
-  /** True when any batch has raised a rebuild flag (cleared by a
-    * compaction deleting the flag layer). */
+  /** True when any batch has raised a rebuild flag (cleared by
+    * [[runCompaction]] deleting the flag layer). */
   def rebuildRequested(s: SparkSession, layout: Layout): Boolean = {
     val p = new org.apache.hadoop.fs.Path(layout.rebuildFlag)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     fs.exists(p) && !s.read.parquet(layout.rebuildFlag).isEmpty
+  }
+
+  /** EXECUTABLE compaction (VERDICT r15 item 1): the full-rebuild
+    * cycle [[rebuildRequested]] asks for, as a crash-rerun-convergent
+    * job graph. Runs the SHARED selection chain
+    * ([[CorpusPipelineDag.addSelectionChain]] — the same derivation
+    * both DAG modes use) over the committed clean layer into the
+    * rebuild layers, then REBASES the delta ledgers onto it:
+    *
+    *   1. `compact_selection` — token budget → mixture → split →
+    *      contiguous pack → export → payloads over
+    *      `clean WHERE batch <= mark AND doc_id <= mark` (overwrite;
+    *      rerun-idempotent).
+    *   2. `compact_rebase` — narrow ledger BASES derived from the
+    *      rebuild layers, written as committed `snap=mark` snapshots
+    *      (verdicts = selected as op=add; first-admit texts =
+    *      selected's text; mixture ledger = mixture as op=add; pack
+    *      ledger = the CONTIGUOUS packs; pack heads = max(pack_id)+1
+    *      per source), then [[CorpusSelectionDelta.snapshot]]
+    *      consolidates the append-only doc index + score cells (it
+    *      skips the ledgers just committed at this mark). Pack and
+    *      export tombstones are DELETED — the dead tokens they
+    *      accounted for are physically gone from the rewritten
+    *      shards, so the policy's dead-token permille reads 0 again.
+    *   3. `compact_swap` — the export artifact and payload shards are
+    *      RENAMED into the delta ledgers as the `batch=mark` base
+    *      (no second text write); all older shard partitions are
+    *      dropped first.
+    *   4. `compact_clear_flag` — the rebuild-flag layer is deleted
+    *      LAST: a crash anywhere above leaves the flag standing, so
+    *      the scheduler ([[graft.tools.RunIncremental]]'s branch, or
+    *      a real orchestrator) simply reruns the compaction, and
+    *      every step above overwrites/renames idempotently.
+    *
+    * After compaction the views equal the rebuild layers BY
+    * CONSTRUCTION (including pack ids — the one place the delta path
+    * diverges by design), subsequent delta batches resume from the
+    * compacted base under the unchanged `batch=N` rules, and the
+    * per-batch ledger reads are back to one base partition + tail.
+    * The RETRACTION ledger is not healed here: retractions record
+    * first-arrival drift in the DEDUP layers (keep/clean), and the
+    * honest fix for those is a full [[CorpusPipelineDag]] rebuild of
+    * the corpus — this compaction clears the flag either way, which
+    * is the operator's accept-first-arrival trade, documented.
+    * Out-of-band view readers during a compaction can see a torn
+    * window (tombstones cleared before the swap lands) — the same
+    * single-writer caveat as reading an in-flight batch with the
+    * MaxValue default. */
+  def runCompaction(s: SparkSession, root: String,
+                    auditReadBack: Boolean = false): Seq[JobGraph.JobReport] = {
+    val layout = Layout(root)
+    val L = CorpusSelectionDelta.Layers(root)
+    val mark = releaseWatermark(layout)
+    val g = new JobGraph()
+    def write(df: DataFrame, path: String): Long =
+      CorpusPipelineDag.writeLayer(df, path, auditReadBack)
+    def readClean(): DataFrame =
+      s.read.parquet(layout.clean)
+        .where(col("batch") <= mark && col("doc_id") <= mark)
+        .select("doc_id", "lang", "source", "n_paras", "n_kept", "text")
+
+    g.add("compact_guard") { mark } // -1 = bootstrap: nothing committed, all stages skip
+
+    val terminals = CorpusPipelineDag.addSelectionChain(g, s, () => readClean(),
+      layout.selected, layout.mixture, layout.splits, layout.packs,
+      layout.export, layout.packPayloads,
+      firstDep = Seq("compact_guard"), write = write,
+      skipWhen = () => mark < 0L)
+
+    g.add("compact_rebase", deps = terminals, retries = 1) {
+      if (mark < 0L) 0L else {
+        def snapW(path: String, frame: DataFrame): Unit = {
+          frame.write.mode("overwrite")
+            .parquet(s"${CorpusSelectionDelta.snapRoot(path)}/snap=$mark")
+          CorpusSelectionDelta.prunePartitions(s, path, mark, keepSnap = Some(mark))
+          ()
+        }
+        val sel = s.read.parquet(layout.selected)
+        snapW(L.verdicts, sel
+          .select("doc_id", "lang", "source", "quality_score", "n_words")
+          .withColumn("op", lit("add")).withColumn("batch", lit(mark)))
+        snapW(L.texts, sel.select("doc_id", "text").withColumn("batch", lit(mark)))
+        snapW(L.mixDelta, s.read.parquet(layout.mixture)
+          .select("doc_id", "lang", "source", "n_words", "copy_id")
+          .withColumn("op", lit("add")).withColumn("batch", lit(mark)))
+        val packs = s.read.parquet(layout.packs)
+        snapW(L.packsDelta, packs.withColumn("batch", lit(mark)))
+        snapW(L.packHeads, packs.groupBy("source")
+          .agg((max(col("pack_id")) + 1L).as("packs_end"))
+          .withColumn("batch", lit(mark)).coalesce(1))
+        // doc index + score cells consolidate from their own ledgers
+        // (append-only, no rebuild counterpart); ledgers committed
+        // above at this mark are skipped inside
+        CorpusSelectionDelta.snapshot(s, L, mark)
+        // dead state is gone: the shards the tombstones pointed into
+        // are about to be swapped for the contiguous rebuild
+        CorpusSelectionDelta.prunePartitions(s, L.packTombs, Long.MaxValue, None)
+        CorpusSelectionDelta.prunePartitions(s, L.exportTombs, Long.MaxValue, None)
+        7L
+      }
+    }
+
+    g.add("compact_swap", deps = Seq("compact_rebase"), retries = 1) {
+      if (mark < 0L) 0L else {
+        val conf = s.sessionState.newHadoopConf()
+        def swapIn(src: String, destLayer: String): Unit = {
+          val srcP = new org.apache.hadoop.fs.Path(src)
+          val fs = srcP.getFileSystem(conf)
+          CorpusSelectionDelta.prunePartitions(s, destLayer, Long.MaxValue, None)
+          val dest = new org.apache.hadoop.fs.Path(s"$destLayer/batch=$mark")
+          if (fs.exists(dest)) fs.delete(dest, true)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(srcP, dest))
+            throw new IllegalStateException(s"compact_swap: rename $src -> $dest failed")
+        }
+        swapIn(layout.export, L.exportDelta)
+        swapIn(layout.packPayloads, L.payloadsDelta)
+        2L
+      }
+    }
+
+    g.add("compact_clear_flag", deps = Seq("compact_swap")) {
+      val p = new org.apache.hadoop.fs.Path(layout.rebuildFlag)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      1L
+    }
+    g.run()
   }
 
   /** Watermark entity name and zero-padded numeric encoding (the
@@ -214,14 +342,22 @@ object CorpusIncrementalDag {
     *     pack-id numbering (content-equal, spec-pinned).
     *
     * `policy` is evaluated every batch in BOTH modes (see
-    * [[ReleasePolicy]]); a violated bound writes `rebuild_flag`. */
+    * [[ReleasePolicy]]); a violated bound writes `rebuild_flag`.
+    *
+    * `snapshotEvery` (delta mode, 0 = off): after the watermark
+    * advances, roll the narrow op ledgers up via
+    * [[CorpusSelectionDelta.snapshot]] once the unsnapshotted tail
+    * reaches that many batches — per-batch ledger reads stay
+    * one-base-partition + bounded tail instead of growing one
+    * partition per ingest day forever (VERDICT r15 item 2). */
   def build(
       s: SparkSession, sfDir: String, layout: Layout,
       upTo: Long = Long.MaxValue,
       cleanSuite: Seq[DataQuality.Expectation] = CorpusPipelineDag.defaultCleanSuite,
       auditReadBack: Boolean = false,
       selection: String = "rebuild",
-      policy: ReleasePolicy = ReleasePolicy()
+      policy: ReleasePolicy = ReleasePolicy(),
+      snapshotEvery: Int = 0
   ): JobGraph = {
     require(selection == "rebuild" || selection == "delta",
       s"CorpusIncrementalDag: unknown selection mode '$selection' (rebuild | delta)")
@@ -479,17 +615,18 @@ object CorpusIncrementalDag {
         if (nRetr > policy.maxRetractions)
           flags += (("retractions", nRetr, policy.maxRetractions))
         if (selection == "delta") {
-          // delta layers read schema-EXPLICIT (a patch-free batch
+          // snapshot-aware reads (readLedger): after a ledger snapshot
+          // or compaction, the packed-token denominator must still see
+          // the base rows, or the dead permille inflates and the flag
+          // fires early. The schema stays EXPLICIT (a patch-free batch
           // partition has no files; inference would throw)
-          val packed = CorpusSelectionDelta.readOr(s, deltaLayers.packsDelta,
+          val packed = CorpusSelectionDelta.readLedger(s, deltaLayers.packsDelta,
             "doc_id BIGINT, copy_id BIGINT, source STRING, n_words BIGINT, " +
-              "pack_id BIGINT, pack_offset BIGINT, batch BIGINT")
-            .where(col("batch") <= bid)
+              "pack_id BIGINT, pack_offset BIGINT, batch BIGINT", bid)
             .agg(coalesce(sum("n_words"), lit(0L))).head().getLong(0)
-          val dead = CorpusSelectionDelta.readOr(s, deltaLayers.packTombs,
+          val dead = CorpusSelectionDelta.readLedger(s, deltaLayers.packTombs,
             "doc_id BIGINT, copy_id BIGINT, source STRING, n_words BIGINT, " +
-              "pack_id BIGINT, batch BIGINT")
-            .where(col("batch") <= bid)
+              "pack_id BIGINT, batch BIGINT", bid)
             .agg(coalesce(sum("n_words"), lit(0L))).head().getLong(0)
           val permille = if (packed > 0L) dead * 1000L / packed else 0L
           if (permille > policy.maxDeadTokenPermille)
@@ -512,7 +649,28 @@ object CorpusIncrementalDag {
       bid
     }
 
-    g.add("release_report", deps = Seq("advance_watermark")) {
+    // ledger roll-up AFTER the watermark commits (the snapshot id is
+    // the committed mark by construction): when the unsnapshotted
+    // tail has reached `snapshotEvery` batches, consolidate. Metric =
+    // ledgers snapped (0 = below cadence / disabled). A crash inside
+    // leaves torn snap dirs without _SUCCESS — invisible to readers,
+    // overwritten by the next cadence hit.
+    g.add("ledger_snapshot", deps = Seq("advance_watermark")) {
+      val (_, bid, n) = meta()
+      if (selection != "delta" || snapshotEvery <= 0 || n == 0) 0L
+      else {
+        val root = new org.apache.hadoop.fs.Path(deltaLayers.verdicts)
+        val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+        val tail =
+          if (!fs.exists(root)) 0
+          else fs.listStatus(root).count(st =>
+            st.isDirectory && st.getPath.getName.startsWith("batch="))
+        if (tail >= snapshotEvery) CorpusSelectionDelta.snapshot(s, deltaLayers, bid)
+        else 0L
+      }
+    }
+
+    g.add("release_report", deps = Seq("ledger_snapshot")) {
       if (selection == "delta") CorpusSelectionDelta.packsLive(s, deltaLayers).count()
       else {
         // a first-ever cycle with an EMPTY batch never ran the selection
@@ -535,6 +693,8 @@ object CorpusIncrementalDag {
   /** One DELTA-selection cycle (the batch-proportional daily posture). */
   def runDelta(s: SparkSession, sfDir: String, root: String,
                upTo: Long = Long.MaxValue,
-               policy: ReleasePolicy = ReleasePolicy()): Seq[JobGraph.JobReport] =
-    build(s, sfDir, Layout(root), upTo, selection = "delta", policy = policy).run()
+               policy: ReleasePolicy = ReleasePolicy(),
+               snapshotEvery: Int = 0): Seq[JobGraph.JobReport] =
+    build(s, sfDir, Layout(root), upTo, selection = "delta", policy = policy,
+      snapshotEvery = snapshotEvery).run()
 }

@@ -87,6 +87,135 @@ object CorpusSelectionDelta {
   private[operators] def readOr(s: SparkSession, path: String, ddl: String): DataFrame =
     LayerIO.readOr(s, path, ddl, explicitSchema = true)
 
+  // ---------------------------------------------------------------
+  // Ledger snapshots (VERDICT r15 item 2). The op ledgers are
+  // append-only and the views recompute latest-op-wins over the WHOLE
+  // accumulated history every batch — correct, but after a year of
+  // daily batches the ledger shuffle and `batch=N` file listing
+  // dominate a no-change day. A snapshot rolls the history up to a
+  // sibling `<layer>__snap/snap=S` directory (S = the committed
+  // watermark at snapshot time) holding the SUFFICIENT ROWS for every
+  // view, each row keeping its ORIGINAL `batch` value as a data
+  // column — so latest-op-wins, the tombstone comparator
+  // (`row.batch > tomb.batch`) and the release-policy token sums are
+  // bit-identical over snapshot+tail and over the full ledger
+  // (spec-pinned). Readers pick the newest COMMITTED snapshot
+  // (_SUCCESS present) and union ledger partitions `batch > S`;
+  // partitions at or below S are garbage awaiting hygiene deletion
+  // and are partition-pruned out, which is what makes the write →
+  // delete sequence crash-convergent: a torn snapshot (no _SUCCESS)
+  // is invisible, a completed one flips the reader atomically
+  // per-ledger, and a rerun overwrites both. Reads below S throw —
+  // a snapshot intentionally destroys time travel under it.
+  // ---------------------------------------------------------------
+
+  private[graft] def snapRoot(path: String): String = path + "__snap"
+
+  /** Newest COMMITTED snapshot id of a ledger, if any. */
+  private[graft] def latestSnap(s: SparkSession, path: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(snapRoot(path))
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap="))
+      .flatMap { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("snap=").toLong).toOption
+          .filter(_ => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      }
+      .sorted.lastOption
+  }
+
+  /** Snapshot-aware ledger read: newest committed snapshot + ledger
+    * tail (`S < batch <= upTo`). Without a snapshot this is exactly
+    * the old `readOr(...).where(batch <= upTo)` path. */
+  private[graft] def readLedger(
+      s: SparkSession, path: String, ddl: String, upTo: Long): DataFrame =
+    latestSnap(s, path) match {
+      case Some(sid) =>
+        if (upTo < sid) throw new IllegalStateException(
+          s"readLedger($path): upTo=$upTo is below snapshot $sid — history " +
+            "under a snapshot is rolled up and no longer readable")
+        s.read.schema(StructType.fromDDL(ddl)).parquet(s"${snapRoot(path)}/snap=$sid")
+          .unionByName(readOr(s, path, ddl)
+            .where(col("batch") > sid && col("batch") <= upTo))
+      case None => readOr(s, path, ddl).where(col("batch") <= upTo)
+    }
+
+  /** Delete a ledger's hive partitions at or below `upTo`, and any
+    * snapshot dirs strictly below `keepSnap` — the hygiene half of a
+    * snapshot/compaction (reads are already correct without it; this
+    * bounds the file listing). */
+  private[graft] def prunePartitions(
+      s: SparkSession, path: String, upTo: Long, keepSnap: Option[Long]): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    var removed = 0L
+    def sweep(dir: String, prefix: String, bound: Long => Boolean): Unit = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith(prefix)) {
+          scala.util.Try(name.stripPrefix(prefix).toLong).toOption.foreach { id =>
+            if (bound(id)) { fs.delete(st.getPath, true); removed += 1 }
+          }
+        }
+      }
+    }
+    sweep(path, "batch=", _ <= upTo)
+    keepSnap.foreach(k => sweep(snapRoot(path), "snap=", _ < k))
+    removed
+  }
+
+  /** Roll the NARROW op ledgers up to snapshot `atMark` (pass the
+    * COMMITTED watermark): latest row per key for the op ledgers,
+    * straight consolidation for the append-only index/cell/pack/head
+    * layers — every surviving row keeps its original `batch`, so all
+    * view semantics are unchanged (spec-pinned equal). Text-carrying
+    * layers (first-admit texts, export shards) and the tombstone
+    * ledgers are NOT rolled up here — their read cost is listing, not
+    * recompute, and the tombstones carry the dead-token mass the
+    * release policy audits; [[CorpusIncrementalDag.runCompaction]] is
+    * the operation that truly rewrites those. Returns the number of
+    * ledgers snapped. Crash-rerun convergent: snapshot writes commit
+    * per-ledger via _SUCCESS, hygiene deletes are idempotent, and a
+    * rerun at the same mark overwrites. */
+  def snapshot(s: SparkSession, L: Layers, atMark: Long): Long = {
+    def latestPerKey(df: DataFrame, keys: Seq[String], rest: Seq[String]): DataFrame = {
+      val packed = max(struct((Seq("batch") ++ rest).map(col): _*)).as("__l")
+      df.groupBy(keys.map(col): _*).agg(packed)
+        .select(keys.map(col) ++ (Seq("batch") ++ rest).map(c => col(s"__l.$c").as(c)): _*)
+    }
+    def snap(path: String)(frame: => DataFrame): Unit = {
+      // already committed at this mark (a rerun): re-writing would
+      // read the very snap dir being overwritten — skip the write,
+      // finish the hygiene the crashed run may not have reached
+      if (!latestSnap(s, path).contains(atMark))
+        frame.write.mode("overwrite").parquet(s"${snapRoot(path)}/snap=$atMark")
+      prunePartitions(s, path, atMark, keepSnap = Some(atMark))
+      ()
+    }
+    snap(L.verdicts)(latestPerKey(
+      readLedger(s, L.verdicts, verdictDdl, atMark), Seq("doc_id"),
+      Seq("op", "lang", "source", "quality_score", "n_words")))
+    snap(L.mixDelta)(latestPerKey(
+      readLedger(s, L.mixDelta, mixDdl, atMark), Seq("doc_id", "copy_id"),
+      Seq("op", "lang", "source", "n_words")))
+    snap(L.cells)(readLedger(s, L.cells, cellDdl, atMark)
+      .groupBy("quality_score")
+      .agg(sum("token_mass").as("token_mass"), sum("n_docs").as("n_docs"))
+      .withColumn("batch", lit(atMark)).coalesce(1))
+    snap(L.packHeads)(readLedger(s, L.packHeads, headDdl, atMark)
+      .groupBy("source").agg(max("packs_end").as("packs_end"))
+      .withColumn("batch", lit(atMark)).coalesce(1))
+    // append-only layers: consolidation only (rows unchanged — the
+    // policy's packed-token denominator and the tombstone comparator
+    // both need the dead rows and original batch values)
+    snap(L.packsDelta)(readLedger(s, L.packsDelta, packDdl, atMark))
+    snap(L.docIndex)(readLedger(s, L.docIndex, idxDdl, atMark)
+      .sortWithinPartitions("quality_score"))
+    6L
+  }
+
   private val verdictDdl =
     "doc_id BIGINT, lang STRING, source STRING, quality_score BIGINT, n_words BIGINT, op STRING, batch BIGINT"
   private val mixDdl =
@@ -97,6 +226,12 @@ object CorpusSelectionDelta {
     "doc_id BIGINT, copy_id BIGINT, source STRING, n_words BIGINT, pack_id BIGINT, batch BIGINT"
   private val headDdl = "source STRING, packs_end BIGINT, batch BIGINT"
   private val textDdl = "doc_id BIGINT, text STRING, batch BIGINT"
+  private val cellDdl = "quality_score BIGINT, token_mass BIGINT, n_docs BIGINT, batch BIGINT"
+  private val idxDdl =
+    "doc_id BIGINT, lang STRING, source STRING, quality_score BIGINT, n_words BIGINT, batch BIGINT"
+  private val exportDdl =
+    "doc_id BIGINT, copy_id BIGINT, lang STRING, n_words BIGINT, text STRING, " +
+      "batch BIGINT, split STRING, source STRING"
 
   /** Currently admitted docs (narrow) as of `upTo`: latest op per doc
     * over the verdict ledger, keep the adds. The ledger is doc-grain
@@ -109,7 +244,7 @@ object CorpusSelectionDelta {
     * partial patch (e.g. mixture adds whose export rows never
     * landed) until the rerun converges. */
   def admittedIndex(s: SparkSession, L: Layers, upTo: Long): DataFrame =
-    readOr(s, L.verdicts, verdictDdl).where(col("batch") <= upTo)
+    readLedger(s, L.verdicts, verdictDdl, upTo)
       .groupBy("doc_id")
       .agg(max(struct(col("batch"), col("op"), col("lang"), col("source"),
         col("quality_score"), col("n_words"))).as("__l"))
@@ -121,13 +256,13 @@ object CorpusSelectionDelta {
     * the first-admit text store (≤1 row per doc by construction). */
   def selectedView(s: SparkSession, L: Layers, upTo: Long = Long.MaxValue): DataFrame =
     admittedIndex(s, L, upTo)
-      .join(readOr(s, L.texts, textDdl).where(col("batch") <= upTo)
+      .join(readLedger(s, L.texts, textDdl, upTo)
         .select("doc_id", "text"), Seq("doc_id"))
       .select("doc_id", "lang", "source", "quality_score", "n_words", "text")
 
   /** The mixture layer, materialized: latest op per (doc, copy). */
   def mixtureView(s: SparkSession, L: Layers, upTo: Long = Long.MaxValue): DataFrame =
-    readOr(s, L.mixDelta, mixDdl).where(col("batch") <= upTo)
+    readLedger(s, L.mixDelta, mixDdl, upTo)
       .groupBy("doc_id", "copy_id")
       .agg(max(struct(col("batch"), col("op"), col("lang"), col("source"),
         col("n_words"))).as("__l"))
@@ -145,7 +280,7 @@ object CorpusSelectionDelta {
     * tombstone on the same (doc, copy) — a re-added copy's fresh pack
     * row (strictly later batch) survives its old tombstone. */
   def packsLive(s: SparkSession, L: Layers, upTo: Long = Long.MaxValue): DataFrame = {
-    val p = readOr(s, L.packsDelta, packDdl).where(col("batch") <= upTo)
+    val p = readLedger(s, L.packsDelta, packDdl, upTo)
     val t = readOr(s, L.packTombs, tombDdl).where(col("batch") <= upTo)
       .groupBy("doc_id", "copy_id").agg(max("batch").as("__tb"))
     p.join(t, Seq("doc_id", "copy_id"), "left")
@@ -155,9 +290,7 @@ object CorpusSelectionDelta {
 
   /** Live export rows (same tombstone comparator as [[packsLive]]). */
   def exportView(s: SparkSession, L: Layers, upTo: Long = Long.MaxValue): DataFrame = {
-    val e = readOr(s, L.exportDelta,
-      "doc_id BIGINT, copy_id BIGINT, lang STRING, n_words BIGINT, text STRING, " +
-        "batch BIGINT, split STRING, source STRING")
+    val e = readOr(s, L.exportDelta, exportDdl)
       .where(col("batch") <= upTo)
     val t = readOr(s, L.exportTombs,
       "doc_id BIGINT, copy_id BIGINT, split STRING, source STRING, batch BIGINT")
@@ -170,8 +303,7 @@ object CorpusSelectionDelta {
 
   /** Accumulated score cells (≤101 rows) from the per-batch deltas. */
   private def cellsUpTo(s: SparkSession, L: Layers, upTo: Long): Seq[SelectionStream.ScoreCell] =
-    readOr(s, L.cells, "quality_score BIGINT, token_mass BIGINT, n_docs BIGINT, batch BIGINT")
-      .where(col("batch") <= upTo)
+    readLedger(s, L.cells, cellDdl, upTo)
       .groupBy("quality_score")
       .agg(sum("token_mass").as("m"), sum("n_docs").as("d"))
       .collect()
@@ -236,8 +368,8 @@ object CorpusSelectionDelta {
       val sOldEff = thrOld.map(_._1).getOrElse(-1L)
       val (lo, hi) = (math.min(sNewEff, sOldEff), math.max(sNewEff, sOldEff))
 
-      val standing = s.read.parquet(L.docIndex)
-        .where(col("batch") <= mark && col("quality_score").between(lo, hi))
+      val standing = readLedger(s, L.docIndex, idxDdl, mark)
+        .where(col("quality_score").between(lo, hi))
         .select("doc_id", "lang", "source", "quality_score", "n_words")
       val batchIdx = s.read.parquet(s"${L.docIndex}/batch=$bid")
         .select("doc_id", "lang", "source", "quality_score", "n_words")
@@ -285,7 +417,7 @@ object CorpusSelectionDelta {
       val (mark, bid, _) = meta()
       val adds = s.read.parquet(s"${L.verdicts}/batch=$bid")
         .where(col("op") === "add").select("doc_id")
-      val known = readOr(s, L.texts, textDdl).where(col("batch") <= mark).select("doc_id")
+      val known = readLedger(s, L.texts, textDdl, mark).select("doc_id")
       val need = adds.join(known, Seq("doc_id"), "left_anti")
       val fromBatch = readCleanBatch().select("doc_id", "text")
         .join(need.where(col("doc_id") > mark), Seq("doc_id"), "left_semi")
@@ -340,7 +472,7 @@ object CorpusSelectionDelta {
         .withColumn("split", QueriesText.mdSplit(col("doc_id")))
       val trainAdds = delta.where(col("op") === "add" && col("split") === "train")
         .select("doc_id", "copy_id", "source", "n_words")
-      val heads = readOr(s, L.packHeads, headDdl).where(col("batch") <= mark)
+      val heads = readLedger(s, L.packHeads, headDdl, mark)
         .groupBy("source").agg(max("packs_end").as("__base"))
       val pre = ScanOps.exclusivePrefixSum(
         trainAdds, Seq("source"), Seq("doc_id", "copy_id"), col("n_words"), "__tok")
@@ -383,7 +515,7 @@ object CorpusSelectionDelta {
       val needOld = adds.select("doc_id").distinct()
         .join(tNew, Seq("doc_id"), "left_anti")
       val tOld = BloomDedup.gateBigSide(
-        readOr(s, L.texts, textDdl).where(col("batch") <= mark)
+        readLedger(s, L.texts, textDdl, mark)
           .select("doc_id", "text"),
         xxhash64(col("doc_id")), needOld, xxhash64(col("doc_id")))
         .join(needOld, Seq("doc_id"), "left_semi")
@@ -419,7 +551,7 @@ object CorpusSelectionDelta {
         .parquet(s"${L.exportDelta}/batch=$bid")
         .where(col("split") === "train")
         .select("doc_id", "copy_id", "source", "text")
-      val tokBase = readOr(s, L.packHeads, headDdl).where(col("batch") <= mark)
+      val tokBase = readLedger(s, L.packHeads, headDdl, mark)
         .groupBy("source").agg(max("packs_end").as("__b"))
         .select(col("source"), (col("__b") * lit(packBudget)).as("tok_base"))
       write(graft.QueriesScale.packPayloadsOn(train, packBudget, Some(tokBase)),

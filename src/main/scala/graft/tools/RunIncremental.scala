@@ -19,24 +19,75 @@ import graft.operators.{CorpusIncrementalDag, CorpusPipelineDag}
   * rehearsal that shows the selection chain's cycle wall dropping to
   * batch-proportional; the equivalence check then compares the delta
   * VIEWS against the full rebuild (packs content-equal, ids
-  * batch-sequential by design). */
+  * batch-sequential by design).
+  *
+  * `SPARK_GRAFT_INC_SNAPSHOT=N` (delta mode): roll the narrow op
+  * ledgers up once the unsnapshotted tail reaches N batches.
+  *
+  * The scheduler branch (VERDICT r15 item 1): before each delta
+  * cycle, a standing rebuild flag ([[CorpusIncrementalDag
+  * .rebuildRequested]] — raised by the release policy on retractions
+  * or dead-token debt) triggers [[CorpusIncrementalDag
+  * .runCompaction]] INSTEAD of proceeding straight to the next
+  * incremental batch: packs/export/payloads are rewritten contiguous,
+  * the delta ledgers rebase onto the compacted release, tombstones
+  * clear, the flag clears, and the cycle then runs on the compacted
+  * base. */
 object RunIncremental {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: RunIncremental <sfDir> <root> [upTo...]")
     val sfDir = args(0)
     val root = args(1)
     val delta = sys.env.get("SPARK_GRAFT_INC_MODE").contains("delta")
+    val snapEvery = sys.env.getOrElse("SPARK_GRAFT_INC_SNAPSHOT", "0").toInt
+    // rehearsal knob: tighten the dead-token bound (permille) so the
+    // compaction branch can be driven deliberately at any SF
+    val policy = sys.env.get("SPARK_GRAFT_INC_DEAD_PERMILLE")
+      .map(b => CorpusIncrementalDag.ReleasePolicy(maxDeadTokenPermille = b.toLong))
+      .getOrElse(CorpusIncrementalDag.ReleasePolicy())
     val bounds = args.drop(2).map(_.toLong).toSeq :+ Long.MaxValue
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val layout = CorpusIncrementalDag.Layout(root)
     bounds.zipWithIndex.foreach { case (upTo, i) =>
+      if (delta && CorpusIncrementalDag.rebuildRequested(spark, layout)) {
+        val t0 = System.nanoTime()
+        val cr = CorpusIncrementalDag.runCompaction(spark, root)
+        println(f"[cycle ${i + 1}] COMPACTION (rebuild flag standing) wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+        cr.foreach { r =>
+          println(f"[cycle ${i + 1}]   ${r.id}%-22s ${r.status}%-12s ${r.millis / 1000.0}%8.2f s  metric=${r.metric}")
+        }
+      }
       val t0 = System.nanoTime()
       val reports =
-        if (delta) CorpusIncrementalDag.runDelta(spark, sfDir, root, upTo)
+        if (delta) CorpusIncrementalDag.runDelta(spark, sfDir, root, upTo,
+          policy = policy, snapshotEvery = snapEvery)
         else CorpusIncrementalDag.run(spark, sfDir, root, upTo)
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"[cycle ${i + 1}] upTo=$upTo mode=${if (delta) "delta" else "rebuild"} wall=$wall%.1f s")
       reports.foreach { r =>
         println(f"[cycle ${i + 1}]   ${r.id}%-22s ${r.status}%-12s ${r.millis / 1000.0}%8.2f s  metric=${r.metric}")
+      }
+      if (delta) {
+        // the ledger-growth signal (VERDICT r15 item 2's rehearsal
+        // artifact): hive tail partitions per narrow ledger + whether
+        // a snapshot base is standing — with SPARK_GRAFT_INC_SNAPSHOT
+        // the tail stays bounded as cycles accumulate
+        val L = graft.operators.CorpusSelectionDelta.Layers(root)
+        val conf = spark.sessionState.newHadoopConf()
+        val counts = Seq("verdicts" -> L.verdicts, "mix" -> L.mixDelta,
+          "cells" -> L.cells, "heads" -> L.packHeads,
+          "packs" -> L.packsDelta, "index" -> L.docIndex).map { case (n, p) =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fs = path.getFileSystem(conf)
+          val tail =
+            if (!fs.exists(path)) 0
+            else fs.listStatus(path).count(st =>
+              st.isDirectory && st.getPath.getName.startsWith("batch="))
+          val snap = graft.operators.CorpusSelectionDelta.latestSnap(spark, p)
+            .map(sid => s"snap@$sid+").getOrElse("")
+          s"$n=$snap$tail"
+        }
+        println(s"[cycle ${i + 1}] ledger partitions: ${counts.mkString(" ")}")
       }
     }
 

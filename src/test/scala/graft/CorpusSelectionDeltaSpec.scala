@@ -151,6 +151,92 @@ class CorpusSelectionDeltaSpec extends SparkSpec {
       "clean corpus must not schedule a compaction")
   }
 
+  test("ledger snapshots: views over snapshot+tail equal the full ledger; partitions stay bounded; crash-rerun above the snapshot converges") {
+    import spark.implicits._
+    // the engineered two-score corpus (see the cut-movement test
+    // below) — evictions, re-admits and first-admits all fire, so the
+    // snapshot must preserve every op class, not just adds
+    def hDoc(d: Long) = (0 until 120)
+      .map(i => if (i % 2 == 0) "the" else s"d${d}w${i / 2}").mkString(" ")
+    def lDoc(d: Long) = ("the" +: (1 until 120).map(i => s"d${d}w$i")).mkString(" ")
+    def src(d: Long) = if (d % 2 == 0) "s1" else "s2"
+    val corpusDir = tmp()
+    ((1L to 40L).map(d => (d, "en", src(d), lDoc(d))) ++
+      (101L to 140L).map(d => (d, "en", src(d), hDoc(d))) ++
+      (201L to 320L).map(d => (d, "en", src(d), lDoc(d))))
+      .toDF("doc_id", "lang", "source", "text")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+
+    // snapshotEvery = 2: the roll-up lands after batch 2 (tail of 2
+    // partitions), batch 3 appends a tail on top of the snapshot
+    val root = tmp()
+    val L = CorpusSelectionDelta.Layers(root)
+    val li = CorpusIncrementalDag.Layout(root)
+    def cycle(upTo: Long) = CorpusIncrementalDag.runDelta(
+      spark, corpusDir, root, upTo = upTo, snapshotEvery = 2)
+    Seq(40L, 140L).foreach { upTo =>
+      val r = cycle(upTo)
+      assert(r.forall(_.status == Succeeded), s"upTo=$upTo: ${r.map(x => x.id -> x.status)}")
+    }
+    // the batch-2 cycle rolled the ledgers up at the committed mark
+    assert(cycleSnapped(spark, L.verdicts) == Some(140L),
+      "verdict ledger snapshot committed at the batch-2 watermark")
+    def hivePartitions(path: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch="))
+    }
+    Seq(L.verdicts, L.mixDelta, L.cells, L.packHeads, L.packsDelta, L.docIndex)
+      .foreach { p => assert(hivePartitions(p) == 0,
+        s"$p: rolled-up ledger partitions must be pruned") }
+
+    // CRASH-RERUN above the snapshot: reset the watermark to the
+    // snapshot mark (= a batch-3 crash before advance) and rerun —
+    // standing reads sit exactly at the snapshot boundary
+    val r3 = cycle(Long.MaxValue)
+    assert(r3.forall(_.status == Succeeded), s"batch 3: ${r3.map(x => x.id -> x.status)}")
+    new WatermarkStore(li.marks, CorpusIncrementalDag.bootstrapMark)
+      .update(CorpusIncrementalDag.entity, CorpusIncrementalDag.pad(140L))
+    val rb = cycle(Long.MaxValue)
+    assert(rb.forall(_.status == Succeeded), s"rerun: ${rb.map(x => x.id -> x.status)}")
+
+    // equality: snapshot+tail views == the full rebuild on the union
+    val fullRoot = tmp()
+    val lf = CorpusPipelineDag.Layout(fullRoot)
+    val rf = CorpusPipelineDag.run(spark, corpusDir, fullRoot)
+    assert(rf.forall(_.status == Succeeded), s"full: ${rf.map(r => r.id -> r.status)}")
+    val selCols = Seq("doc_id", "lang", "source", "quality_score", "n_words", "text")
+    val sv = rows(CorpusSelectionDelta.selectedView(spark, L), selCols)
+    val sfr = rows(spark.read.parquet(lf.selected), selCols)
+    assert(sv == sfr, s"selected view over snapshot+tail: ${diff(sv, sfr)}")
+    val mixCols = Seq("doc_id", "lang", "source", "n_words", "copy_id")
+    val mv = rows(CorpusSelectionDelta.mixtureView(spark, L), mixCols)
+    val mfr = rows(spark.read.parquet(lf.mixture), mixCols)
+    assert(mv == mfr, s"mixture view over snapshot+tail: ${diff(mv, mfr)}")
+    val exCols = Seq("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")
+    val ev = rows(CorpusSelectionDelta.exportView(spark, L), exCols)
+    val efr = rows(spark.read.parquet(lf.export), exCols)
+    assert(ev == efr, s"export view over snapshot+tail: ${diff(ev, efr)}")
+    val liveCols = Seq("doc_id", "copy_id", "source", "n_words")
+    val lv = rows(CorpusSelectionDelta.packsLive(spark, L), liveCols)
+    val lfp = rows(spark.read.parquet(lf.packs), liveCols)
+    assert(lv == lfp, s"live packs over snapshot+tail: ${diff(lv, lfp)}")
+
+    // a read below the snapshot throws loudly — history under the
+    // roll-up is intentionally gone, never silently partial
+    val ex = intercept[IllegalStateException] {
+      CorpusSelectionDelta.admittedIndex(spark, L, upTo = 40L)
+    }
+    assert(ex.getMessage.contains("below snapshot"), ex.getMessage)
+  }
+
+  /** Committed snapshot id of a ledger (spec-side peek). */
+  private def cycleSnapped(s: org.apache.spark.sql.SparkSession, path: String): Option[Long] =
+    CorpusSelectionDelta.latestSnap(s, path)
+
   test("engineered cut movement: evictions, standing re-admits and first-admits all fire, equality holds") {
     import spark.implicits._
     // Two score classes from the stopword component alone (length,

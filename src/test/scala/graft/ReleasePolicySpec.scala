@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{CorpusIncrementalDag, CorpusSelectionDelta}
+import graft.operators.{CorpusIncrementalDag, CorpusPipelineDag, CorpusSelectionDelta}
 import graft.operators.JobGraph.Succeeded
 
 /** [[CorpusIncrementalDag.ReleasePolicy]] — the consumption hook for
@@ -103,5 +103,113 @@ class ReleasePolicySpec extends SparkSpec {
     val deadForGood = tombstoned -- readded
     assert(deadForGood.nonEmpty && deadForGood.intersect(ev).isEmpty,
       "evicted copies are invisible to the export view")
+  }
+
+  test("the compaction cycle is EXECUTABLE: flag fires -> compact -> views unchanged, packs contiguous, dead tokens 0, flag cleared, delta resumes and equality holds") {
+    // the engineered two-score corpus: batch 2's H docs halve the
+    // budget into the high stratum and evict EVERY standing L doc —
+    // guaranteed train-copy tombstones, so the dead-token rule fires
+    // deterministically
+    def hDoc(d: Long) = (0 until 120)
+      .map(i => if (i % 2 == 0) "the" else s"d${d}w${i / 2}").mkString(" ")
+    def lDoc(d: Long) = ("the" +: (1 until 120).map(i => s"d${d}w$i")).mkString(" ")
+    def src(d: Long) = if (d % 2 == 0) "s1" else "s2"
+    val b1 = (1L to 40L).map(d => (d, "en", src(d), lDoc(d)))
+    val b2 = (101L to 140L).map(d => (d, "en", src(d), hDoc(d)))
+    val b3 = (201L to 320L).map(d => (d, "en", src(d), lDoc(d)))
+    val corpusDir = tmp()       // all three batches (the delta feed)
+    val corpus12Dir = tmp()     // batches 1-2 only (the compaction-time twin)
+    (b1 ++ b2 ++ b3).toDF("doc_id", "lang", "source", "text").repartition(4)
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    (b1 ++ b2).toDF("doc_id", "lang", "source", "text").repartition(4)
+      .write.mode("overwrite").parquet(s"$corpus12Dir/documents.parquet")
+
+    val root = tmp()
+    val li = CorpusIncrementalDag.Layout(root)
+    val L = CorpusSelectionDelta.Layers(root)
+    val policy = CorpusIncrementalDag.ReleasePolicy(maxDeadTokenPermille = 0L)
+    Seq(40L, 140L).foreach { upTo =>
+      val r = CorpusIncrementalDag.runDelta(spark, corpusDir, root, upTo = upTo, policy = policy)
+      assert(r.forall(_.status == Succeeded), s"upTo=$upTo: ${r.map(x => x.id -> x.status)}")
+    }
+    assert(spark.read.parquet(L.packTombs).count() > 0, "batch 2 must tombstone train copies")
+    assert(CorpusIncrementalDag.rebuildRequested(spark, li), "dead-token flag standing")
+
+    def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Set[Seq[Any]] =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val selCols = Seq("doc_id", "lang", "source", "quality_score", "n_words", "text")
+    val mixCols = Seq("doc_id", "lang", "source", "n_words", "copy_id")
+    val exCols = Seq("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")
+    val mark = CorpusIncrementalDag.releaseWatermark(li)
+    val selBefore = rows(CorpusSelectionDelta.selectedView(spark, L, mark), selCols)
+    val mixBefore = rows(CorpusSelectionDelta.mixtureView(spark, L, mark), mixCols)
+    val exBefore = rows(CorpusSelectionDelta.exportView(spark, L, mark), exCols)
+
+    // THE COMPACTION (VERDICT r15 item 1)
+    val rc = CorpusIncrementalDag.runCompaction(spark, root)
+    assert(rc.forall(_.status == Succeeded), s"compaction: ${rc.map(x => x.id -> x.status)}")
+
+    // flag cleared; views content-unchanged
+    assert(!CorpusIncrementalDag.rebuildRequested(spark, li), "compaction clears the flag")
+    assert(rows(CorpusSelectionDelta.selectedView(spark, L, mark), selCols) == selBefore,
+      "selected view unchanged by compaction")
+    assert(rows(CorpusSelectionDelta.mixtureView(spark, L, mark), mixCols) == mixBefore,
+      "mixture view unchanged by compaction")
+    assert(rows(CorpusSelectionDelta.exportView(spark, L, mark), exCols) == exBefore,
+      "export view unchanged by compaction")
+
+    // packs now CONTIGUOUS: EXACT equality with a full rebuild on the
+    // same content, INCLUDING pack ids and offsets — the one axis the
+    // delta path diverges on by design is healed
+    val full12 = tmp()
+    val lf12 = CorpusPipelineDag.Layout(full12)
+    val rf12 = CorpusPipelineDag.run(spark, corpus12Dir, full12)
+    assert(rf12.forall(_.status == Succeeded), s"full12: ${rf12.map(r => r.id -> r.status)}")
+    val packCols = Seq("doc_id", "copy_id", "source", "n_words", "pack_id", "pack_offset")
+    val pv = rows(CorpusSelectionDelta.packsLive(spark, L, mark), packCols)
+    val pf = rows(spark.read.parquet(lf12.packs), packCols)
+    assert(pv == pf, s"compacted packs == full rebuild's contiguous packs (ids included): " +
+      s"delta-only=${(pv -- pf).take(3)} full-only=${(pf -- pv).take(3)}")
+
+    // dead tokens physically gone: tombstone ledgers cleared, payload
+    // mass == live ledger mass exactly
+    assert(CorpusSelectionDelta.readLedger(spark, L.packTombs,
+      "doc_id BIGINT, copy_id BIGINT, source STRING, n_words BIGINT, " +
+        "pack_id BIGINT, batch BIGINT", Long.MaxValue).isEmpty,
+      "pack tombstones cleared")
+    val pdTok = spark.read.parquet(L.payloadsDelta)
+      .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+    val liveTok = CorpusSelectionDelta.packsLive(spark, L, mark)
+      .agg(coalesce(sum("n_words"), lit(0L))).head().getLong(0)
+    assert(pdTok == liveTok, s"payload tokens $pdTok == live ledger tokens $liveTok (0 dead)")
+
+    // the NEXT delta batch resumes on the compacted base, and the
+    // equivalence contract still holds on the union
+    val r3 = CorpusIncrementalDag.runDelta(spark, corpusDir, root, policy = policy)
+    assert(r3.forall(_.status == Succeeded), s"batch 3: ${r3.map(x => x.id -> x.status)}")
+    val fullAll = tmp()
+    val lfAll = CorpusPipelineDag.Layout(fullAll)
+    val rfAll = CorpusPipelineDag.run(spark, corpusDir, fullAll)
+    assert(rfAll.forall(_.status == Succeeded))
+    val mark3 = CorpusIncrementalDag.releaseWatermark(li)
+    assert(rows(CorpusSelectionDelta.selectedView(spark, L, mark3), selCols) ==
+      rows(spark.read.parquet(lfAll.selected), selCols), "selected view after resume")
+    assert(rows(CorpusSelectionDelta.mixtureView(spark, L, mark3), mixCols) ==
+      rows(spark.read.parquet(lfAll.mixture), mixCols), "mixture view after resume")
+    assert(rows(CorpusSelectionDelta.exportView(spark, L, mark3), exCols) ==
+      rows(spark.read.parquet(lfAll.export), exCols), "export view after resume")
+    val liveCols = Seq("doc_id", "copy_id", "source", "n_words")
+    assert(rows(CorpusSelectionDelta.packsLive(spark, L, mark3), liveCols) ==
+      rows(spark.read.parquet(lfAll.packs), liveCols), "live packs after resume")
+
+    // compaction rerun (e.g. a crash after the flag write of a LATER
+    // cycle) converges: run it again, views still equal
+    val rc2 = CorpusIncrementalDag.runCompaction(spark, root)
+    assert(rc2.forall(_.status == Succeeded), s"re-compaction: ${rc2.map(x => x.id -> x.status)}")
+    assert(rows(CorpusSelectionDelta.selectedView(spark, L, mark3), selCols) ==
+      rows(spark.read.parquet(lfAll.selected), selCols), "selected view after re-compaction")
+    assert(rows(CorpusSelectionDelta.packsLive(spark, L, mark3), packCols) ==
+      rows(spark.read.parquet(lfAll.packs), packCols),
+      "re-compacted packs == full rebuild on the union, ids included")
   }
 }

@@ -99,6 +99,7 @@ class ScaleUpSpec extends SparkSpec {
   private val boundedBnlj = Set(
     "q_kpi_summary",    // 1-row aggregates crossJoined back together
     "q_boilerplate",    // scalar corpus-total crossJoin
+    "q_boiler_coverage", // same shape: 1-row nDocs crossJoin (r16 in-plan fix)
     "q_pmi_bigrams",    // scalar token-total crossJoin
     "q_vocab_coverage", // scalar coverage-total crossJoin
     "q_weekday_seasonality", // scalar revenue-total crossJoin (≤7 cells)
