@@ -293,9 +293,59 @@ object CorpusStream {
     * corpus-global, so each cycle's artifact is a full release cut at
     * that cycle's watermark — the delta posture (patch + tombstones)
     * lives on the batch side in
-    * [[graft.operators.CorpusSelectionDelta]]. */
+    * [[graft.operators.CorpusSelectionDelta]].
+    *
+    * NO-CHANGE SKIP (VERDICT r15 thin spot 3, the batch side's
+    * `skipWhen` shape): the accumulated ≤101-cell score ledger is a
+    * SUFFICIENT change signal — the clean layer is append-only and
+    * every appended doc bumps a cell's `n_docs` (0-mass docs
+    * included), so identical cells ⇒ identical clean content ⇒
+    * identical admission, mixture and release. Each export cycle
+    * stores its cell digest beside the artifact (an `_`-prefixed file
+    * readers ignore); a cycle whose cells match the newest prior
+    * export's digest returns 0 and writes NOTHING — the standing
+    * artifact (that prior `cycle=N` dir) IS this cycle's release cut,
+    * and the corpus-scale clean re-read + release rewrite are not
+    * paid. The digest costs one ≤101-row driver read that
+    * [[SelectionStream.latest]] was already paying. */
   def exportStep(spark: SparkSession, layout: Layout, cycleId: Long,
                  packBudget: Long = 2048L): Long = {
+    val cellsEarly = SelectionStream.latest(readAccumulated(
+      spark, s"${layout.ledger}/batch_v*", ledgerSchema.toDDL))
+    val digest = cellsEarly.sortBy(_.quality_score)
+      .map(c => s"${c.quality_score}:${c.token_mass}:${c.n_docs}").mkString("|")
+    val conf = spark.sessionState.newHadoopConf()
+    val exportRoot = new org.apache.hadoop.fs.Path(layout.export)
+    val fs = exportRoot.getFileSystem(conf)
+    val priorCycle: Option[Long] =
+      if (!fs.exists(exportRoot)) None
+      else fs.listStatus(exportRoot).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cycle="))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("cycle=").toLong).toOption)
+        .filter(_ < cycleId).sorted.lastOption
+    val priorDigest = priorCycle.flatMap { c =>
+      val p = new org.apache.hadoop.fs.Path(s"${layout.export}/cycle=$c/_cells_digest")
+      if (!fs.exists(p)) None
+      else scala.util.Try {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }.toOption
+    }
+    if (priorDigest.contains(digest)) return 0L
+    val written = exportCut(spark, layout, cycleId, packBudget)
+    // digest lands LAST: a crash mid-cut leaves no digest, so the
+    // rerun recuts instead of wrongly skipping
+    val dp = new org.apache.hadoop.fs.Path(s"${layout.export}/cycle=$cycleId/_cells_digest")
+    val out = fs.create(dp, true)
+    try out.write(digest.getBytes("UTF-8")) finally out.close()
+    written
+  }
+
+  /** The unconditional release cut (see [[exportStep]] for the
+    * no-change skip wrapper). */
+  private def exportCut(spark: SparkSession, layout: Layout, cycleId: Long,
+                        packBudget: Long): Long = {
     import graft.QueriesText
     // both accumulated reads go through readAccumulated (ADVICE r15):
     // a stream with no completed cycles no-ops on the empty frame

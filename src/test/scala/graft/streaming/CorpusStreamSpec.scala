@@ -160,6 +160,48 @@ class CorpusStreamSpec extends SparkSpec {
     assert(keepIds == Set(1L, 3L), s"doc 2 must remain dropped, got $keepIds")
   }
 
+  test("export step skips a no-change cycle via the cell digest; recuts when the ledger moved or on same-cycle rerun") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cstream_skip").toString
+    val layout = CorpusStream.Layout(root)
+    def fs = new org.apache.hadoop.fs.Path(layout.export)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def cycleExists(c: Long): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"${layout.export}/cycle=$c"))
+    def doc(d: Long) = (d, "en", "s1", 6L, 6L,
+      (1 to 40).map(i => s"d${d}w$i").mkString(" "))
+    def writeState(batch: Int, docs: Seq[(Long, String, String, Long, Long, String)]): Unit = {
+      docs.toDF("doc_id", "lang", "source", "n_paras", "n_kept", "text")
+        .write.mode("overwrite").parquet(s"${layout.clean}/batch_v$batch")
+      // the ledger write is the CUMULATIVE cell state over everything
+      // seen so far (flatMapGroupsWithState emits updated cells)
+      val all = spark.read.schema(CorpusStream.cleanSchema)
+        .parquet(s"${layout.clean}/batch_v*")
+      graft.QueriesText.scoredTokens(all.select("doc_id", "text"))
+        .groupBy("quality_score")
+        .agg(sum("n_words").as("token_mass"), count(lit(1)).as("n_docs"))
+        .write.mode("overwrite").parquet(s"${layout.ledger}/batch_v$batch")
+    }
+    writeState(0, Seq(doc(1), doc(2)))
+    val e1 = CorpusStream.exportStep(spark, layout, 1L)
+    assert(e1 > 0, "first cycle cuts a release")
+
+    // nothing arrived: the cell digest matches -> NO cut, no dir
+    val e2 = CorpusStream.exportStep(spark, layout, 2L)
+    assert(e2 == 0L, "no-change cycle must skip the corpus-scale cut")
+    assert(!cycleExists(2L), "a skipped cycle writes nothing — the prior artifact stands")
+
+    // new data moves the ledger -> the next cycle cuts again
+    writeState(1, Seq(doc(3)))
+    val e3 = CorpusStream.exportStep(spark, layout, 3L)
+    assert(e3 > 0 && cycleExists(3L), "ledger moved: full cut")
+
+    // SAME-cycle rerun (crash replay) always recuts — the digest can
+    // never make a rerun skip its own torn cycle
+    val e3b = CorpusStream.exportStep(spark, layout, 3L)
+    assert(e3b == e3, "rerun of the same cycle converges by recutting")
+  }
+
   test("export step on a stream with no completed cycles no-ops instead of throwing (ADVICE r15)") {
     val root = java.nio.file.Files.createTempDirectory("graft_cstream_empty").toString
     val layout = CorpusStream.Layout(root)
