@@ -237,8 +237,19 @@ object CorpusIncrementalDag {
         def swapIn(src: String, destLayer: String): Unit = {
           val srcP = new org.apache.hadoop.fs.Path(src)
           val fs = srcP.getFileSystem(conf)
-          CorpusSelectionDelta.prunePartitions(s, destLayer, Long.MaxValue, None)
           val dest = new org.apache.hadoop.fs.Path(s"$destLayer/batch=$mark")
+          // RETRY idempotence: a prior attempt may already have
+          // renamed the source away — if the base is installed and
+          // the source is gone, this swap is DONE; pruning first and
+          // unconditionally renaming would delete the installed base
+          // and then fail forever on the missing source
+          if (!fs.exists(srcP)) {
+            if (fs.exists(dest)) return
+            throw new IllegalStateException(
+              s"compact_swap: neither source $src nor installed base $dest exists — " +
+                "rerun the full compaction (the selection chain rebuilds the source)")
+          }
+          CorpusSelectionDelta.prunePartitions(s, destLayer, Long.MaxValue, None)
           if (fs.exists(dest)) fs.delete(dest, true)
           fs.mkdirs(dest.getParent)
           if (!fs.rename(srcP, dest))
@@ -246,6 +257,15 @@ object CorpusIncrementalDag {
         }
         swapIn(layout.export, L.exportDelta)
         swapIn(layout.packPayloads, L.payloadsDelta)
+        // floor marker (review r16): exportView must THROW on reads
+        // below the rebased mark — without it, "history rolled up"
+        // reads as an EMPTY release, indistinguishable from "nothing
+        // exported". The marker rides the snap mechanism (metadata
+        // only — the view's data still comes from the hive base).
+        import s.implicits._
+        Seq(mark).toDF("mark").coalesce(1).write.mode("overwrite")
+          .parquet(s"${CorpusSelectionDelta.snapRoot(L.exportDelta)}/snap=$mark")
+        CorpusSelectionDelta.prunePartitions(s, L.exportDelta, -1L, keepSnap = Some(mark))
         2L
       }
     }
@@ -650,24 +670,23 @@ object CorpusIncrementalDag {
     }
 
     // ledger roll-up AFTER the watermark commits (the snapshot id is
-    // the committed mark by construction): when the unsnapshotted
-    // tail has reached `snapshotEvery` batches, consolidate. Metric =
-    // ledgers snapped (0 = below cadence / disabled). A crash inside
-    // leaves torn snap dirs without _SUCCESS — invisible to readers,
-    // overwritten by the next cadence hit.
-    g.add("ledger_snapshot", deps = Seq("advance_watermark")) {
-      val (_, bid, n) = meta()
-      if (selection != "delta" || snapshotEvery <= 0 || n == 0) 0L
-      else {
-        val root = new org.apache.hadoop.fs.Path(deltaLayers.verdicts)
-        val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-        val tail =
-          if (!fs.exists(root)) 0
-          else fs.listStatus(root).count(st =>
-            st.isDirectory && st.getPath.getName.startsWith("batch="))
-        if (tail >= snapshotEvery) CorpusSelectionDelta.snapshot(s, deltaLayers, bid)
-        else 0L
-      }
+    // the committed mark by construction): when the WORST
+    // unsnapshotted tail across the six ledgers reaches
+    // `snapshotEvery` batches, consolidate. Max-over-ledgers (not
+    // just verdicts) + retries makes a crashed partial roll-up
+    // self-healing: whichever ledger stayed unpruned keeps the count
+    // high, so the next cadence hit re-snapshots all of them. Metric
+    // = ledgers snapped (0 = below cadence / disabled). A torn snap
+    // dir without _SUCCESS is invisible to readers and overwritten.
+    g.add("ledger_snapshot", deps = Seq("advance_watermark"), retries = 1) {
+      // no n==0 guard: on an empty ingest day bid == the committed
+      // mark, so even a no-op cycle can finish a roll-up a crashed
+      // predecessor left partial
+      val (_, bid, _) = meta()
+      if (selection != "delta" || snapshotEvery <= 0) 0L
+      else if (CorpusSelectionDelta.maxTail(s, deltaLayers) >= snapshotEvery)
+        CorpusSelectionDelta.snapshot(s, deltaLayers, bid)
+      else 0L
     }
 
     g.add("release_report", deps = Seq("ledger_snapshot")) {

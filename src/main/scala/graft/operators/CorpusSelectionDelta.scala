@@ -141,6 +141,28 @@ object CorpusSelectionDelta {
       case None => readOr(s, path, ddl).where(col("batch") <= upTo)
     }
 
+  /** Unsnapshotted `batch=` partition count of a ledger — the tail a
+    * reader unions on top of the snapshot base. Owned here, next to
+    * the naming scheme, so the snapshot cadence, RunIncremental's
+    * telemetry and the specs can't drift apart (review r16). */
+  private[graft] def tailPartitions(s: SparkSession, path: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch="))
+  }
+
+  /** Worst unsnapshotted tail across the six narrow ledgers
+    * [[snapshot]] rolls up: the cadence signal. Taking the MAX (not
+    * just the verdicts tail) makes a crashed partial roll-up
+    * self-healing — whichever ledger the crash left unpruned keeps
+    * the count high, so the next cadence check re-snapshots ALL of
+    * them instead of letting five ledgers grow for another window. */
+  private[graft] def maxTail(s: SparkSession, L: Layers): Int =
+    Seq(L.verdicts, L.mixDelta, L.cells, L.packHeads, L.packsDelta, L.docIndex)
+      .map(tailPartitions(s, _)).max
+
   /** Delete a ledger's hive partitions at or below `upTo`, and any
     * snapshot dirs strictly below `keepSnap` — the hygiene half of a
     * snapshot/compaction (reads are already correct without it; this
@@ -288,8 +310,18 @@ object CorpusSelectionDelta {
       .drop("__tb")
   }
 
-  /** Live export rows (same tombstone comparator as [[packsLive]]). */
+  /** Live export rows (same tombstone comparator as [[packsLive]]).
+    * A compaction rebases the shard history into a single `batch=mark`
+    * base and leaves a floor marker (`export_delta__snap/snap=mark`,
+    * metadata only): reads below that floor THROW like every
+    * snapshotted ledger — "history rolled up" must never read as an
+    * empty release. */
   def exportView(s: SparkSession, L: Layers, upTo: Long = Long.MaxValue): DataFrame = {
+    latestSnap(s, L.exportDelta).foreach { floor =>
+      if (upTo < floor) throw new IllegalStateException(
+        s"exportView(${L.exportDelta}): upTo=$upTo is below the compaction floor $floor — " +
+          "shard history under the rebase is rolled up and no longer readable")
+    }
     val e = readOr(s, L.exportDelta, exportDdl)
       .where(col("batch") <= upTo)
     val t = readOr(s, L.exportTombs,

@@ -333,7 +333,7 @@ object CorpusStream {
       }.toOption
     }
     if (priorDigest.contains(digest)) return 0L
-    val written = exportCut(spark, layout, cycleId, packBudget)
+    val written = exportCut(spark, layout, cycleId, packBudget, cellsEarly)
     // digest lands LAST: a crash mid-cut leaves no digest, so the
     // rerun recuts instead of wrongly skipping
     val dp = new org.apache.hadoop.fs.Path(s"${layout.export}/cycle=$cycleId/_cells_digest")
@@ -345,18 +345,19 @@ object CorpusStream {
   /** The unconditional release cut (see [[exportStep]] for the
     * no-change skip wrapper). */
   private def exportCut(spark: SparkSession, layout: Layout, cycleId: Long,
-                        packBudget: Long): Long = {
+                        packBudget: Long,
+                        cells: Seq[SelectionStream.ScoreCell]): Long = {
     import graft.QueriesText
-    // both accumulated reads go through readAccumulated (ADVICE r15):
-    // a stream with no completed cycles no-ops on the empty frame
-    // instead of throwing path-not-found, and the explicit schema
-    // keeps resumed mixed-schema layers readable like every other
-    // accumulated read in this file
+    // the accumulated clean read goes through readAccumulated
+    // (ADVICE r15): a stream with no completed cycles no-ops on the
+    // empty frame instead of throwing path-not-found, and the
+    // explicit schema keeps resumed mixed-schema layers readable.
+    // `cells` arrives from exportStep's digest pass — the ledger is
+    // immutable within a driver-sequenced cycle step, so the cut
+    // never re-pays that collect (review r16)
     val clean = readAccumulated(spark, s"${layout.clean}/batch_v*", cleanSchema.toDDL)
       .select("doc_id", "lang", "source", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = SelectionStream.latest(readAccumulated(
-      spark, s"${layout.ledger}/batch_v*", ledgerSchema.toDDL))
     val verdicts = SelectionStream.verdicts(
       clean.select("doc_id", "text"), cells, cells.map(_.token_mass).sum / 2)
     val selected = clean.select("doc_id", "lang", "source")

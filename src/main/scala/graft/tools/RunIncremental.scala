@@ -73,16 +73,10 @@ object RunIncremental {
         // a snapshot base is standing — with SPARK_GRAFT_INC_SNAPSHOT
         // the tail stays bounded as cycles accumulate
         val L = graft.operators.CorpusSelectionDelta.Layers(root)
-        val conf = spark.sessionState.newHadoopConf()
         val counts = Seq("verdicts" -> L.verdicts, "mix" -> L.mixDelta,
           "cells" -> L.cells, "heads" -> L.packHeads,
           "packs" -> L.packsDelta, "index" -> L.docIndex).map { case (n, p) =>
-          val path = new org.apache.hadoop.fs.Path(p)
-          val fs = path.getFileSystem(conf)
-          val tail =
-            if (!fs.exists(path)) 0
-            else fs.listStatus(path).count(st =>
-              st.isDirectory && st.getPath.getName.startsWith("batch="))
+          val tail = graft.operators.CorpusSelectionDelta.tailPartitions(spark, p)
           val snap = graft.operators.CorpusSelectionDelta.latestSnap(spark, p)
             .map(sid => s"snap@$sid+").getOrElse("")
           s"$n=$snap$tail"

@@ -182,15 +182,8 @@ class CorpusSelectionDeltaSpec extends SparkSpec {
     // the batch-2 cycle rolled the ledgers up at the committed mark
     assert(cycleSnapped(spark, L.verdicts) == Some(140L),
       "verdict ledger snapshot committed at the batch-2 watermark")
-    def hivePartitions(path: String): Int = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(p)) 0
-      else fs.listStatus(p).count(st =>
-        st.isDirectory && st.getPath.getName.startsWith("batch="))
-    }
     Seq(L.verdicts, L.mixDelta, L.cells, L.packHeads, L.packsDelta, L.docIndex)
-      .foreach { p => assert(hivePartitions(p) == 0,
+      .foreach { p => assert(CorpusSelectionDelta.tailPartitions(spark, p) == 0,
         s"$p: rolled-up ledger partitions must be pruned") }
 
     // CRASH-RERUN above the snapshot: reset the watermark to the

@@ -183,6 +183,13 @@ class ReleasePolicySpec extends SparkSpec {
       .agg(coalesce(sum("n_words"), lit(0L))).head().getLong(0)
     assert(pdTok == liveTok, s"payload tokens $pdTok == live ledger tokens $liveTok (0 dead)")
 
+    // reads below the rebased mark THROW (review r16): rolled-up
+    // export history must never read as an empty release
+    val exFloor = intercept[IllegalStateException] {
+      CorpusSelectionDelta.exportView(spark, L, upTo = 40L)
+    }
+    assert(exFloor.getMessage.contains("compaction floor"), exFloor.getMessage)
+
     // the NEXT delta batch resumes on the compacted base, and the
     // equivalence contract still holds on the union
     val r3 = CorpusIncrementalDag.runDelta(spark, corpusDir, root, policy = policy)
