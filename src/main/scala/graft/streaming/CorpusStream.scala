@@ -312,7 +312,12 @@ object CorpusStream {
                  packBudget: Long = 2048L): Long = {
     val cellsEarly = SelectionStream.latest(readAccumulated(
       spark, s"${layout.ledger}/batch_v*", ledgerSchema.toDDL))
-    val digest = cellsEarly.sortBy(_.quality_score)
+    // the digest keys EVERYTHING the cut is a function of: the score
+    // cells (sufficient for clean content, see below) AND the cut
+    // config — a cycle run with a changed packBudget but an unchanged
+    // ledger must recut, not inherit an artifact packed at the stale
+    // budget (ADVICE r16)
+    val digest = s"pb=$packBudget|" + cellsEarly.sortBy(_.quality_score)
       .map(c => s"${c.quality_score}:${c.token_mass}:${c.n_docs}").mkString("|")
     val conf = spark.sessionState.newHadoopConf()
     val exportRoot = new org.apache.hadoop.fs.Path(layout.export)

@@ -200,6 +200,16 @@ class CorpusStreamSpec extends SparkSpec {
     // never make a rerun skip its own torn cycle
     val e3b = CorpusStream.exportStep(spark, layout, 3L)
     assert(e3b == e3, "rerun of the same cycle converges by recutting")
+
+    // a changed packBudget with an UNCHANGED ledger must recut (ADVICE
+    // r16): the standing artifact is packed at the old budget, so the
+    // skip key covers the cut config, not just the cells
+    val e4 = CorpusStream.exportStep(spark, layout, 4L, packBudget = 512L)
+    assert(e4 > 0 && cycleExists(4L),
+      "packBudget change must defeat the no-change skip")
+    // and the new config skips against ITS own digest once cut
+    val e5 = CorpusStream.exportStep(spark, layout, 5L, packBudget = 512L)
+    assert(e5 == 0L && !cycleExists(5L), "same config + same cells skips again")
   }
 
   test("export step on a stream with no completed cycles no-ops instead of throwing (ADVICE r15)") {
