@@ -136,7 +136,10 @@ object CorpusIncrementalDag {
     * job graph. Runs the SHARED selection chain
     * ([[CorpusPipelineDag.addSelectionChain]] — the same derivation
     * both DAG modes use) over the committed clean layer into the
-    * rebuild layers, then REBASES the delta ledgers onto it:
+    * rebuild layers, then REBASES the delta ledgers onto it inside a
+    * FRESH generation directory (`<root>/selgen=<mark>`) and flips
+    * the [[CorpusSelectionDelta.genPointerName]] pointer atomically
+    * (VERDICT r16 item 4 — the ScdStream `_CURRENT` pattern):
     *
     *   1. `compact_selection` — token budget → mixture → split →
     *      contiguous pack → export → payloads over
@@ -144,24 +147,39 @@ object CorpusIncrementalDag {
     *      rerun-idempotent).
     *   2. `compact_rebase` — narrow ledger BASES derived from the
     *      rebuild layers, written as committed `snap=mark` snapshots
-    *      (verdicts = selected as op=add; first-admit texts =
-    *      selected's text; mixture ledger = mixture as op=add; pack
-    *      ledger = the CONTIGUOUS packs; pack heads = max(pack_id)+1
-    *      per source), then [[CorpusSelectionDelta.snapshot]]
-    *      consolidates the append-only doc index + score cells (it
-    *      skips the ledgers just committed at this mark). Pack and
-    *      export tombstones are DELETED — the dead tokens they
-    *      accounted for are physically gone from the rewritten
-    *      shards, so the policy's dead-token permille reads 0 again.
+    *      of the NEW generation (verdicts = selected as op=add;
+    *      first-admit texts = selected's text; mixture ledger =
+    *      mixture as op=add; pack ledger = the CONTIGUOUS packs; pack
+    *      heads = max(pack_id)+1 per source); the append-only doc
+    *      index + score cells consolidate OLD generation → NEW. The
+    *      tombstone ledgers are simply NOT carried — the new
+    *      generation starts with zero dead state, so the policy's
+    *      dead-token permille reads 0 again. The old generation is
+    *      never touched.
     *   3. `compact_swap` — the export artifact and payload shards are
-    *      RENAMED into the delta ledgers as the `batch=mark` base
-    *      (no second text write); all older shard partitions are
-    *      dropped first.
-    *   4. `compact_clear_flag` — the rebuild-flag layer is deleted
-    *      LAST: a crash anywhere above leaves the flag standing, so
-    *      the scheduler ([[graft.tools.RunIncremental]]'s branch, or
-    *      a real orchestrator) simply reruns the compaction, and
-    *      every step above overwrites/renames idempotently.
+    *      RENAMED into the new generation as the `batch=mark` base
+    *      (no second text write), and the export floor file lands
+    *      beside the base.
+    *   4. `compact_flip` — the generation pointer swings to
+    *      `selgen=<mark>` via an ATOMIC_MOVE. This is the commit
+    *      point for every out-of-band reader: resolution before the
+    *      flip yields the old generation (untouched, consistent);
+    *      after, the rebased one. There is NO torn window — the r15
+    *      in-place design's tombstones-cleared-before-swap exposure
+    *      is gone by construction.
+    *   5. `compact_clear_flag` — the rebuild-flag layer is deleted
+    *      right after the flip: a crash anywhere above leaves the
+    *      flag standing, so the scheduler ([[graft.tools
+    *      .RunIncremental]]'s branch, or a real orchestrator) simply
+    *      reruns the compaction; pre-flip steps overwrite/rename
+    *      idempotently, and a rerun AFTER a committed flip skips
+    *      straight here (re-running the rebase would read the very
+    *      generation it writes).
+    *   6. `compact_gc` — generations other than the new one and its
+    *      immediate predecessor are deleted (the predecessor is
+    *      retained one full compaction cycle so an in-flight reader
+    *      that resolved just before the flip keeps live directories;
+    *      the grandparent cannot have readers left).
     *
     * After compaction the views equal the rebuild layers BY
     * CONSTRUCTION (including pack ids — the one place the delta path
@@ -172,16 +190,20 @@ object CorpusIncrementalDag {
     * first-arrival drift in the DEDUP layers (keep/clean), and the
     * honest fix for those is a full [[CorpusPipelineDag]] rebuild of
     * the corpus — this compaction clears the flag either way, which
-    * is the operator's accept-first-arrival trade, documented.
-    * Out-of-band view readers during a compaction can see a torn
-    * window (tombstones cleared before the swap lands) — the same
-    * single-writer caveat as reading an in-flight batch with the
-    * MaxValue default. */
+    * is the operator's accept-first-arrival trade, documented. */
   def runCompaction(s: SparkSession, root: String,
                     auditReadBack: Boolean = false): Seq[JobGraph.JobReport] = {
     val layout = Layout(root)
-    val L = CorpusSelectionDelta.Layers(root)
     val mark = releaseWatermark(layout)
+    val genName = s"selgen=$mark"
+    val Lold = CorpusSelectionDelta.Layers.active(s, root)
+    val Lnew = CorpusSelectionDelta.Layers(s"$root/$genName")
+    // rerun-after-flip: the pointer already names this generation ⇒
+    // rebase and swap committed before the crash — only the flag
+    // clear and GC remain, and re-running the rebase would READ the
+    // generation it overwrites
+    val committed = Lold.root == Lnew.root
+    val skip = mark < 0L || committed
     val g = new JobGraph()
     def write(df: DataFrame, path: String): Long =
       CorpusPipelineDag.writeLayer(df, path, auditReadBack)
@@ -196,43 +218,46 @@ object CorpusIncrementalDag {
       layout.selected, layout.mixture, layout.splits, layout.packs,
       layout.export, layout.packPayloads,
       firstDep = Seq("compact_guard"), write = write,
-      skipWhen = () => mark < 0L)
+      skipWhen = () => skip)
 
     g.add("compact_rebase", deps = terminals, retries = 1) {
-      if (mark < 0L) 0L else {
+      if (skip) 0L else {
         def snapW(path: String, frame: DataFrame): Unit = {
           frame.write.mode("overwrite")
             .parquet(s"${CorpusSelectionDelta.snapRoot(path)}/snap=$mark")
-          CorpusSelectionDelta.prunePartitions(s, path, mark, keepSnap = Some(mark))
           ()
         }
         val sel = s.read.parquet(layout.selected)
-        snapW(L.verdicts, sel
+        snapW(Lnew.verdicts, sel
           .select("doc_id", "lang", "source", "quality_score", "n_words")
           .withColumn("op", lit("add")).withColumn("batch", lit(mark)))
-        snapW(L.texts, sel.select("doc_id", "text").withColumn("batch", lit(mark)))
-        snapW(L.mixDelta, s.read.parquet(layout.mixture)
+        snapW(Lnew.texts, sel.select("doc_id", "text").withColumn("batch", lit(mark)))
+        snapW(Lnew.mixDelta, s.read.parquet(layout.mixture)
           .select("doc_id", "lang", "source", "n_words", "copy_id")
           .withColumn("op", lit("add")).withColumn("batch", lit(mark)))
         val packs = s.read.parquet(layout.packs)
-        snapW(L.packsDelta, packs.withColumn("batch", lit(mark)))
-        snapW(L.packHeads, packs.groupBy("source")
+        snapW(Lnew.packsDelta, packs.withColumn("batch", lit(mark)))
+        snapW(Lnew.packHeads, packs.groupBy("source")
           .agg((max(col("pack_id")) + 1L).as("packs_end"))
           .withColumn("batch", lit(mark)).coalesce(1))
-        // doc index + score cells consolidate from their own ledgers
-        // (append-only, no rebuild counterpart); ledgers committed
-        // above at this mark are skipped inside
-        CorpusSelectionDelta.snapshot(s, L, mark)
-        // dead state is gone: the shards the tombstones pointed into
-        // are about to be swapped for the contiguous rebuild
-        CorpusSelectionDelta.prunePartitions(s, L.packTombs, Long.MaxValue, None)
-        CorpusSelectionDelta.prunePartitions(s, L.exportTombs, Long.MaxValue, None)
+        // doc index + score cells have no rebuild counterpart —
+        // consolidate OLD generation → NEW (rows keep their original
+        // `batch` values; the cell roll-up matches
+        // CorpusSelectionDelta.snapshot's formulation exactly)
+        snapW(Lnew.cells, CorpusSelectionDelta
+          .readLedger(s, Lold.cells, CorpusSelectionDelta.cellDdl, mark)
+          .groupBy("quality_score")
+          .agg(sum("token_mass").as("token_mass"), sum("n_docs").as("n_docs"))
+          .withColumn("batch", lit(mark)).coalesce(1))
+        snapW(Lnew.docIndex, CorpusSelectionDelta
+          .readLedger(s, Lold.docIndex, CorpusSelectionDelta.idxDdl, mark)
+          .sortWithinPartitions("quality_score"))
         7L
       }
     }
 
     g.add("compact_swap", deps = Seq("compact_rebase"), retries = 1) {
-      if (mark < 0L) 0L else {
+      if (skip) 0L else {
         val conf = s.sessionState.newHadoopConf()
         def swapIn(src: String, destLayer: String): Unit = {
           val srcP = new org.apache.hadoop.fs.Path(src)
@@ -255,26 +280,65 @@ object CorpusIncrementalDag {
           if (!fs.rename(srcP, dest))
             throw new IllegalStateException(s"compact_swap: rename $src -> $dest failed")
         }
-        swapIn(layout.export, L.exportDelta)
-        swapIn(layout.packPayloads, L.payloadsDelta)
-        // floor marker (review r16): exportView must THROW on reads
-        // below the rebased mark — without it, "history rolled up"
-        // reads as an EMPTY release, indistinguishable from "nothing
-        // exported". The marker rides the snap mechanism (metadata
-        // only — the view's data still comes from the hive base).
-        import s.implicits._
-        Seq(mark).toDF("mark").coalesce(1).write.mode("overwrite")
-          .parquet(s"${CorpusSelectionDelta.snapRoot(L.exportDelta)}/snap=$mark")
-        CorpusSelectionDelta.prunePartitions(s, L.exportDelta, -1L, keepSnap = Some(mark))
+        swapIn(layout.export, Lnew.exportDelta)
+        swapIn(layout.packPayloads, Lnew.payloadsDelta)
+        // floor file (review r16 + ADVICE r16): exportView must THROW
+        // on reads below the rebased mark — "history rolled up" must
+        // never read as an EMPTY release. A plain `_`-prefixed file,
+        // NOT a row in the snap namespace.
+        CorpusSelectionDelta.writeExportFloor(s, Lnew, mark)
         2L
       }
     }
 
-    g.add("compact_clear_flag", deps = Seq("compact_swap")) {
+    // THE commit point for out-of-band readers (VERDICT r16 item 4):
+    // one atomic pointer move. Before it every resolution yields the
+    // old generation, whose directories this compaction never writes;
+    // after it, the rebased one.
+    g.add("compact_flip", deps = Seq("compact_swap")) {
+      if (mark < 0L) 0L
+      else { CorpusSelectionDelta.flipGeneration(s, root, genName); 1L }
+    }
+
+    g.add("compact_clear_flag", deps = Seq("compact_flip")) {
       val p = new org.apache.hadoop.fs.Path(layout.rebuildFlag)
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
       if (fs.exists(p)) fs.delete(p, true)
       1L
+    }
+
+    // hygiene: drop every generation except the new one and its
+    // immediate predecessor (kept one compaction cycle as the
+    // in-flight readers' grace window). Idempotent; a crash here
+    // only delays disk reclamation.
+    g.add("compact_gc", deps = Seq("compact_clear_flag")) {
+      CorpusSelectionDelta.readGenerations(s, root) match {
+        case None => 0L
+        case Some((cur, prev)) =>
+          val conf = s.sessionState.newHadoopConf()
+          val rootP = new org.apache.hadoop.fs.Path(root)
+          val fs = rootP.getFileSystem(conf)
+          var removed = 0L
+          // named generations not current/previous
+          fs.listStatus(rootP).foreach { st =>
+            val name = st.getPath.getName
+            if (st.isDirectory && name.startsWith("selgen=") &&
+                name != cur && name != prev) {
+              fs.delete(st.getPath, true); removed += 1
+            }
+          }
+          // the legacy root-level family counts as generation ""
+          if (cur.nonEmpty && prev.nonEmpty) {
+            val legacy = CorpusSelectionDelta.Layers(root)
+            legacy.all.foreach { layer =>
+              Seq(layer, CorpusSelectionDelta.snapRoot(layer)).foreach { d =>
+                val p = new org.apache.hadoop.fs.Path(d)
+                if (fs.exists(p)) { fs.delete(p, true); removed += 1 }
+              }
+            }
+          }
+          removed
+      }
     }
     g.run()
   }
@@ -383,6 +447,10 @@ object CorpusIncrementalDag {
       s"CorpusIncrementalDag: unknown selection mode '$selection' (rebuild | delta)")
     val g = new JobGraph()
     val store = new WatermarkStore(layout.marks, defaultMark = bootstrapMark)
+    // resolved ONCE at graph-build time: the scheduler is the single
+    // writer and runs compactions BETWEEN cycles, so the generation
+    // cannot move under a running graph
+    val deltaLayers = CorpusSelectionDelta.Layers.active(s, layout.root)
     def docs: DataFrame = Tables.documents(s, sfDir)
     def write(df: DataFrame, path: String): Long =
       CorpusPipelineDag.writeLayer(df, path, auditReadBack)
@@ -419,8 +487,7 @@ object CorpusIncrementalDag {
       healTornPartitions(s, Seq(
         layout.flags, layout.textHashes, layout.sigs, layout.pairs,
         layout.resolved, layout.keep, layout.paraHashes, layout.clean,
-        layout.retractions, layout.rebuildFlag) ++
-        CorpusSelectionDelta.Layers(layout.root).all, mark, bid)
+        layout.retractions, layout.rebuildFlag) ++ deltaLayers.all, mark, bid)
       import s.implicits._
       Seq((mark, bid, n)).toDF("mark", "batch_id", "n_docs")
         .coalesce(1).write.mode("overwrite").parquet(layout.batchMeta)
@@ -581,7 +648,6 @@ object CorpusIncrementalDag {
         s.read.parquet(s"${layout.clean}/batch=$bid"), cleanSuite))
     }
 
-    val deltaLayers = CorpusSelectionDelta.Layers(layout.root)
     val terminals =
       if (selection == "delta")
         // batch-proportional refresh: admission delta from the cell

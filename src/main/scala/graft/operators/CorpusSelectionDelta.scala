@@ -62,6 +62,70 @@ import graft.text.BloomDedup
   */
 object CorpusSelectionDelta {
 
+  // ---------------------------------------------------------------
+  // Generation pointer (VERDICT r16 item 4). A compaction REBASES the
+  // whole ledger family; doing it in place leaves out-of-band readers
+  // a torn window (old shards standing while tombstones clear, or the
+  // reverse). Instead each compaction builds the rebased family in a
+  // FRESH generation directory (`<root>/selgen=<mark>/...`) and flips
+  // a one-line pointer file (`<root>/_SEL_CURRENT`) atomically AFTER
+  // the swap lands — the ScdStream `_CURRENT` pattern. Readers resolve
+  // the pointer ONCE per view call, so any single read sees one
+  // generation end-to-end: pre-flip readers get the old, untouched,
+  // consistent family (compaction never mutates it); post-flip readers
+  // get the rebased one. The pointer's second line names the PREVIOUS
+  // generation, which is retained until the NEXT compaction supersedes
+  // it — an in-flight reader that resolved just before a flip keeps a
+  // live directory for its whole scan (one compaction cycle of grace,
+  // the snapshot-retention trade every table format makes; the
+  // storage cost is one extra release artifact between compactions).
+  // On a local FS the flip is a java.nio ATOMIC_MOVE; an HDFS/object-
+  // store deployment uses the store's atomic rename the same way.
+  // ---------------------------------------------------------------
+
+  private[graft] val genPointerName = "_SEL_CURRENT"
+
+  /** (current, previous) generation dir names relative to the release
+    * root; "" = the legacy root-level layout. None = never compacted
+    * under the generation scheme. */
+  private[graft] def readGenerations(
+      s: SparkSession, root: String): Option[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$genPointerName")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val lines = txt.split("\n", -1)
+      Some((lines.headOption.getOrElse("").trim, lines.lift(1).getOrElse("").trim))
+    }
+  }
+
+  /** The active generation root: `<root>/<gen>` when the pointer names
+    * one, the root itself otherwise. Idempotent — a generation dir has
+    * no pointer of its own, so resolving a resolved root is identity. */
+  private[graft] def activeRoot(s: SparkSession, root: String): String =
+    readGenerations(s, root) match {
+      case Some((cur, _)) if cur.nonEmpty => s"$root/$cur"
+      case _ => root
+    }
+
+  /** Atomically flip the pointer to `newGen`, recording the old
+    * current as previous. A rerun after a committed flip is a no-op
+    * (re-writing would clobber the true previous-gen line). */
+  private[graft] def flipGeneration(s: SparkSession, root: String, newGen: String): Unit = {
+    val prev = readGenerations(s, root).map(_._1).getOrElse("")
+    if (prev == newGen) return
+    val dir = java.nio.file.Paths.get(root.stripPrefix("file:"))
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s"$genPointerName.tmp")
+    java.nio.file.Files.write(tmp, s"$newGen\n$prev\n".getBytes("UTF-8"))
+    // readers see the old pointer or the new one, never a torn file
+    java.nio.file.Files.move(tmp, dir.resolve(genPointerName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** On-disk delta layers under the incremental release root. */
   final case class Layers(root: String) {
     val docIndex: String = s"$root/sel_doc_index"   // batch=N: narrow per-doc score index
@@ -78,6 +142,14 @@ object CorpusSelectionDelta {
     val payloadsDelta: String = s"$root/pack_payloads_delta" // batch=N: delta payload shards
     def all: Seq[String] = Seq(docIndex, cells, thresholds, verdicts, texts, mixDelta,
       packsDelta, packHeads, packTombs, exportDelta, exportTombs, payloadsDelta)
+  }
+
+  object Layers {
+    /** The ledger family of the ACTIVE generation — the constructor
+      * every reader and every per-batch writer should go through.
+      * Resolution is one pointer read, idempotent on an already-
+      * resolved root. */
+    def active(s: SparkSession, root: String): Layers = Layers(activeRoot(s, root))
   }
 
   /** Delta layers always read schema-EXPLICIT ([[LayerIO]]): an
@@ -201,7 +273,8 @@ object CorpusSelectionDelta {
     * ledgers snapped. Crash-rerun convergent: snapshot writes commit
     * per-ledger via _SUCCESS, hygiene deletes are idempotent, and a
     * rerun at the same mark overwrites. */
-  def snapshot(s: SparkSession, L: Layers, atMark: Long): Long = {
+  def snapshot(s: SparkSession, L0: Layers, atMark: Long): Long = {
+    val L = Layers.active(s, L0.root)
     def latestPerKey(df: DataFrame, keys: Seq[String], rest: Seq[String]): DataFrame = {
       val packed = max(struct((Seq("batch") ++ rest).map(col): _*)).as("__l")
       df.groupBy(keys.map(col): _*).agg(packed)
@@ -248,8 +321,8 @@ object CorpusSelectionDelta {
     "doc_id BIGINT, copy_id BIGINT, source STRING, n_words BIGINT, pack_id BIGINT, batch BIGINT"
   private val headDdl = "source STRING, packs_end BIGINT, batch BIGINT"
   private val textDdl = "doc_id BIGINT, text STRING, batch BIGINT"
-  private val cellDdl = "quality_score BIGINT, token_mass BIGINT, n_docs BIGINT, batch BIGINT"
-  private val idxDdl =
+  private[graft] val cellDdl = "quality_score BIGINT, token_mass BIGINT, n_docs BIGINT, batch BIGINT"
+  private[graft] val idxDdl =
     "doc_id BIGINT, lang STRING, source STRING, quality_score BIGINT, n_words BIGINT, batch BIGINT"
   private val exportDdl =
     "doc_id BIGINT, copy_id BIGINT, lang STRING, n_words BIGINT, text STRING, " +
@@ -265,7 +338,8 @@ object CorpusSelectionDelta {
     * reads in-flight state and can expose a crashed batch's torn
     * partial patch (e.g. mixture adds whose export rows never
     * landed) until the rerun converges. */
-  def admittedIndex(s: SparkSession, L: Layers, upTo: Long): DataFrame =
+  def admittedIndex(s: SparkSession, L0: Layers, upTo: Long): DataFrame = {
+    val L = Layers.active(s, L0.root)
     readLedger(s, L.verdicts, verdictDdl, upTo)
       .groupBy("doc_id")
       .agg(max(struct(col("batch"), col("op"), col("lang"), col("source"),
@@ -273,17 +347,21 @@ object CorpusSelectionDelta {
       .where(col("__l.op") === "add")
       .select(col("doc_id"), col("__l.lang").as("lang"), col("__l.source").as("source"),
         col("__l.quality_score").as("quality_score"), col("__l.n_words").as("n_words"))
+  }
 
   /** The selected layer, materialized: admitted docs + their text from
     * the first-admit text store (≤1 row per doc by construction). */
-  def selectedView(s: SparkSession, L: Layers, upTo: Long = Long.MaxValue): DataFrame =
+  def selectedView(s: SparkSession, L0: Layers, upTo: Long = Long.MaxValue): DataFrame = {
+    val L = Layers.active(s, L0.root)
     admittedIndex(s, L, upTo)
       .join(readLedger(s, L.texts, textDdl, upTo)
         .select("doc_id", "text"), Seq("doc_id"))
       .select("doc_id", "lang", "source", "quality_score", "n_words", "text")
+  }
 
   /** The mixture layer, materialized: latest op per (doc, copy). */
-  def mixtureView(s: SparkSession, L: Layers, upTo: Long = Long.MaxValue): DataFrame =
+  def mixtureView(s: SparkSession, L0: Layers, upTo: Long = Long.MaxValue): DataFrame = {
+    val L = Layers.active(s, L0.root)
     readLedger(s, L.mixDelta, mixDdl, upTo)
       .groupBy("doc_id", "copy_id")
       .agg(max(struct(col("batch"), col("op"), col("lang"), col("source"),
@@ -291,6 +369,7 @@ object CorpusSelectionDelta {
       .where(col("__l.op") === "add")
       .select(col("doc_id"), col("__l.lang").as("lang"), col("__l.source").as("source"),
         col("__l.n_words").as("n_words"), col("copy_id"))
+  }
 
   /** The splits layer, derived: the #72 md5 rule is a pure per-doc
     * function, so the split column rides the mixture view — no layer
@@ -301,7 +380,8 @@ object CorpusSelectionDelta {
   /** Live pack ledger rows: delta rows not killed by a LATER-or-equal
     * tombstone on the same (doc, copy) — a re-added copy's fresh pack
     * row (strictly later batch) survives its old tombstone. */
-  def packsLive(s: SparkSession, L: Layers, upTo: Long = Long.MaxValue): DataFrame = {
+  def packsLive(s: SparkSession, L0: Layers, upTo: Long = Long.MaxValue): DataFrame = {
+    val L = Layers.active(s, L0.root)
     val p = readLedger(s, L.packsDelta, packDdl, upTo)
     val t = readOr(s, L.packTombs, tombDdl).where(col("batch") <= upTo)
       .groupBy("doc_id", "copy_id").agg(max("batch").as("__tb"))
@@ -310,14 +390,38 @@ object CorpusSelectionDelta {
       .drop("__tb")
   }
 
+  /** Name of the export floor file a compaction writes beside the
+    * rebased `batch=mark` base: a plain `_`-prefixed file readers
+    * ignore, holding the rebase mark. Distinct from the `__snap`
+    * namespace on purpose (ADVICE r16) — everything under a snap dir
+    * must be reader-consumable rows, never metadata. */
+  private[graft] val exportFloorName = "_COMPACTION_FLOOR"
+
+  private[graft] def exportFloor(s: SparkSession, L: Layers): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"${L.exportDelta}/$exportFloorName")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      scala.util.Try(txt.trim.toLong).toOption
+    }
+  }
+
+  private[graft] def writeExportFloor(s: SparkSession, L: Layers, mark: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${L.exportDelta}/$exportFloorName")
+    val out = p.getFileSystem(s.sessionState.newHadoopConf()).create(p, true)
+    try out.write(mark.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Live export rows (same tombstone comparator as [[packsLive]]).
     * A compaction rebases the shard history into a single `batch=mark`
-    * base and leaves a floor marker (`export_delta__snap/snap=mark`,
-    * metadata only): reads below that floor THROW like every
-    * snapshotted ledger — "history rolled up" must never read as an
-    * empty release. */
-  def exportView(s: SparkSession, L: Layers, upTo: Long = Long.MaxValue): DataFrame = {
-    latestSnap(s, L.exportDelta).foreach { floor =>
+    * base and leaves [[exportFloorName]] beside it: reads below that
+    * floor THROW like every snapshotted ledger — "history rolled up"
+    * must never read as an empty release. */
+  def exportView(s: SparkSession, L0: Layers, upTo: Long = Long.MaxValue): DataFrame = {
+    val L = Layers.active(s, L0.root)
+    exportFloor(s, L).foreach { floor =>
       if (upTo < floor) throw new IllegalStateException(
         s"exportView(${L.exportDelta}): upTo=$upTo is below the compaction floor $floor — " +
           "shard history under the rebase is rolled up and no longer readable")

@@ -72,7 +72,7 @@ object RunIncremental {
         // artifact): hive tail partitions per narrow ledger + whether
         // a snapshot base is standing — with SPARK_GRAFT_INC_SNAPSHOT
         // the tail stays bounded as cycles accumulate
-        val L = graft.operators.CorpusSelectionDelta.Layers(root)
+        val L = graft.operators.CorpusSelectionDelta.Layers.active(spark, root)
         val counts = Seq("verdicts" -> L.verdicts, "mix" -> L.mixDelta,
           "cells" -> L.cells, "heads" -> L.packHeads,
           "packs" -> L.packsDelta, "index" -> L.docIndex).map { case (n, p) =>
@@ -97,7 +97,7 @@ object RunIncremental {
         s"statuses=${rf.count(_.status == graft.operators.JobGraph.Succeeded)}/${rf.size} ok")
       val li = CorpusIncrementalDag.Layout(root)
       val lf = CorpusPipelineDag.Layout(fullRoot)
-      val dl = graft.operators.CorpusSelectionDelta.Layers(root)
+      val dl = graft.operators.CorpusSelectionDelta.Layers.active(spark, root)
       // committed-state read: out-of-band view consumers pass the
       // release watermark, never the in-flight MaxValue default
       val mark = CorpusIncrementalDag.releaseWatermark(li)

@@ -145,9 +145,39 @@ class ReleasePolicySpec extends SparkSpec {
     val mixBefore = rows(CorpusSelectionDelta.mixtureView(spark, L, mark), mixCols)
     val exBefore = rows(CorpusSelectionDelta.exportView(spark, L, mark), exCols)
 
+    // the generation a pre-flip reader resolved: fingerprint it so we
+    // can prove the compaction never mutates it (VERDICT r16 item 4)
+    val preGen = CorpusSelectionDelta.Layers.active(spark, root)
+    def fingerprint(l: CorpusSelectionDelta.Layers): Set[(String, Long)] = {
+      val conf = spark.sessionState.newHadoopConf()
+      l.all.flatMap { layer =>
+        val p = new org.apache.hadoop.fs.Path(layer)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) Seq.empty
+        else {
+          val it = fs.listFiles(p, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          while (it.hasNext) { val f = it.next(); buf += ((f.getPath.toString, f.getLen)) }
+          buf.toSeq
+        }
+      }.toSet
+    }
+    val preFp = fingerprint(preGen)
+
     // THE COMPACTION (VERDICT r15 item 1)
     val rc = CorpusIncrementalDag.runCompaction(spark, root)
     assert(rc.forall(_.status == Succeeded), s"compaction: ${rc.map(x => x.id -> x.status)}")
+
+    // the commit is an atomic POINTER FLIP to a fresh generation
+    // (VERDICT r16 item 4): current names selgen=<mark>, previous the
+    // generation pre-flip readers resolved — and that old generation
+    // is bit-untouched, so a reader that resolved before the flip
+    // keeps reading the old CONSISTENT family for its whole scan
+    val (gCur, gPrev) = CorpusSelectionDelta.readGenerations(spark, root).get
+    assert(gCur == s"selgen=$mark" && gPrev == "",
+      s"pointer after first compaction: ($gCur, $gPrev)")
+    assert(fingerprint(preGen) == preFp,
+      "compaction must never write into the generation pre-flip readers resolved")
 
     // flag cleared; views content-unchanged
     assert(!CorpusIncrementalDag.rebuildRequested(spark, li), "compaction clears the flag")
@@ -171,13 +201,18 @@ class ReleasePolicySpec extends SparkSpec {
     assert(pv == pf, s"compacted packs == full rebuild's contiguous packs (ids included): " +
       s"delta-only=${(pv -- pf).take(3)} full-only=${(pf -- pv).take(3)}")
 
-    // dead tokens physically gone: tombstone ledgers cleared, payload
-    // mass == live ledger mass exactly
-    assert(CorpusSelectionDelta.readLedger(spark, L.packTombs,
+    // dead tokens physically gone: the fresh generation carries NO
+    // tombstone ledgers (the old generation's are retained untouched
+    // for its in-flight readers, not deleted mid-compaction — the r15
+    // torn window is structurally gone), payload mass == live ledger
+    // mass exactly
+    val La = CorpusSelectionDelta.Layers.active(spark, root)
+    assert(La.root == s"$root/selgen=$mark", s"active generation root: ${La.root}")
+    assert(CorpusSelectionDelta.readLedger(spark, La.packTombs,
       "doc_id BIGINT, copy_id BIGINT, source STRING, n_words BIGINT, " +
         "pack_id BIGINT, batch BIGINT", Long.MaxValue).isEmpty,
       "pack tombstones cleared")
-    val pdTok = spark.read.parquet(L.payloadsDelta)
+    val pdTok = spark.read.parquet(La.payloadsDelta)
       .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
     val liveTok = CorpusSelectionDelta.packsLive(spark, L, mark)
       .agg(coalesce(sum("n_words"), lit(0L))).head().getLong(0)
@@ -210,7 +245,11 @@ class ReleasePolicySpec extends SparkSpec {
       rows(spark.read.parquet(lfAll.packs), liveCols), "live packs after resume")
 
     // compaction rerun (e.g. a crash after the flag write of a LATER
-    // cycle) converges: run it again, views still equal
+    // cycle) converges: run it again, views still equal. This is a
+    // SECOND generation hop — capture what a pre-flip reader of the
+    // first compacted generation sees, to pin the retention contract
+    val preGen2 = CorpusSelectionDelta.Layers(s"$root/selgen=$mark")
+    val oldLive = rows(CorpusSelectionDelta.packsLive(spark, preGen2, mark3), liveCols)
     val rc2 = CorpusIncrementalDag.runCompaction(spark, root)
     assert(rc2.forall(_.status == Succeeded), s"re-compaction: ${rc2.map(x => x.id -> x.status)}")
     assert(rows(CorpusSelectionDelta.selectedView(spark, L, mark3), selCols) ==
@@ -218,5 +257,28 @@ class ReleasePolicySpec extends SparkSpec {
     assert(rows(CorpusSelectionDelta.packsLive(spark, L, mark3), packCols) ==
       rows(spark.read.parquet(lfAll.packs), packCols),
       "re-compacted packs == full rebuild on the union, ids included")
+
+    // pointer: current = the new generation, previous = the first one
+    // (retained as the in-flight readers' grace window); the legacy
+    // root-level family — two generations old now — is GC'd
+    val (gCur2, gPrev2) = CorpusSelectionDelta.readGenerations(spark, root).get
+    assert(gCur2 == s"selgen=$mark3" && gPrev2 == s"selgen=$mark",
+      s"pointer after second compaction: ($gCur2, $gPrev2)")
+    assert(rows(CorpusSelectionDelta.packsLive(spark, preGen2, mark3), liveCols) == oldLive,
+      "a reader that resolved the previous generation pre-flip still reads it, consistent")
+    val fsRoot = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fsRoot.exists(new org.apache.hadoop.fs.Path(L.verdicts)),
+      "the grandparent (legacy root-level) ledger family is GC'd")
+
+    // a rerun AFTER the committed flip (crash between flip and flag
+    // clear) must skip the rebase — not read the generation it
+    // overwrites — and leave the pointer's previous line intact
+    val rc3 = CorpusIncrementalDag.runCompaction(spark, root)
+    assert(rc3.forall(_.status == Succeeded), s"post-flip rerun: ${rc3.map(x => x.id -> x.status)}")
+    assert(CorpusSelectionDelta.readGenerations(spark, root).get ==
+      ((s"selgen=$mark3", s"selgen=$mark")), "post-flip rerun keeps the pointer intact")
+    assert(rows(CorpusSelectionDelta.packsLive(spark, L, mark3), packCols) ==
+      rows(spark.read.parquet(lfAll.packs), packCols), "views stable across the no-op rerun")
   }
 }
