@@ -113,6 +113,28 @@ object CorpusIncrementalDag {
       maxRetractions: Long = 0L,
       maxDeadTokenPermille: Long = 100L)
 
+  /** Default ledger-snapshot cadence (VERDICT r16 item 5): on the
+    * delta path the narrow op ledgers roll up once the unsnapshotted
+    * tail reaches this many batches, so per-batch standing reads stay
+    * one-base + bounded-tail BY DEFAULT. Unbounded tails are the
+    * explicit choice (`snapshotEvery = 0`), not the default — and an
+    * explicit-off run warns loudly once the tail passes
+    * [[tailWarnBound]] (one more partition listed and unioned into
+    * every standing read per ingest day, forever). */
+  val defaultSnapshotEvery: Int = 8
+
+  /** Tail size past which an explicit snapshots-off run warns. */
+  val tailWarnBound: Int = 32
+
+  /** The warning an unbounded-mode cycle prints (pure, spec-pinned). */
+  private[graft] def tailWarning(maxTail: Int, snapshotEvery: Int): Option[String] =
+    if (snapshotEvery <= 0 && maxTail >= tailWarnBound)
+      Some(s"ledger snapshots are OFF and the unsnapshotted tail is $maxTail " +
+        s"partitions (warn bound $tailWarnBound): every standing ledger read now " +
+        s"lists and unions $maxTail partitions and grows one more per ingest day — " +
+        s"pass snapshotEvery > 0 (default $defaultSnapshotEvery) to bound it")
+    else None
+
   /** The COMMITTED release watermark — the last batch id whose every
     * layer landed (the mark only advances after all stages). Pass it
     * as `upTo` to [[CorpusSelectionDelta]]'s view readers for a
@@ -428,12 +450,14 @@ object CorpusIncrementalDag {
     * `policy` is evaluated every batch in BOTH modes (see
     * [[ReleasePolicy]]); a violated bound writes `rebuild_flag`.
     *
-    * `snapshotEvery` (delta mode, 0 = off): after the watermark
-    * advances, roll the narrow op ledgers up via
+    * `snapshotEvery` (delta mode; DEFAULT ON at
+    * [[defaultSnapshotEvery]], 0 = explicitly unbounded): after the
+    * watermark advances, roll the narrow op ledgers up via
     * [[CorpusSelectionDelta.snapshot]] once the unsnapshotted tail
     * reaches that many batches — per-batch ledger reads stay
     * one-base-partition + bounded tail instead of growing one
-    * partition per ingest day forever (VERDICT r15 item 2). */
+    * partition per ingest day forever (VERDICT r15 item 2). An
+    * explicit-off run warns past [[tailWarnBound]] (r16 item 5). */
   def build(
       s: SparkSession, sfDir: String, layout: Layout,
       upTo: Long = Long.MaxValue,
@@ -441,7 +465,7 @@ object CorpusIncrementalDag {
       auditReadBack: Boolean = false,
       selection: String = "rebuild",
       policy: ReleasePolicy = ReleasePolicy(),
-      snapshotEvery: Int = 0
+      snapshotEvery: Int = defaultSnapshotEvery
   ): JobGraph = {
     require(selection == "rebuild" || selection == "delta",
       s"CorpusIncrementalDag: unknown selection mode '$selection' (rebuild | delta)")
@@ -749,10 +773,20 @@ object CorpusIncrementalDag {
       // mark, so even a no-op cycle can finish a roll-up a crashed
       // predecessor left partial
       val (_, bid, _) = meta()
-      if (selection != "delta" || snapshotEvery <= 0) 0L
-      else if (CorpusSelectionDelta.maxTail(s, deltaLayers) >= snapshotEvery)
-        CorpusSelectionDelta.snapshot(s, deltaLayers, bid)
-      else 0L
+      if (selection != "delta") 0L
+      else {
+        val tail = CorpusSelectionDelta.maxTail(s, deltaLayers)
+        if (snapshotEvery <= 0) {
+          // unbounded mode is the EXPLICIT choice — say so, loudly,
+          // once the tail passes the warn bound (VERDICT r16 item 5)
+          tailWarning(tail, snapshotEvery)
+            .foreach(w => println(s"[warn] CorpusIncrementalDag: $w"))
+          0L
+        }
+        else if (tail >= snapshotEvery)
+          CorpusSelectionDelta.snapshot(s, deltaLayers, bid)
+        else 0L
+      }
     }
 
     g.add("release_report", deps = Seq("ledger_snapshot")) {
@@ -779,7 +813,7 @@ object CorpusIncrementalDag {
   def runDelta(s: SparkSession, sfDir: String, root: String,
                upTo: Long = Long.MaxValue,
                policy: ReleasePolicy = ReleasePolicy(),
-               snapshotEvery: Int = 0): Seq[JobGraph.JobReport] =
+               snapshotEvery: Int = defaultSnapshotEvery): Seq[JobGraph.JobReport] =
     build(s, sfDir, Layout(root), upTo, selection = "delta", policy = policy,
       snapshotEvery = snapshotEvery).run()
 }

@@ -22,7 +22,9 @@ import graft.operators.{CorpusIncrementalDag, CorpusPipelineDag}
   * batch-sequential by design).
   *
   * `SPARK_GRAFT_INC_SNAPSHOT=N` (delta mode): roll the narrow op
-  * ledgers up once the unsnapshotted tail reaches N batches.
+  * ledgers up once the unsnapshotted tail reaches N batches. Unset =
+  * the DAG default (ON at [[CorpusIncrementalDag.defaultSnapshotEvery]]);
+  * 0 = explicitly unbounded.
   *
   * The scheduler branch (VERDICT r15 item 1): before each delta
   * cycle, a standing rebuild flag ([[CorpusIncrementalDag
@@ -39,7 +41,10 @@ object RunIncremental {
     val sfDir = args(0)
     val root = args(1)
     val delta = sys.env.get("SPARK_GRAFT_INC_MODE").contains("delta")
-    val snapEvery = sys.env.getOrElse("SPARK_GRAFT_INC_SNAPSHOT", "0").toInt
+    // unset = the DAG default (snapshots ON, VERDICT r16 item 5);
+    // "0" = explicitly unbounded (the DAG warns past the tail bound)
+    val snapEvery = sys.env.get("SPARK_GRAFT_INC_SNAPSHOT").map(_.toInt)
+      .getOrElse(CorpusIncrementalDag.defaultSnapshotEvery)
     // rehearsal knob: tighten the dead-token bound (permille) so the
     // compaction branch can be driven deliberately at any SF
     val policy = sys.env.get("SPARK_GRAFT_INC_DEAD_PERMILLE")

@@ -309,4 +309,19 @@ class CorpusSelectionDeltaSpec extends SparkSpec {
     val lfp = rows(spark.read.parquet(lf.packs), liveCols)
     assert(lv == lfp, s"live packs (churned corpus): ${diff(lv, lfp)}")
   }
+
+  test("snapshot cadence defaults ON; the explicit-off mode warns past the tail bound (VERDICT r16 item 5)") {
+    // unbounded ledgers must be the explicit choice, not the default
+    assert(CorpusIncrementalDag.defaultSnapshotEvery > 0,
+      "delta-mode ledger snapshots must default ON")
+    // the warning fires exactly when snapshots are off AND the tail
+    // passed the bound — never in cadenced mode, never under it
+    import CorpusIncrementalDag.{tailWarnBound, tailWarning}
+    assert(tailWarning(tailWarnBound - 1, 0).isEmpty, "below the bound: quiet")
+    assert(tailWarning(tailWarnBound, 0).nonEmpty, "at the bound, snapshots off: warn")
+    assert(tailWarning(tailWarnBound * 4, 0).exists(_.contains("snapshots are OFF")),
+      "deep tail: warn names the cause")
+    assert(tailWarning(tailWarnBound * 4, CorpusIncrementalDag.defaultSnapshotEvery).isEmpty,
+      "cadenced mode never warns (the roll-up is the fix, not the message)")
+  }
 }
