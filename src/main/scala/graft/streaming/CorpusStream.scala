@@ -67,6 +67,8 @@ object CorpusStream {
     val ledger: String = s"$root/ledger"           // batch_v*: score-cell updates
     val export: String = s"$root/export"           // cycle=N/(split,source): release artifact
     val payloads: String = s"$root/pack_payloads"  // cycle=N: packed token payloads
+    val exportPatch: String = s"$root/export_patch" // cycle=N/(split,source): patch-mode adds
+    val exportPatchTombs: String = s"$root/export_patch_tombstones" // cycle=N: patch-mode drops
     def chk(name: String): String = s"$root/_chk_$name"
   }
 
@@ -312,54 +314,69 @@ object CorpusStream {
                  packBudget: Long = 2048L): Long = {
     val cellsEarly = SelectionStream.latest(readAccumulated(
       spark, s"${layout.ledger}/batch_v*", ledgerSchema.toDDL))
-    // the digest keys EVERYTHING the cut is a function of: the score
-    // cells (sufficient for clean content, see below) AND the cut
-    // config — a cycle run with a changed packBudget but an unchanged
-    // ledger must recut, not inherit an artifact packed at the stale
-    // budget (ADVICE r16)
-    val digest = s"pb=$packBudget|" + cellsEarly.sortBy(_.quality_score)
+    val digest = cellsDigest(cellsEarly, packBudget)
+    if (priorDigest(spark, layout.export, cycleId).contains(digest)) return 0L
+    val written = exportCut(spark, layout, cycleId, packBudget, cellsEarly)
+    // digest lands LAST: a crash mid-cut leaves no digest, so the
+    // rerun recuts instead of wrongly skipping
+    writeDigest(spark, layout.export, cycleId, digest)
+    written
+  }
+
+  /** The no-change skip key: EVERYTHING the cut is a function of — the
+    * score cells (sufficient for clean content, see [[exportStep]])
+    * AND the cut config; a cycle run with a changed packBudget but an
+    * unchanged ledger must recut, not inherit an artifact packed at
+    * the stale budget (ADVICE r16). */
+  private def cellsDigest(cells: Seq[SelectionStream.ScoreCell], packBudget: Long): String =
+    s"pb=$packBudget|" + cells.sortBy(_.quality_score)
       .map(c => s"${c.quality_score}:${c.token_mass}:${c.n_docs}").mkString("|")
+
+  /** Digest stored beside the newest prior `cycle=N` dir under
+    * `artifactRoot`, if that cycle completed one. */
+  private def priorDigest(spark: SparkSession, artifactRoot: String,
+                          cycleId: Long): Option[String] = {
     val conf = spark.sessionState.newHadoopConf()
-    val exportRoot = new org.apache.hadoop.fs.Path(layout.export)
-    val fs = exportRoot.getFileSystem(conf)
-    val priorCycle: Option[Long] =
-      if (!fs.exists(exportRoot)) None
-      else fs.listStatus(exportRoot).toSeq
+    val rootP = new org.apache.hadoop.fs.Path(artifactRoot)
+    val fs = rootP.getFileSystem(conf)
+    val prior: Option[Long] =
+      if (!fs.exists(rootP)) None
+      else fs.listStatus(rootP).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("cycle="))
         .flatMap(st => scala.util.Try(
           st.getPath.getName.stripPrefix("cycle=").toLong).toOption)
         .filter(_ < cycleId).sorted.lastOption
-    val priorDigest = priorCycle.flatMap { c =>
-      val p = new org.apache.hadoop.fs.Path(s"${layout.export}/cycle=$c/_cells_digest")
+    prior.flatMap { c =>
+      val p = new org.apache.hadoop.fs.Path(s"$artifactRoot/cycle=$c/_cells_digest")
       if (!fs.exists(p)) None
       else scala.util.Try {
         val in = fs.open(p)
         try new String(in.readAllBytes(), "UTF-8") finally in.close()
       }.toOption
     }
-    if (priorDigest.contains(digest)) return 0L
-    val written = exportCut(spark, layout, cycleId, packBudget, cellsEarly)
-    // digest lands LAST: a crash mid-cut leaves no digest, so the
-    // rerun recuts instead of wrongly skipping
-    val dp = new org.apache.hadoop.fs.Path(s"${layout.export}/cycle=$cycleId/_cells_digest")
-    val out = fs.create(dp, true)
-    try out.write(digest.getBytes("UTF-8")) finally out.close()
-    written
   }
 
-  /** The unconditional release cut (see [[exportStep]] for the
-    * no-change skip wrapper). */
-  private def exportCut(spark: SparkSession, layout: Layout, cycleId: Long,
-                        packBudget: Long,
-                        cells: Seq[SelectionStream.ScoreCell]): Long = {
+  private def writeDigest(spark: SparkSession, artifactRoot: String,
+                          cycleId: Long, digest: String): Unit = {
+    val dp = new org.apache.hadoop.fs.Path(s"$artifactRoot/cycle=$cycleId/_cells_digest")
+    val out = dp.getFileSystem(spark.sessionState.newHadoopConf()).create(dp, true)
+    try out.write(digest.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The cycle's TARGET release rows (doc_id, copy_id, lang, source,
+    * split, n_words, text) — the single derivation both export
+    * postures cut from. Returns the frame plus an unpersist hook for
+    * the clean read backing it. */
+  private def releaseTarget(spark: SparkSession, layout: Layout,
+                            cells: Seq[SelectionStream.ScoreCell]): (DataFrame, () => Unit) = {
     import graft.QueriesText
     // the accumulated clean read goes through readAccumulated
     // (ADVICE r15): a stream with no completed cycles no-ops on the
     // empty frame instead of throwing path-not-found, and the
     // explicit schema keeps resumed mixed-schema layers readable.
-    // `cells` arrives from exportStep's digest pass — the ledger is
-    // immutable within a driver-sequenced cycle step, so the cut
-    // never re-pays that collect (review r16)
+    // `cells` arrives from the digest pass — the ledger is immutable
+    // within a driver-sequenced cycle step, so the cut never re-pays
+    // that collect (review r16)
     val clean = readAccumulated(spark, s"${layout.clean}/batch_v*", cleanSchema.toDDL)
       .select("doc_id", "lang", "source", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -374,19 +391,105 @@ object CorpusStream {
       .withColumn("split", QueriesText.mdSplit(col("doc_id")))
     val release = mix.join(clean.select("doc_id", "text"), Seq("doc_id"))
       .select("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")
+    (release, () => { clean.unpersist(blocking = false); () })
+  }
+
+  /** The unconditional release cut (see [[exportStep]] for the
+    * no-change skip wrapper). */
+  private def exportCut(spark: SparkSession, layout: Layout, cycleId: Long,
+                        packBudget: Long,
+                        cells: Seq[SelectionStream.ScoreCell]): Long = {
+    val (release0, done) = releaseTarget(spark, layout, cells)
+    val release = release0
       .repartitionByRange(col("split"), col("source"), col("doc_id"), col("copy_id"))
     val obs = org.apache.spark.sql.Observation()
     graft.sources.ParquetSink.write(
       release.observe(obs, count(lit(1)).as("rows"))
         .sortWithinPartitions("split", "source", "doc_id", "copy_id"),
       s"${layout.export}/cycle=$cycleId", partitionCols = Seq("split", "source"))
-    val train = mix.where(col("split") === "train")
-      .select("doc_id", "copy_id", "source")
-      .join(clean.select("doc_id", "text"), Seq("doc_id"))
+    val train = release0.where(col("split") === "train")
+      .select("doc_id", "copy_id", "source", "text")
     graft.QueriesScale.packPayloadsOn(train, packBudget)
       .write.mode("overwrite").parquet(s"${layout.payloads}/cycle=$cycleId")
-    clean.unpersist(blocking = false)
+    done()
     obs.get("rows").asInstanceOf[Long]
+  }
+
+  private val exportPatchDdl =
+    "doc_id BIGINT, copy_id BIGINT, lang STRING, n_words BIGINT, text STRING, " +
+      "cycle BIGINT, split STRING, source STRING"
+  private val exportPatchTombDdl =
+    "doc_id BIGINT, copy_id BIGINT, split STRING, source STRING, cycle BIGINT"
+
+  /** Cycle step E, PATCH POSTURE (VERDICT r16 stretch item 7): instead
+    * of [[exportStep]]'s full release re-cut per changed cycle, emit
+    * only this cycle's add shards and drop tombstones — the
+    * [[graft.operators.CorpusSelectionDelta]] export posture on the
+    * streaming side. The target row set is the SAME derivation the
+    * full cut writes ([[releaseTarget]]); the patch is a (doc_id,
+    * copy_id)-keyed diff against the standing [[exportPatchView]], so
+    * a changed cycle's write volume is churn-proportional (admission
+    * flips + new docs' copies), never corpus-proportional. The digest
+    * skip is retained verbatim — an unchanged ledger writes nothing
+    * at all. Rerun-convergent: `cycle=N` dirs overwrite, the diff is
+    * computed against cycles strictly below N, and the digest lands
+    * last. The packed-payload artifact stays with the full-cut
+    * posture (a deployment picks ONE export posture; the
+    * batch-proportional payload delta lives on the batch side in
+    * CorpusSelectionDelta's `payload_delta`).
+    *
+    * Keys suffice for the diff: a doc's lang/source/split/text never
+    * change once clean (append-only layers, pure split rule), and
+    * copy_ids are 1..n per doc on both sides — so membership at
+    * (doc_id, copy_id) IS row equality, spec-pinned against the full
+    * cut. */
+  def exportPatchStep(spark: SparkSession, layout: Layout, cycleId: Long,
+                      packBudget: Long = 2048L): Long = {
+    import graft.operators.LayerIO
+    val cells = SelectionStream.latest(readAccumulated(
+      spark, s"${layout.ledger}/batch_v*", ledgerSchema.toDDL))
+    val digest = cellsDigest(cells, packBudget)
+    if (priorDigest(spark, layout.exportPatch, cycleId).contains(digest)) return 0L
+    val (target, done) = releaseTarget(spark, layout, cells)
+    // narrow standing projection, persisted once for both diff sides;
+    // split/source ride along so the tombstone layer stays
+    // self-describing without re-reading the adds ledger
+    val standing = exportPatchView(spark, layout, cycleId - 1)
+      .select("doc_id", "copy_id", "split", "source")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adds = target.join(standing.select("doc_id", "copy_id"),
+      Seq("doc_id", "copy_id"), "left_anti")
+      .repartitionByRange(col("split"), col("source"), col("doc_id"), col("copy_id"))
+    val obs = org.apache.spark.sql.Observation()
+    graft.sources.ParquetSink.write(
+      adds.observe(obs, count(lit(1)).as("rows"))
+        .sortWithinPartitions("split", "source", "doc_id", "copy_id"),
+      s"${layout.exportPatch}/cycle=$cycleId", partitionCols = Seq("split", "source"))
+    val written = obs.get("rows").asInstanceOf[Long]
+    standing.join(target.select("doc_id", "copy_id"), Seq("doc_id", "copy_id"), "left_anti")
+      .select("doc_id", "copy_id", "split", "source")
+      .write.mode("overwrite").parquet(s"${layout.exportPatchTombs}/cycle=$cycleId")
+    standing.unpersist(blocking = false)
+    done()
+    writeDigest(spark, layout.exportPatch, cycleId, digest)
+    written
+  }
+
+  /** The release artifact materialized from the patch layers: adds not
+    * killed by a later-or-equal tombstone on the same (doc, copy) —
+    * the batch side's live comparator. Replaying a finished stream's
+    * patch view equals the full-cut artifact exactly (spec-pinned). */
+  def exportPatchView(spark: SparkSession, layout: Layout,
+                      upTo: Long = Long.MaxValue): DataFrame = {
+    import graft.operators.LayerIO
+    val adds = LayerIO.readOr(spark, layout.exportPatch, exportPatchDdl,
+      explicitSchema = true).where(col("cycle") <= upTo)
+    val tombs = LayerIO.readOr(spark, layout.exportPatchTombs, exportPatchTombDdl,
+      explicitSchema = true).where(col("cycle") <= upTo)
+      .groupBy("doc_id", "copy_id").agg(max("cycle").as("__tc"))
+    adds.join(tombs, Seq("doc_id", "copy_id"), "left")
+      .where(col("__tc").isNull || col("cycle") > col("__tc"))
+      .select("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")
   }
 
   /** One ingest cycle with the DAG edges enforced: A drains, B drains

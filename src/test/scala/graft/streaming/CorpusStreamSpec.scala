@@ -212,6 +212,67 @@ class CorpusStreamSpec extends SparkSpec {
     assert(e5 == 0L && !cycleExists(5L), "same config + same cells skips again")
   }
 
+  test("export PATCH posture: churn-proportional adds/tombstones per cycle, view equals the full cut, digest skip retained") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cstream_patch").toString
+    val layout = CorpusStream.Layout(root)
+    // two-score corpus (the ReleasePolicySpec shape): H docs score 100
+    // (alternating stopword), L docs 75 (leading stopword only) — a
+    // late H wave halves the budget into the high stratum and evicts
+    // standing L docs, so the patch posture must emit TOMBSTONES
+    def hDoc(d: Long) = (0 until 120)
+      .map(i => if (i % 2 == 0) "the" else s"d${d}w${i / 2}").mkString(" ")
+    def lDoc(d: Long) = ("the" +: (1 until 120).map(i => s"d${d}w$i")).mkString(" ")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")
+        .collect().map(_.toSeq).toSet
+    def writeState(batch: Int, docs: Seq[(Long, String)]): Unit = {
+      docs.map { case (d, t) => (d, "en", if (d % 2 == 0) "s1" else "s2", 6L, 6L, t) }
+        .toDF("doc_id", "lang", "source", "n_paras", "n_kept", "text")
+        .write.mode("overwrite").parquet(s"${layout.clean}/batch_v$batch")
+      val all = spark.read.schema(CorpusStream.cleanSchema)
+        .parquet(s"${layout.clean}/batch_v*")
+      graft.QueriesText.scoredTokens(all.select("doc_id", "text"))
+        .groupBy("quality_score")
+        .agg(sum("n_words").as("token_mass"), count(lit(1)).as("n_docs"))
+        .write.mode("overwrite").parquet(s"${layout.ledger}/batch_v$batch")
+    }
+
+    // cycle 1: all-L corpus — the first patch IS the full release
+    writeState(0, (1L to 6L).map(d => (d, lDoc(d))))
+    val p1 = CorpusStream.exportPatchStep(spark, layout, 1L)
+    val full1 = CorpusStream.exportStep(spark, layout, 1L) // full-cut twin, same layout
+    assert(p1 > 0 && p1 == full1, s"first patch is the full release: $p1 vs $full1")
+    assert(rowsOf(CorpusStream.exportPatchView(spark, layout)) ==
+      rowsOf(spark.read.parquet(s"${layout.export}/cycle=1")),
+      "patch view == full-cut artifact after cycle 1")
+
+    // no-change cycle: the digest skip is retained in patch mode
+    assert(CorpusStream.exportPatchStep(spark, layout, 2L) == 0L,
+      "unchanged ledger: patch cycle writes nothing")
+
+    // cycle 3: an H wave arrives — 4 H docs (480 mass) push the budget
+    // to 600: all H admitted, the L prefix shrinks to one doc, so the
+    // standing L keepers 2-3 EVICT while L doc 1 stays — the patch is
+    // adds(new H) + tombstones(evicted L), never a full cut
+    writeState(1, (101L to 104L).map(d => (d, hDoc(d))))
+    val p3 = CorpusStream.exportPatchStep(spark, layout, 3L)
+    val full3 = CorpusStream.exportStep(spark, layout, 3L)
+    assert(p3 < full3, s"churn-proportional: patch adds $p3 < full cut $full3")
+    val tombs = spark.read.parquet(s"${layout.exportPatchTombs}/cycle=3")
+    assert(tombs.count() > 0, "evicted standing copies must tombstone")
+    assert(rowsOf(CorpusStream.exportPatchView(spark, layout)) ==
+      rowsOf(spark.read.parquet(s"${layout.export}/cycle=3")),
+      "patch view == full-cut artifact after churn")
+
+    // same-cycle rerun (crash replay) converges bit-identically
+    val p3b = CorpusStream.exportPatchStep(spark, layout, 3L)
+    assert(p3b == p3, "patch rerun of the same cycle converges")
+    assert(rowsOf(CorpusStream.exportPatchView(spark, layout)) ==
+      rowsOf(spark.read.parquet(s"${layout.export}/cycle=3")),
+      "view stable across the rerun")
+  }
+
   test("export step on a stream with no completed cycles no-ops instead of throwing (ADVICE r15)") {
     val root = java.nio.file.Files.createTempDirectory("graft_cstream_empty").toString
     val layout = CorpusStream.Layout(root)
