@@ -112,18 +112,27 @@ object CorpusSelectionDelta {
 
   /** Atomically flip the pointer to `newGen`, recording the old
     * current as previous. A rerun after a committed flip is a no-op
-    * (re-writing would clobber the true previous-gen line). */
+    * (re-writing would clobber the true previous-gen line). Goes
+    * through Hadoop's FileContext rename-with-OVERWRITE — the one
+    * rename API with atomicity semantics on HDFS and local alike —
+    * so the same code commits on `hdfs://`/object-store roots, not
+    * just local paths (review r17). */
   private[graft] def flipGeneration(s: SparkSession, root: String, newGen: String): Unit = {
     val prev = readGenerations(s, root).map(_._1).getOrElse("")
     if (prev == newGen) return
-    val dir = java.nio.file.Paths.get(root.stripPrefix("file:"))
-    java.nio.file.Files.createDirectories(dir)
-    val tmp = dir.resolve(s"$genPointerName.tmp")
-    java.nio.file.Files.write(tmp, s"$newGen\n$prev\n".getBytes("UTF-8"))
+    val conf = s.sessionState.newHadoopConf()
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(conf)
+    fs.mkdirs(rootP)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/$genPointerName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$newGen\n$prev\n".getBytes("UTF-8")) finally out.close()
     // readers see the old pointer or the new one, never a torn file
-    java.nio.file.Files.move(tmp, dir.resolve(genPointerName),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(rootP).toUri, conf)
+    fc.rename(fs.makeQualified(tmp),
+      fs.makeQualified(new org.apache.hadoop.fs.Path(s"$root/$genPointerName")),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** On-disk delta layers under the incremental release root. */
@@ -421,7 +430,11 @@ object CorpusSelectionDelta {
     * must never read as an empty release. */
   def exportView(s: SparkSession, L0: Layers, upTo: Long = Long.MaxValue): DataFrame = {
     val L = Layers.active(s, L0.root)
-    exportFloor(s, L).foreach { floor =>
+    // orElse: a root compacted by the pre-generation code recorded its
+    // floor as a metadata-only `export_delta__snap/snap=mark` dir, not
+    // the floor file — keep honoring it (review r17), or "history
+    // rolled up" silently reads as an empty release on upgraded roots
+    exportFloor(s, L).orElse(latestSnap(s, L.exportDelta)).foreach { floor =>
       if (upTo < floor) throw new IllegalStateException(
         s"exportView(${L.exportDelta}): upTo=$upTo is below the compaction floor $floor — " +
           "shard history under the rebase is rolled up and no longer readable")

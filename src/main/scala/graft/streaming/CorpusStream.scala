@@ -329,7 +329,10 @@ object CorpusStream {
     * unchanged ledger must recut, not inherit an artifact packed at
     * the stale budget (ADVICE r16). */
   private def cellsDigest(cells: Seq[SelectionStream.ScoreCell], packBudget: Long): String =
-    s"pb=$packBudget|" + cells.sortBy(_.quality_score)
+    s"pb=$packBudget|" + cellsKey(cells)
+
+  private def cellsKey(cells: Seq[SelectionStream.ScoreCell]): String =
+    cells.sortBy(_.quality_score)
       .map(c => s"${c.quality_score}:${c.token_mass}:${c.n_docs}").mkString("|")
 
   /** Digest stored beside the newest prior `cycle=N` dir under
@@ -430,7 +433,8 @@ object CorpusStream {
     * copy_id)-keyed diff against the standing [[exportPatchView]], so
     * a changed cycle's write volume is churn-proportional (admission
     * flips + new docs' copies), never corpus-proportional. The digest
-    * skip is retained verbatim — an unchanged ledger writes nothing
+    * skip is retained (cells-only key — this posture cuts no payload,
+    * so no config rides the key) — an unchanged ledger writes nothing
     * at all. Rerun-convergent: `cycle=N` dirs overwrite, the diff is
     * computed against cycles strictly below N, and the digest lands
     * last. The packed-payload artifact stays with the full-cut
@@ -443,14 +447,21 @@ object CorpusStream {
     * copy_ids are 1..n per doc on both sides — so membership at
     * (doc_id, copy_id) IS row equality, spec-pinned against the full
     * cut. */
-  def exportPatchStep(spark: SparkSession, layout: Layout, cycleId: Long,
-                      packBudget: Long = 2048L): Long = {
-    import graft.operators.LayerIO
+  def exportPatchStep(spark: SparkSession, layout: Layout, cycleId: Long): Long = {
     val cells = SelectionStream.latest(readAccumulated(
       spark, s"${layout.ledger}/batch_v*", ledgerSchema.toDDL))
-    val digest = cellsDigest(cells, packBudget)
+    // the patch artifact is a function of the cells alone (no payload
+    // cut in this posture), so the skip key is cells-only — a
+    // config-only change must NOT force a provably-empty recut
+    // (review r17); the "patch|" prefix keeps the key disjoint from
+    // the full-cut posture's pb=N digests
+    val digest = "patch|" + cellsKey(cells)
     if (priorDigest(spark, layout.exportPatch, cycleId).contains(digest)) return 0L
-    val (target, done) = releaseTarget(spark, layout, cells)
+    val (target0, done) = releaseTarget(spark, layout, cells)
+    // the target derivation (per-doc scoring, copy explosion, text
+    // join) feeds BOTH diff sides — persist it once or the tombstone
+    // anti-join re-executes the whole scoring pipeline (review r17)
+    val target = target0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // narrow standing projection, persisted once for both diff sides;
     // split/source ride along so the tombstone layer stays
     // self-describing without re-reading the adds ledger
@@ -470,6 +481,7 @@ object CorpusStream {
       .select("doc_id", "copy_id", "split", "source")
       .write.mode("overwrite").parquet(s"${layout.exportPatchTombs}/cycle=$cycleId")
     standing.unpersist(blocking = false)
+    target.unpersist(blocking = false)
     done()
     writeDigest(spark, layout.exportPatch, cycleId, digest)
     written

@@ -22,12 +22,12 @@ import graft.GraftSession
   *    budget sits wherever the H/L composition puts it;
   *  - batch k (size B) carries `B/2 + 2A` HIGH docs when k is odd and
   *    `B/2 - 2A` when even (A = B/10; batch 1 seeds +A), so the
-  *    CUMULATIVE high-stratum share is exactly 50% ± A·B docs — above
+  *    CUMULATIVE high-stratum share is exactly 50% ± A docs — above
   *    half after odd batches (cut = 100: every LOW doc evicted, the
   *    HIGH stratum boundary-refined), below half after even ones
   *    (cut = 75: all HIGH in, LOW boundary-refined). The admission
   *    cut CROSSES a stratum boundary on every single batch, with an
-  *    A·B-doc margin on both sides so the verdict never sits on a
+  *    A-doc (=400) margin on both sides so the verdict never sits on a
   *    knife edge, and per-cycle churn stays a few percent of the
   *    corpus — churn-proportional patches are checkable;
   *  - a HOT SOURCE: half of all docs land in `src_hot` (the rest

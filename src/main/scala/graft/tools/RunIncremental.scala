@@ -54,8 +54,13 @@ object RunIncremental {
                        fullRoot: String, delta: Boolean, tag: String): Int = {
     val t0 = System.nanoTime()
     val rf = CorpusPipelineDag.run(spark, corpusDir, fullRoot)
+    val okJobs = rf.count(_.status == graft.operators.JobGraph.Succeeded)
     println(f"[$tag] full rebuild wall=${(System.nanoTime() - t0) / 1e9}%.1f s " +
-      s"statuses=${rf.count(_.status == graft.operators.JobGraph.Succeeded)}/${rf.size} ok")
+      s"statuses=$okJobs/${rf.size} ok")
+    // the diff is meaningless without its oracle — a failed rebuild
+    // must fail the check, not print OK rows against garbage (r17)
+    require(okJobs == rf.size,
+      s"[$tag] oracle full rebuild FAILED ($okJobs/${rf.size} jobs succeeded)")
     val li = CorpusIncrementalDag.Layout(root)
     val lf = CorpusPipelineDag.Layout(fullRoot)
     val dl = graft.operators.CorpusSelectionDelta.Layers.active(spark, root)
@@ -177,5 +182,8 @@ object RunIncremental {
       println(s"[check] TOTAL mismatched layers across checks: $mismatches" +
         (if (mismatches == 0) " — ALL OK" else " — FAILURES ABOVE"))
     spark.stop()
+    // a scripted soak (set -e wrapper, CI gate) must see the failure
+    // in the exit code, not just the log (review r17)
+    if (mismatches > 0) sys.exit(1)
   }
 }

@@ -324,4 +324,27 @@ class CorpusSelectionDeltaSpec extends SparkSpec {
     assert(tailWarning(tailWarnBound * 4, CorpusIncrementalDag.defaultSnapshotEvery).isEmpty,
       "cadenced mode never warns (the roll-up is the fix, not the message)")
   }
+
+  test("legacy compaction floor (pre-generation snap marker) still throws on below-floor export reads") {
+    import spark.implicits._
+    // a root compacted by the PRE-generation code: export history
+    // rebased into a batch=mark base, floor recorded ONLY as a
+    // metadata snap dir (export_delta__snap/snap=mark) — no
+    // _COMPACTION_FLOOR file, no _SEL_CURRENT pointer. The upgraded
+    // reader must keep refusing below-floor reads (review r17).
+    val root = tmp()
+    val L = CorpusSelectionDelta.Layers(root)
+    val mark = 50L
+    Seq((1L, 0L, "en", "s1", "train", 3L, "a b c"))
+      .toDF("doc_id", "copy_id", "lang", "source", "split", "n_words", "text")
+      .write.parquet(s"${L.exportDelta}/batch=$mark")
+    Seq(mark).toDF("mark").coalesce(1).write
+      .parquet(s"${CorpusSelectionDelta.snapRoot(L.exportDelta)}/snap=$mark")
+    val ex = intercept[IllegalStateException] {
+      CorpusSelectionDelta.exportView(spark, L, upTo = mark - 10L)
+    }
+    assert(ex.getMessage.contains("compaction floor"), ex.getMessage)
+    // at-or-above the floor still reads the base fine
+    assert(CorpusSelectionDelta.exportView(spark, L, upTo = mark).count() == 1L)
+  }
 }
