@@ -27,7 +27,11 @@ REF="${1:?usage: tools/ab_bench.sh <ref-commit> [topk] [passes] [sfdir]}"
 TOPK="${2:-20}"
 PASSES="${3:-2}"
 SFDIR="${4:-/root/testdata/sf0.1}"
-CPUS="${SPARK_GRAFT_CPUS:-8}"
+# 32 to match the full boards and the r16 hand-driven recipe: Bench's
+# loaded_start/loaded_mid bands are ABSOLUTE, calibrated for the
+# 32-thread sentinel — at 8 CPUs the par sentinel runs ~4x longer and
+# every run false-flags
+CPUS="${SPARK_GRAFT_CPUS:-32}"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 TS="$(date -u +%Y%m%dT%H%M%SZ)"
 WT="/tmp/ab_ref_$TS"
