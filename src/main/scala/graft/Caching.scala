@@ -19,6 +19,35 @@ import org.apache.spark.sql.execution.LogicalRDD
   * result rows only.
   */
 object Caching {
+  /** Share a multi-consumer intermediate: materialize it ONCE so the
+    * consumers never re-execute the subtree. Two interchangeable
+    * mechanisms, switched by `spark.graft.share.mode`:
+    *
+    *  - `checkpoint` (default): eager `localCheckpoint` — rows land in
+    *    the block manager as plain serialized row blocks
+    *    (MEMORY_AND_DISK). Build cost is one serialization pass;
+    *    consumers deserialize rows directly.
+    *  - `persist`: lazy columnar cache (`InMemoryRelation`). Build
+    *    additionally pays per-column encoding + compression; reads pay
+    *    decode. Kept as the fallback because it preserves lineage
+    *    (an executor loss recomputes instead of failing the job).
+    *
+    * Measured on the sf0.1 bench (OPTIMIZATION_r17.md §2): the
+    * checkpoint mode is 10–25% faster end-to-end on every
+    * postings/grain-persist query, same result rows. At cluster scale
+    * both levels spill to disk and hold exactly one copy of the rows;
+    * the lineage-truncation trade (guide §5: fine when the
+    * intermediate is not the job's sole fault-tolerance point) is the
+    * same one [[reap]] already makes for results. */
+  def share(df: DataFrame): DataFrame = {
+    val mode =
+      try df.sparkSession.conf.get("spark.graft.share.mode", "checkpoint")
+      catch { case _: Throwable => "checkpoint" }
+    if (mode == "persist")
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df.localCheckpoint(eager = true)
+  }
+
   /** Materialize `result` eagerly and release every `temps` frame's
     * block-manager storage. The returned frame scans the checkpointed
     * rows; the temps' lineage is no longer referenced.
@@ -28,7 +57,10 @@ object Caching {
     * the frame is garbage-collected or [[release]]d. */
   def reap(result: DataFrame)(temps: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(eager = true)
-    temps.foreach(_.unpersist(blocking = false))
+    temps.foreach { t =>
+      t.unpersist(blocking = false) // persist-mode shares + plain persists
+      release(t)                    // checkpoint-mode shares (LogicalRDD-backed)
+    }
     out
   }
 

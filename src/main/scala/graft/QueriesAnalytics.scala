@@ -512,7 +512,7 @@ object QueriesAnalytics {
         datediff(col("__asof"), col("__last")).cast("long").as("recency_days"),
         col("frequency"),
         col("__cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     // breakpoints: the real data point at rank ceil(p·n/100), per
     // metric — ONE rank-selection pass over the three metrics stacked
     // long-form with the metric name as the segment key (3 separate

@@ -186,7 +186,7 @@ object QueriesMart {
       // negated revenue as the integral bucket key: ascending
       // prefix-sum order over __negc IS revenue-descending order
       .withColumn("__negc", -col("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val total = perPart.agg(sum(col("__c")).as("__total"))
     val out = graft.operators.ScanOps
       .exclusivePrefixSum(perPart, Nil, Seq("__negc", "l_partkey"), col("__c"), "__pre")
@@ -342,7 +342,7 @@ object QueriesMart {
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n_orders"), Money.scaledSum(col("o_totalprice"), 2).as("__c"))
       .withColumn("dow_iso", (weekday(col("day")) + lit(1)).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val dev = d.join(broadcast(lowerMedian(d, col("__c"), "__med")), "dow_iso")
       .withColumn("__dev", abs(col("__c") - col("__med")))
     val out = dev.join(broadcast(lowerMedian(dev, col("__dev"), "__mad")), "dow_iso")
@@ -398,7 +398,7 @@ object QueriesMart {
       .groupBy(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
       .agg(count(lit(1)).as("__n"))
       .select(col("o_custkey"), col("yr"), band(col("__n")).as("band"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val nxt = cy.select(col("o_custkey").as("__ck"), (col("yr") - lit(1)).as("__py"),
       col("band").as("band_to"))
     val matrix = cy
@@ -702,7 +702,7 @@ object QueriesMart {
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("p_type"))).as("cats"))
       .select("cats")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val support = baskets.select(explode(col("cats")).as("cat"))
       .groupBy("cat").agg(count(lit(1)).as("n"))
     val pairList = flatten(transform(col("cats"), (x, i) =>

@@ -260,7 +260,7 @@ object QueriesScale {
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .select("parts")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     // sorted basket → ordered (parts[i], parts[j>i]) pairs, all map-side
     val pairList = flatten(transform(col("parts"), (x, i) =>
       transform(slice(col("parts"), i + lit(2), size(col("parts"))), y =>
@@ -335,7 +335,7 @@ object QueriesScale {
     // the thresholded pair matrix is read by the degree pass plus
     // every iteration — persist it, not the basket-scale temps
     val pairs = pairs0.select("p1", "p2")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val (out, ed, deg) = partRankFromPairsRaw(pairs)
     Caching.reap(out)(baskets, pairs, ed, deg)
   }
@@ -348,14 +348,13 @@ object QueriesScale {
   }
 
   private def partRankFromPairsRaw(pairs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
       .union(pairs.select(col("p2").as("src"), col("p1").as("dst")))
     // deg feeds the initial ranks, every iteration (via ed) and the
     // final enrichment; ed feeds all three iterations — persisting
     // both means the degree shuffle runs ONCE, not once per round
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist(mad)
-    val ed = edges.join(deg, "src").persist(mad)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).transform(Caching.share)
+    val ed = edges.join(deg, "src").transform(Caching.share)
     // symmetric graph: every node has in- and out-edges, so each
     // round's dst aggregation re-covers exactly deg's node set —
     // no dangling-mass correction needed
@@ -500,7 +499,7 @@ object QueriesScale {
       .agg(
         hll_sketch_agg(col("user_id")).as("__sk"),
         countDistinct(col("user_id")).as("exact_users"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
       abs(est - exact) * 100 <= exact * 5
     val typeRows = perType.select(
@@ -594,7 +593,7 @@ object QueriesScale {
     // for a 5-row result)
     val head = ranked.where(col("rank") <= 10)
       .select(col("lang"), col("rank"), col("word"), col("n_occurrences"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val top = head.where(col("rank") === 1)
       .select(col("lang"), col("word").as("top_word"), col("n_occurrences").as("n_top"))
     val out = head.where(col("rank") >= 2)
@@ -801,7 +800,7 @@ object QueriesScale {
       // (sketch-only path), drop the persist with it — a 2-consumer
       // narrow pipeline can prefer recompute when executor disk is
       // scarce. Reaped before return.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val ap = o.groupBy("c_mktsegment")
       .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(acc)).as("__ap"))
     val stats = o.join(broadcast(ap), "c_mktsegment")
@@ -859,11 +858,11 @@ object QueriesScale {
     // cached, the fact is scanned once and both read ~#customers rows
     val x = orders.groupBy("o_custkey")
       .agg(Money.scaledSum(col("o_totalprice"), 2).as("cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val ranked = graft.operators.ScanOps
       .exclusivePrefixSum(x, Seq.empty, Seq("cents", "o_custkey"), lit(1L), "n_before")
       .withColumn("__i", col("n_before") + lit(1L))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val moments = ranked.agg(
       count(lit(1)).as("n_customers"),
       sum(col("cents")).as("__s0"),

@@ -436,7 +436,7 @@ object QueriesText {
     // one signature pass: both probe sides filter the same cached
     // frame instead of re-running the native sig map per side
     val sigsAll = DedupOps.minhashSignaturesNative(docs, "doc_id", col("text"), n = 3, k = 48)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     // the across-generator checkpoints its own (counted) result, so
     // the signature cache can be released as soon as it returns
     val cands = DedupOps.minhashLshPairsAcross(
@@ -516,7 +516,7 @@ object QueriesText {
       // costs more than one spill-read. The trade flips only if
       // executor disk is the scarce resource; then drop the persist
       // and eat the second shuffle. Reaped before return.
-      .persist()
+      .transform(Caching.share)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val score = col("tf").cast("double") / col("df")
     val w = org.apache.spark.sql.expressions.Window
@@ -736,7 +736,7 @@ object QueriesText {
   private[graft] def bigramLmRaw(docs: DataFrame): (DataFrame, DataFrame) = {
     val nn = docs.where(col("text").isNotNull)
     val postings = DedupOps.wordGramHashesAll(nn, "doc_id", col("text"), n = 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val cnt = postings.groupBy(col("gram")).agg(count(lit(1)).as("__c"))
     val sc = postings.join(cnt, "gram")
       .groupBy("doc_id")
@@ -870,7 +870,7 @@ object QueriesText {
     // this one; at 100 TB that is two complete corpus
     // materializations where one suffices (verdict r12 #3).
     val flags = funnelFlags(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     // exact-dup keepers among quality survivors: the min doc per
     // normalized-text hash IS the stage-3 survivor set. Persisted
     // narrow (id + bool) for its TWO consumers — the strip's survivor
@@ -879,7 +879,7 @@ object QueriesText {
       .groupBy(md5(lower(trim(t))).as("__th"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("__r3"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     // block firsts among dedup survivors — #141's combinable-min
     // shape, carrying each block's token count for stage-4 mass; the
     // survivor gate is a narrow id semi-join, text rides only from
@@ -942,7 +942,7 @@ object QueriesText {
         col("doc_id").cast("string"))))
     val scored = scoredTokens(docs)
       .withColumn("__ord", ordKey)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val budget = scored.agg(
       call_function("div", sum(col("n_words")), lit(2L)).as("__budget"))
     val out = graft.operators.ScanOps
@@ -993,7 +993,7 @@ object QueriesText {
     // persisted: byScore and the totals would otherwise each pay the
     // tokenize+score projection over the whole corpus
     val scored = scoredTokens(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val byScore = scored.groupBy("quality_score")
       .agg(count(lit(1)).as("__docs"), sum(col("n_words")).as("__toks"))
     val totals = scored.agg(
@@ -1038,7 +1038,7 @@ object QueriesText {
 
   private[graft] def mixAllocateOn(docs: DataFrame): DataFrame = {
     val cells = tokenCells(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val out = waterFill(cells, col("cap_tokens"))
       .select(col("lang"), col("source"), col("cap_tokens"),
         col("allocated_tokens"),
@@ -1125,7 +1125,7 @@ object QueriesText {
 
   private[graft] def mixEpochsOn(docs: DataFrame): DataFrame = {
     val cells = tokenCells(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val out = waterFill(cells, col("cap_tokens") * 4L)
       .select(col("lang"), col("source"), col("cap_tokens"),
         col("allocated_tokens"),
@@ -1180,7 +1180,7 @@ object QueriesText {
     val base = docs.where(t.isNotNull)
       .select(col("doc_id"), col("lang"), col("source"),
         TextOps.wordCount(t).cast("long").as("n_words"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val out = mixCopiesFromBase(base)
       .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
@@ -1241,7 +1241,7 @@ object QueriesText {
     // distinct postings persist for their THREE consumers (sizes +
     // both join sides) — postings-scale, reaped before return.
     val grams = DedupOps.wordGramHashes(docs, "source", col("text"), 3).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val sz = grams.groupBy("source").agg(count(lit(1)).as("n"))
     val b = grams.toDF("source_b", "gram2")
     val out = grams.toDF("source_a", "gram")
@@ -1493,7 +1493,7 @@ object QueriesText {
     * final frame (the reap-after-shape contract of the gram family). */
   private def perDocNovelty(docs: DataFrame): (DataFrame, DataFrame) = {
     val postings = DedupOps.wordGramHashes(docs, "doc_id", col("text"), n = 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val counts = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val novel = postings.groupBy(col("gram")).agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))

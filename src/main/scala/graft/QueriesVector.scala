@@ -21,7 +21,11 @@ object QueriesVector {
   def annTopK(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     val emb = Tables.embeddings(s, dir)
-    VectorOps.bruteForceTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+    // query side: a raw pruned scan — the <10-row query set is about
+    // to be broadcast, so the loader's parallelism spread would be a
+    // pure extra exchange+job (guide §2.4); corpus side keeps it
+    VectorOps.bruteForceTopK(Tables.table(s, dir, "embeddings").where(col("vec_id") < 10),
+      emb, "vec_id", "embedding", k = 5)
   }
 
   /** #28 LSH-bucketed ANN (8 hyperplanes), the scale path — rows-only
@@ -29,7 +33,9 @@ object QueriesVector {
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     val emb = Tables.embeddings(s, dir)
-    VectorOps.lshTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", nPlanes = 8, k = 5)
+    // query side raw scan: same reasoning as annTopK
+    VectorOps.lshTopK(Tables.table(s, dir, "embeddings").where(col("vec_id") < 10),
+      emb, "vec_id", "embedding", nPlanes = 8, k = 5)
       .orderBy("query_id", "rank")
   }
 
@@ -44,7 +50,8 @@ object QueriesVector {
     implicit val sp: SparkSession = s
     val emb = Tables.embeddings(s, dir)
     val index = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
-    val res = Ivf.probeExact(index, emb.where(col("vec_id") < 10), "vec_id", "embedding", nprobe = 2, topK = 5)
+    val res = Ivf.probeExact(index, Tables.table(s, dir, "embeddings").where(col("vec_id") < 10),
+      "vec_id", "embedding", nprobe = 2, topK = 5)
       .orderBy("query_id", "rank")
     // the probe result is 5 rows per query: materialize it, then
     // release the index's persisted lists/centroids
@@ -59,7 +66,9 @@ object QueriesVector {
   def annQuantized(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     val emb = Tables.embeddings(s, dir)
-    VectorOps.quantizedTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+    // query side raw scan: same reasoning as annTopK
+    VectorOps.quantizedTopK(Tables.table(s, dir, "embeddings").where(col("vec_id") < 10),
+      emb, "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rank")
   }
 
@@ -199,7 +208,7 @@ object QueriesVector {
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
       .agg(sum(round(col("x").cast("double") * lit(1e6), 0).cast("long")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val counts = base.groupBy("label").agg(count(lit(1)).as("n"))
     val a = sums.select(col("label").as("label_a"), col("dim"),
       col("s").cast("decimal(38,0)").as("sa"))
@@ -208,7 +217,7 @@ object QueriesVector {
     val dots = a.join(b, Seq("dim")).where(col("label_a") <= col("label_b"))
       .groupBy("label_a", "label_b")
       .agg(sum(col("sa") * col("sb")).as("dot"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val diag = dots.where(col("label_a") === col("label_b"))
       .select(col("label_a").as("__l"), col("dot").as("__sd"))
     val out = dots.where(col("label_a") < col("label_b"))
@@ -258,7 +267,7 @@ object QueriesVector {
         round(col("x").cast("double") * lit(1e6), 0).cast("long").as("qx"))
     val sums = q.groupBy(col("label"), col("dim"))
       .agg(sum(col("qx")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.share)
     val labelNorm2 = sums.groupBy("label")
       .agg(sum(col("s").cast(dec) * col("s").cast(dec)).as("__ns2"))
     val perVec = q.join(broadcast(sums), Seq("label", "dim"))

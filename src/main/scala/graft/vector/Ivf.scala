@@ -91,7 +91,7 @@ object Ivf {
       // the same select would let CollapseProject inline the (non-
       // cheap) assignment once per reference
       .select(col(idCol), col("__a.cid").as("cid"), col("__a.cos").as("__c"), col(vecCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caching.share)
     import s.implicits._
     val centroids = cids.zip(cents).toSeq
       .map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "centroid")
@@ -157,7 +157,7 @@ object Ivf {
     require(pairs.nonEmpty, s"Ivf.append: empty centroid set at $path")
     val rows = assign(vectors.where(col(vecCol).isNotNull), pairs.map(_._1), pairs.map(_._2), vecCol)
       .select(col(idCol), col("__a.cid").as("cid"), col("__a.cos").as("__c"), col(vecCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caching.share)
     val n = rows.count()
     // dynamic-partition append: new files land inside the existing
     // cid=... directories. Each FILE is atomic (parquet footers commit
@@ -217,7 +217,7 @@ object Ivf {
       .sortBy(_._1) // NearestCentroid requires cid-ascending order
     require(pairs.nonEmpty, s"Ivf.load: empty centroid set at $path")
     val lists = s.read.parquet(s"$path/lists.parquet")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caching.share)
     Index(pairs.map(_._1), pairs.map(_._2), centroids, lists)
   }
 
@@ -346,7 +346,7 @@ object Ivf {
           greatest(col("__ang") - col("__ri") - col("__rj"), lit(0.0))))
       .where(col("__best") >= lit(minCos) - eps)
       .select(col("__ci"), col("__cj"), (col("__ni") * col("__nj")).as("__vol"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caching.share)
     // the plan decision, from k² rows before any pair is scored
     val volRow = blocks.agg(sum(col("__vol"))).head
     val admittedVolume = if (volRow.isNullAt(0)) 0L else volRow.getLong(0)
@@ -395,7 +395,7 @@ object Ivf {
     import s.implicits._
     val truth = probeExact(index, queries, idCol, vecCol, nprobe = 1, topK = topK)
       .select(col("query_id"), col("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caching.share)
     val nTruth = truth.count()
     val nQueries = truth.select("query_id").distinct().count()
     val rows = nprobes.distinct.sorted.map { np =>

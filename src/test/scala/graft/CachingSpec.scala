@@ -28,6 +28,25 @@ class CachingSpec extends SparkSpec {
     Caching.release(out)
   }
 
+  test("share: both modes return the same rows and reap frees either") {
+    val base = Seq(1, 2, 3, 4, 5).toDF("x").withColumn("y", $"x" * 2)
+    val expect = base.collect().map(_.toSeq).toSet
+    Seq("persist", "checkpoint").foreach { mode =>
+      withShareMode(mode) {
+        val before = persistentRddCount
+        val shared = Caching.share(base)
+        assert(shared.collect().map(_.toSeq).toSet == expect, s"mode=$mode rows differ")
+        // reap must free the share regardless of mechanism
+        val out = Caching.reap(shared.groupBy().sum("y"))(shared)
+        assert(!shared.storageLevel.useMemory, s"mode=$mode: persisted share survived reap")
+        assert(out.collect().head.getLong(0) == 30L)
+        Caching.release(out)
+        assert(persistentRddCount == before,
+          s"mode=$mode: reap+release must leave no new persistent RDDs")
+      }
+    }
+  }
+
   test("edge: empty inputs through the new operators") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     // prefix sum over nothing

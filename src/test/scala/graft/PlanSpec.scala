@@ -116,16 +116,17 @@ class PlanSpec extends SparkSpec {
     assert(joins >= 2, s"expected the part-join shape, got $joins joins:\n$p")
   }
 
-  test("copurchase: basket assembly only — no fact self-join") {
-    // pair expansion is a map-side array transform over collected
-    // baskets; a SortMergeJoin/ShuffledHashJoin would mean the
-    // lineitem self-join (3 fact shuffles) crept back in. Assert the
-    // un-reaped pipeline — the query's checkpoint hides the plan.
-    val (out, baskets) = QueriesScale.copurchaseRaw(spark, sf)
-    val p = out.queryExecution.executedPlan.toString
-    baskets.unpersist()
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
-    assert(p.contains("collect_set"), p)
+  test("copurchase: basket assembly only — no fact self-join") { withShareMode("persist") {
+      // pair expansion is a map-side array transform over collected
+      // baskets; a SortMergeJoin/ShuffledHashJoin would mean the
+      // lineitem self-join (3 fact shuffles) crept back in. Assert the
+      // un-reaped pipeline — the query's checkpoint hides the plan.
+      val (out, baskets) = QueriesScale.copurchaseRaw(spark, sf)
+      val p = out.queryExecution.executedPlan.toString
+      baskets.unpersist()
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("collect_set"), p)
+  }
   }
 
   test("gram postings: the gram chain runs once, never as a pushed filter") {
@@ -261,13 +262,14 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
   }
 
-  test("revenue gini: prefix-sum rank, never a sort-merge or global-sort rank") {
-    val (out, ranked, x) = QueriesScale.revenueGiniRaw(Tables.orders(spark, sf))
-    val p = try out.queryExecution.executedPlan.toString
-    finally { ranked.unpersist(blocking = false); x.unpersist(blocking = false) }
-    assert(!p.contains("SortMergeJoin"),
-      "the offsets join must broadcast (totals are bucket-grain)")
-    assert(p.contains("BroadcastHashJoin"), p)
+  test("revenue gini: prefix-sum rank, never a sort-merge or global-sort rank") { withShareMode("persist") {
+      val (out, ranked, x) = QueriesScale.revenueGiniRaw(Tables.orders(spark, sf))
+      val p = try out.queryExecution.executedPlan.toString
+      finally { ranked.unpersist(blocking = false); x.unpersist(blocking = false) }
+      assert(!p.contains("SortMergeJoin"),
+        "the offsets join must broadcast (totals are bucket-grain)")
+      assert(p.contains("BroadcastHashJoin"), p)
+  }
   }
 
   test("lexical diversity is map-only: zero exchanges, text-pruned scan") {
