@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // timed (the round-3 driver bench billed a 40 s stall to one query).
   // The bench box has 125g; a real cluster sizes executor memory anyway.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // throughput collector for the batch engine: the query mix churns
+  // short-lived row/array objects (HOF lambdas, object aggregates) and
+  // ParallelGC's bulk young collections beat G1's incremental pauses
+  // for pure throughput — measured 5% on the 16 heaviest sf0.1
+  // queries across alternating JVMs (OPTIMIZATION_r17.md §3). Same
+  // guidance as the standard executor-JVM tuning for batch Spark;
+  // latency-sensitive services should keep G1.
+  "-XX:+UseParallelGC",
 )
