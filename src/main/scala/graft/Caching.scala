@@ -57,17 +57,37 @@ object Caching {
     * the frame is garbage-collected or [[release]]d. */
   def reap(result: DataFrame)(temps: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(eager = true)
-    temps.foreach { t =>
-      t.unpersist(blocking = false) // persist-mode shares + plain persists
-      release(t)                    // checkpoint-mode shares (LogicalRDD-backed)
-    }
+    temps.foreach(unshare)
     out
+  }
+
+  /** Release a [[share]]d frame's storage regardless of mode:
+    * `unpersist` covers the persist-mode columnar cache (and plain
+    * `.persist` frames), [[release]] covers the checkpoint-mode
+    * LogicalRDD blocks, for which `Dataset.unpersist` is a no-op
+    * (localCheckpoint RDDs never enter the cacheManager). Callers that
+    * hold a share past a [[reap]] — or never reap at all — must route
+    * their cleanup here, not through a bare `.unpersist`. */
+  def unshare(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    release(df)
   }
 
   /** Release the block-manager storage behind a `localCheckpoint`ed
     * frame (the ContextCleaner would only reclaim it at some future
-    * GC; iterative loops need each round freed deterministically). */
+    * GC; iterative loops need each round freed deterministically).
+    *
+    * Only fires when the frame's plan ROOT is itself the checkpoint's
+    * LogicalRDD — i.e. the frame IS the checkpoint handle. Releasing
+    * every LogicalRDD found anywhere in a plan would let a frame
+    * merely DERIVED from a still-live checkpointed share drop that
+    * share's blocks, which a localCheckpoint cannot recompute
+    * ("checkpoint block not found" on the next consumer). A derived
+    * frame is a no-op here; its underlying share is released by
+    * whoever owns the share handle. */
   def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect { case lr: LogicalRDD => lr.rdd }
-      .foreach(_.unpersist(blocking = false))
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

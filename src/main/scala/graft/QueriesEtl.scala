@@ -427,7 +427,15 @@ object QueriesEtl {
     val probed = edges.zipWithIndex.foldLeft(
       child.select(edges.map { case (fk, _, _, _) => col(fk) }: _*)) {
       case (acc, ((fk, parent, pk, _), i)) =>
-        acc.join(parent.select(col(pk).as(s"__pk$i")), col(fk) === col(s"__pk$i"), "left")
+        // distinct parent keys: the chained-join form would otherwise
+        // let ONE duplicate-keyed parent inflate __n and every later
+        // edge's counters (the per-edge form confined that to the
+        // offending edge). Keys are PKs so distinct is a no-op on
+        // healthy data, but a referential-integrity audit must stay
+        // exact on exactly the dirty inputs it exists to catch; the
+        // per-parent key agg is combinable and cheap next to the join.
+        acc.join(parent.select(col(pk).as(s"__pk$i")).distinct(),
+          col(fk) === col(s"__pk$i"), "left")
     }
     val aggs = count(lit(1)).as("__n") +: edges.zipWithIndex.flatMap {
       case ((fk, _, _, _), i) => Seq(

@@ -441,7 +441,7 @@ object QueriesText {
     // the signature cache can be released as soon as it returns
     val cands = DedupOps.minhashLshPairsAcross(
       sigsAll.where(isNew), sigsAll.where(!isNew), "doc_id", k = 48, bands = 24, minEst = 0.25)
-    sigsAll.unpersist(blocking = false)
+    Caching.unshare(sigsAll)
     DedupOps.verifyPairsExact(cands, docs, "doc_id", col("text"), n = 3, minJaccardPct = 50)
       .select(col("doc1").as("new_doc_id"), col("doc2").as("known_doc_id"), col("jaccard_pct"))
       .orderBy("new_doc_id", "known_doc_id")

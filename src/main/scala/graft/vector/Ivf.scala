@@ -34,7 +34,7 @@ object Ivf {
     * every later query in the session). */
   final case class Index(cids: Array[Int], cents: Array[Array[Float]],
                          centroids: DataFrame, lists: DataFrame) {
-    def release(): Unit = lists.unpersist(blocking = false)
+    def release(): Unit = graft.Caching.unshare(lists)
   }
 
   private def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)(implicit s: SparkSession) = {
@@ -170,7 +170,7 @@ object Ivf {
     // the batch and publish via a manifest/_SUCCESS flow like
     // [[graft.sources.ParquetSink]]'s job-level commit.
     rows.write.mode("append").partitionBy("cid").parquet(s"$path/lists.parquet")
-    rows.unpersist(blocking = false)
+    graft.Caching.unshare(rows)
     n
   }
 
@@ -351,7 +351,7 @@ object Ivf {
     val volRow = blocks.agg(sum(col("__vol"))).head
     val admittedVolume = if (volRow.isNullAt(0)) 0L else volRow.getLong(0)
     if (admittedVolume >= fallbackAt * (n.toDouble * n / 2)) {
-      blocks.unpersist(blocking = false)
+      graft.Caching.unshare(blocks)
       idx.release()
       return VectorOps.cosinePairs(corpus, idCol, vecCol, minCos)
     }
@@ -406,7 +406,7 @@ object Ivf {
       (np, nQueries, topK, hits, nTruth,
         if (nTruth == 0) 1000L else hits * 1000L / nTruth)
     }
-    truth.unpersist(blocking = false)
+    graft.Caching.unshare(truth)
     rows.toDF("nprobe", "n_queries", "top_k", "n_hits", "n_truth", "recall_permille")
   }
 

@@ -38,11 +38,38 @@ class CachingSpec extends SparkSpec {
         assert(shared.collect().map(_.toSeq).toSet == expect, s"mode=$mode rows differ")
         // reap must free the share regardless of mechanism
         val out = Caching.reap(shared.groupBy().sum("y"))(shared)
-        assert(!shared.storageLevel.useMemory, s"mode=$mode: persisted share survived reap")
+        // Dataset.storageLevel consults the cacheManager, so only the
+        // persist branch is observable through it (a checkpoint-mode
+        // share reports NONE even before reap); the checkpoint branch
+        // is covered by the persistentRddCount assertion below.
+        if (mode == "persist")
+          assert(!shared.storageLevel.useMemory, s"mode=$mode: persisted share survived reap")
         assert(out.collect().head.getLong(0) == 30L)
         Caching.release(out)
         assert(persistentRddCount == before,
           s"mode=$mode: reap+release must leave no new persistent RDDs")
+      }
+    }
+  }
+
+  test("unshare frees a share in either mode; release on a DERIVED frame is a no-op") {
+    val base = Seq(1, 2, 3, 4).toDF("x")
+    Seq("persist", "checkpoint").foreach { mode =>
+      withShareMode(mode) {
+        val before = persistentRddCount
+        val shared = Caching.share(base)
+        shared.count()
+        // a frame DERIVED from the share must not be able to drop the
+        // share's blocks (localCheckpoint cannot recompute them — the
+        // old plan-wide release was a "checkpoint block not found" trap)
+        val derived = shared.where($"x" > 1)
+        Caching.release(derived)
+        assert(derived.count() == 3, s"mode=$mode: derived read after release(derived)")
+        assert(shared.collect().length == 4,
+          s"mode=$mode: share must survive release of a derived frame")
+        // the owning handle releases it in one move, whatever the mode
+        Caching.unshare(shared)
+        assert(persistentRddCount == before, s"mode=$mode: unshare must free the share")
       }
     }
   }
