@@ -55,6 +55,15 @@ object QueriesAnalytics {
     * multi-distinct. */
   def kpiSummary(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
+    // the distinct probes read a RAW pruned scan: their map side is a
+    // hash-dedup of ONE integer column that reduces 600k rows to the
+    // key set before any exchange, so the loader's parallelism spread
+    // would be a pure extra full-row exchange per probe (guide §2.4 —
+    // measured 0.84 s spread vs 0.32 s raw per probe at sf0.1; on a
+    // splittable layout the spread is an identity anyway). The base
+    // agg keeps the spread: its per-row decimal work is what the
+    // spread parallelizes (measured 0.36 vs 0.51 s).
+    val liRaw = Tables.table(s, dir, "lineitem")
     val base = li.agg(
         revenue.as("total_revenue"),
         count(lit(1)).as("total_line_items"),
@@ -80,7 +89,7 @@ object QueriesAnalytics {
         s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
       } finally keys.unpersist(blocking = false)
     } else
-      finish((c, as) => li.select(c).distinct().agg(count(col(c)).as(as)))
+      finish((c, as) => liRaw.select(c).distinct().agg(count(col(c)).as(as)))
   }
 
   /** #15 top-10 products by revenue (dashboard.py:190-199). */
@@ -118,7 +127,8 @@ object QueriesAnalytics {
 
   /** #18 monthly revenue trend (dashboard.py's monthly sales trend). */
   def monthlyTrend(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
+    // unspread: reduce-first to the month grain (A/B 0.69x)
+    Tables.ordersUnspread(s, dir)
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
       .agg(
         Money.sumExact(col("o_totalprice")).as("revenue"),
@@ -129,7 +139,8 @@ object QueriesAnalytics {
 
   /** #19 top-10 customers by spend (dashboard.py:215-239). */
   def topCustomers(s: SparkSession, dir: String): DataFrame = {
-    val m = Tables.orders(s, dir)
+    // unspread: reduce-first to the customer grain (A/B 0.59x)
+    val m = Tables.ordersUnspread(s, dir)
       .groupBy(col("o_custkey"))
       .agg(Money.sumExact(col("o_totalprice")).as("total_spent"), count(lit(1)).as("total_orders"))
     m.join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
@@ -141,7 +152,9 @@ object QueriesAnalytics {
   /** #20 tumbling-window event aggregation (batch twin of
     * `graft.streaming.EventStream`). */
   def eventsWindowed(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    // unspread: reduce-first to the hour x type grain (A/B 0.55x,
+    // OPTIMIZATION_r18.md §2)
+    Tables.eventsUnspread(s, dir)
       .groupBy(
         date_trunc("hour", col("ts")).as("window_start"),
         col("event_type")
@@ -159,7 +172,9 @@ object QueriesAnalytics {
     * partitioning. */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
-    val ev = Tables.events(s, dir)
+    // unspread: the user-keyed window exchange re-partitions every row
+    // anyway (A/B 0.58x)
+    val ev = Tables.eventsUnspread(s, dir)
       .select(
         col("user_id"), col("event_id"),
         date_trunc("second", col("ts")).as("ts_s"), col("value")
@@ -194,7 +209,8 @@ object QueriesAnalytics {
     * partitioning. */
   def runningTotal(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-    Tables.orders(s, dir).select(
+    // unspread: keyed window exchange re-partitions every row (A/B 0.43x)
+    Tables.ordersUnspread(s, dir).select(
       col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
       row_number().over(w).as("order_seq"),
       sum(Money.dec(col("o_totalprice")))
@@ -219,7 +235,9 @@ object QueriesAnalytics {
     * no float interpolation — the value is a real data point, so it's
     * engine-portable by construction. */
   def medianOrderValue(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
+    // unspread: broadcast probe straight into the rank-selection
+    // bucket collapse (A/B 0.53x)
+    val o = Tables.ordersUnspread(s, dir)
       .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
     graft.operators.Quantiles.selectAtRanks(
@@ -232,7 +250,8 @@ object QueriesAnalytics {
   /** #45 revenue histogram: 10k-unit price buckets via exact integer
     * division on cents. */
   def revenueHistogram(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // unspread: reduce-first to ~100 bucket cells (A/B 0.72x)
+    Tables.lineitemUnspread(s, dir)
       .select(call_function("div",
         (Money.dec(col("l_extendedprice")) * 100).cast("long"), lit(1000000L)).as("bucket_10k"))
       .groupBy("bucket_10k")
@@ -253,7 +272,7 @@ object QueriesAnalytics {
     * The heavy work (fact → day totals) is one map-side-combined
     * aggregation. */
   def dailyTrend(s: SparkSession, dir: String): DataFrame =
-    dailyTrendOn(Tables.orders(s, dir))
+    dailyTrendOn(Tables.ordersUnspread(s, dir)) // reduce-first to the day grain (A/B 0.52x)
 
   private[graft] def dailyTrendOn(orders: DataFrame): DataFrame = {
     val daily = orders
@@ -288,7 +307,7 @@ object QueriesAnalytics {
     * shuffle sessionize needs — no global sort), then ≤ 7 bucket
     * cells; the permille window runs on the bucket grain. */
   def eventGaps(s: SparkSession, dir: String): DataFrame =
-    eventGapsOn(Tables.events(s, dir))
+    eventGapsOn(Tables.eventsUnspread(s, dir)) // keyed-window-first (A/B 0.46x)
 
   private[graft] def eventGapsOn(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
@@ -375,7 +394,7 @@ object QueriesAnalytics {
     * high-cardinality states (page URLs) the matrix itself is the
     * scale object — cap to top-K states first (#55's sketch). */
   def eventTransitions(s: SparkSession, dir: String): DataFrame =
-    eventTransitionsOn(Tables.events(s, dir))
+    eventTransitionsOn(Tables.eventsUnspread(s, dir)) // keyed-window-first (A/B 0.43x)
 
   private[graft] def eventTransitionsOn(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
@@ -494,7 +513,8 @@ object QueriesAnalytics {
     * the plan-shape spec asserts on the result BEFORE the checkpoint
     * truncates its lineage. */
   private[graft] def rfmSegmentsRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val o = Tables.orders(s, dir)
+    // unspread: reduce-first to the customer grain (A/B 0.72x)
+    val o = Tables.ordersUnspread(s, dir)
     // the corpus as-of date is the global max order date — a pruned
     // 1-column scan (parquet stats short-circuit it), computed once,
     // broadcast once; deriving it from the customer grain would pin
@@ -565,7 +585,7 @@ object QueriesAnalytics {
     * permille on exact cent sums: no float division to disagree
     * across engines or partitionings. */
   def weekdaySeasonality(s: SparkSession, dir: String): DataFrame =
-    weekdaySeasonalityOn(Tables.orders(s, dir))
+    weekdaySeasonalityOn(Tables.ordersUnspread(s, dir)) // reduce-first to 7 cells (A/B 0.71x)
 
   private[graft] def weekdaySeasonalityOn(orders: DataFrame): DataFrame = {
     val d = orders
@@ -604,11 +624,16 @@ object QueriesAnalytics {
     * supplier grain. Name/nation dims broadcast. Rates are exact
     * integer permille (`div` on long sums). */
   def supplierScorecard(s: SparkSession, dir: String): DataFrame =
+    // the main pass keeps the spread loaders (decimal-heavy partial
+    // agg wants the parallel map); only the parts-distinct probe
+    // inside reads raw (see supplierScorecardOn)
     supplierScorecardOn(Tables.lineitem(s, dir), Tables.orders(s, dir),
-      Tables.supplier(s, dir), Tables.nation(s, dir))
+      Tables.supplier(s, dir), Tables.nation(s, dir),
+      partsSide = Some(Tables.lineitemUnspread(s, dir)))
 
   private[graft] def supplierScorecardOn(lineitem: DataFrame, orders: DataFrame,
-      supplier: DataFrame, nation: DataFrame): DataFrame = {
+      supplier: DataFrame, nation: DataFrame,
+      partsSide: Option[DataFrame] = None): DataFrame = {
     val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
       col("l_extendedprice"), col("l_discount"), col("l_returnflag"), col("l_shipdate"))
     val o = orders.select(col("o_orderkey"), col("o_orderdate"))
@@ -619,7 +644,11 @@ object QueriesAnalytics {
         revenue.as("revenue"),
         sum(when(col("l_returnflag") === "R", lit(1L)).otherwise(lit(0L))).as("__nret"),
         sum(datediff(col("l_shipdate"), col("o_orderdate")).cast("long")).as("__days"))
-    val parts = lineitem.select(col("l_suppkey"), col("l_partkey")).distinct()
+    // the distinct probe reduces map-side to the (supp, part) key set —
+    // an unspread scan skips a full-row exchange (same evidence as
+    // q_kpi_summary's probes, OPTIMIZATION_r18.md §2)
+    val parts = partsSide.getOrElse(lineitem)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("distinct_parts"))
     a.join(parts, "l_suppkey")
       .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
@@ -647,7 +676,7 @@ object QueriesAnalytics {
     * Catalyst plans the groupBy with no second exchange. All stats
     * are integer-exact (day gaps, long sums, `div`). */
   def interpurchase(s: SparkSession, dir: String): DataFrame =
-    interpurchaseOn(Tables.orders(s, dir))
+    interpurchaseOn(Tables.ordersUnspread(s, dir)) // keyed-window-first (A/B 0.47x)
 
   private[graft] def interpurchaseOn(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -681,10 +710,26 @@ object QueriesAnalytics {
     * (calendar-grain semi-join, broadcast — the day dimension is
     * bounded by the calendar, not the data). */
   def rollingUsers(s: SparkSession, dir: String): DataFrame =
-    rollingUsersOn(Tables.events(s, dir))
+    // unspread: the user-day distinct collapses map-side (A/B 0.33x
+    // together with the shared grain below)
+    rollingUsersOn(Tables.eventsUnspread(s, dir))
 
   private[graft] def rollingUsersOn(events: DataFrame): DataFrame = {
-    val ud = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val (out, ud) = rollingUsersRaw(events, shareGrain = true)
+    Caching.reap(out)(ud)
+  }
+
+  /** [[rollingUsersOn]] with the grain share toggleable — the
+    * plan-shape spec asserts on the UNSHARED pipeline (the checkpoint
+    * truncates the lineage below the explode, same situation as
+    * [[rfmSegmentsRaw]]); the public query shares + reaps. */
+  private[graft] def rollingUsersRaw(events: DataFrame,
+      shareGrain: Boolean): (DataFrame, DataFrame) = {
+    // the user-day grain feeds THREE consumers (day dimension, daily
+    // count, 7-day vote expansion) — share it once instead of paying
+    // the events scan + distinct exchange per consumer (guide §2.4)
+    val udBase = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val ud = if (shareGrain) Caching.share(udBase) else udBase
     val days = ud.select(col("day").as("rday")).distinct()
     val daily = ud.groupBy(col("day").as("rday")).agg(count(lit(1)).as("n_users_1d"))
     val rolled = ud
@@ -693,9 +738,10 @@ object QueriesAnalytics {
       .join(broadcast(days), "rday")
       .distinct()
       .groupBy("rday").agg(count(lit(1)).as("active_users_7d"))
-    rolled.join(daily, "rday")
+    val out = rolled.join(daily, "rday")
       .select(col("rday").as("day"), col("n_users_1d"), col("active_users_7d"))
       .orderBy("day")
+    (out, ud)
   }
 
   /** #115 click→purchase attribution: every purchase event paired
@@ -709,7 +755,9 @@ object QueriesAnalytics {
     * interval bounds are post-join filters — no nested loop); in
     * streaming form the same interval is what bounds the join state. */
   def attribution(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // unspread: both sides collapse into the user-keyed join exchange
+    // (A/B 0.65x)
+    val ev = Tables.eventsUnspread(s, dir)
     val clicks = ev.where(col("event_type") === "click")
       .select("user_id", "event_id", "ts")
     val purchases = ev.where(col("event_type") === "purchase")

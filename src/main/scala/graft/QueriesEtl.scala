@@ -95,7 +95,10 @@ object QueriesEtl {
 
   /** #7 latest-record-wins dedup per user (map-side max_by). */
   def dedupLatest(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // unspread: the max_by collapse to the user grain happens map-side
+    // before the only exchange (guide §2.4; A/B 0.40x — see
+    // OPTIMIZATION_r18.md §2)
+    val ev = Tables.eventsUnspread(s, dir)
       .select(
         col("user_id"),
         col("event_id"),
@@ -173,7 +176,8 @@ object QueriesEtl {
 
   /** #10 per-customer behavioral metrics. */
   def customerMetrics(s: SparkSession, dir: String): DataFrame = {
-    val m = Gold.entityMetrics(Tables.orders(s, dir), "o_custkey", col("o_totalprice"), col("o_orderdate"))
+    // unspread: reduce-first to the customer grain (A/B 0.55x)
+    val m = Gold.entityMetrics(Tables.ordersUnspread(s, dir), "o_custkey", col("o_totalprice"), col("o_orderdate"))
     m.join(broadcast(Tables.customer(s, dir)), m("o_custkey") === col("c_custkey"))
       .select(
         col("c_custkey"), col("c_name"), col("c_mktsegment"),
@@ -184,7 +188,8 @@ object QueriesEtl {
 
   /** #11 customer × month revenue mart. */
   def customerMonthlyMart(s: SparkSession, dir: String): DataFrame = {
-    val m = Gold.monthlyMart(Tables.orders(s, dir), "o_custkey", col("o_orderdate"), col("o_totalprice"))
+    // unspread: reduce-first to the customer x month grain (A/B 0.69x)
+    val m = Gold.monthlyMart(Tables.ordersUnspread(s, dir), "o_custkey", col("o_orderdate"), col("o_totalprice"))
     m.join(broadcast(Tables.customer(s, dir)), m("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("sales_month"), col("total_sales"), col("n_orders"))
   }
@@ -207,7 +212,9 @@ object QueriesEtl {
     * expectation folds into a single scan via [[DataQuality]]). */
   def dqSummary(s: SparkSession, dir: String): DataFrame = {
     import DataQuality._
-    run(Tables.orders(s, dir), Seq(
+    // unspread: one conditional-agg pass collapsing to a single row
+    // (A/B 0.47x)
+    run(Tables.ordersUnspread(s, dir), Seq(
       NotNull("o_custkey"),
       Unique("o_orderkey"),
       Between("o_totalprice", 0.0, 1000000.0),
@@ -239,16 +246,22 @@ object QueriesEtl {
     * deterministic with unique right timestamps per key. */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AsOfJoin
-    val left = Tables.events(s, dir)
+    // unspread both sides: the carry window's key exchange re-partitions
+    // every row anyway, so the loader spreads are pure extra exchanges
+    // (A/B 0.53x with the fused dedup below)
+    val left = Tables.eventsUnspread(s, dir)
       .select(col("event_id"), col("user_id"), date_trunc("second", col("ts")).as("ts_s"))
-    val right = Silver.dedupLatest(
-      Tables.orders(s, dir).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
-      Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey"))
-    )
+    // latest-order-per-(custkey, date) dedup is FUSED into the carry
+    // window's tie-break (max o_orderkey wins, exactly what the old
+    // dedupLatest pre-pass kept) — one less exchange+aggregate over
+    // the orders side (guide §2.4; AsOfJoinSpec pins the equivalence)
+    val right = Tables.orders(s, dir)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
     AsOfJoin(left, right,
       leftKey = "user_id", rightKey = "o_custkey",
       leftTime = "ts_s", rightTime = "o_orderdate",
-      rightCols = Seq("o_orderkey", "o_orderdate", "o_totalprice"))
+      rightCols = Seq("o_orderkey", "o_orderdate", "o_totalprice"),
+      rightTieBreak = Seq("o_orderkey"))
       .select(
         col("event_id"), col("user_id"), col("ts_s"),
         col("o_orderkey").as("last_order_key"),
@@ -270,7 +283,7 @@ object QueriesEtl {
     * aggregation to ≤9 digit cells; the total re-derives from those
     * cells with a 9-row window, so no second scan. */
   def benford(s: SparkSession, dir: String): DataFrame =
-    benfordOn(Tables.orders(s, dir))
+    benfordOn(Tables.ordersUnspread(s, dir)) // reduce-first to <=9 cells (A/B 0.69x)
 
   private[graft] def benfordOn(orders: DataFrame): DataFrame = {
     // round(log10(1 + 1/d) * 1000) for d = 1..9
@@ -345,7 +358,9 @@ object QueriesEtl {
     * `delete` can't occur with an append-only fact (the branch is
     * exercised structurally by the full-outer shape). */
   def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
+    // unspread: both snapshots collapse to the customer grain map-side
+    // (A/B 0.59x)
+    val o = Tables.ordersUnspread(s, dir)
     snapshotDiffOn(
       o.where(to_date(col("o_orderdate")) < lit("1997-01-01").cast("date")), o)
   }
@@ -401,17 +416,19 @@ object QueriesEtl {
     // probes ride the same pass as broadcasts). Identical counts to
     // the per-edge audit as long as parent keys are unique (they are
     // PKs; a dup-keyed parent inflates child counts in EITHER form).
+    // unspread facts: every edge is a broadcast-probe straight into a
+    // one-row conditional aggregate (A/B 0.66x)
     val liEdges = multiEdgeAudit(
-      Tables.lineitem(s, dir), "lineitem",
-      Seq(("l_orderkey", Tables.orders(s, dir), "o_orderkey", "orders"),
+      Tables.lineitemUnspread(s, dir), "lineitem",
+      Seq(("l_orderkey", Tables.ordersUnspread(s, dir), "o_orderkey", "orders"),
         ("l_partkey", t("part"), "p_partkey", "part"),
         ("l_suppkey", t("supplier"), "s_suppkey", "supplier")))
     val edges = Seq(
-      (Tables.orders(s, dir), "o_custkey", t("customer"), "c_custkey", "orders.o_custkey->customer.c_custkey"),
+      (Tables.ordersUnspread(s, dir), "o_custkey", t("customer"), "c_custkey", "orders.o_custkey->customer.c_custkey"),
       (t("customer"), "c_nationkey", t("nation"), "n_nationkey", "customer.c_nationkey->nation.n_nationkey"),
       (t("supplier"), "s_nationkey", t("nation"), "n_nationkey", "supplier.s_nationkey->nation.n_nationkey"),
       (t("nation"), "n_regionkey", t("region"), "r_regionkey", "nation.n_regionkey->region.r_regionkey"),
-      (Tables.events(s, dir), "user_id", t("customer"), "c_custkey", "events.user_id->customer.c_custkey"))
+      (Tables.eventsUnspread(s, dir), "user_id", t("customer"), "c_custkey", "events.user_id->customer.c_custkey"))
     (liEdges +: edges.map { case (c, fk, p, pk, label) => edgeAudit(c, fk, p, pk, label) })
       .reduce(_.unionAll(_))
       .orderBy("edge")

@@ -28,7 +28,9 @@ object QueriesScale {
         col("session_start"), col("session_end"),
         col("session_start").cast("long").as("__s"),
         col("session_end").cast("long").as("__e"))
-    val points = Tables.events(s, dir)
+    // unspread: the user-keyed join exchange re-partitions every row
+    // (A/B 0.76x, OPTIMIZATION_r18.md §2)
+    val points = Tables.eventsUnspread(s, dir)
       .select(
         col("user_id"), col("event_id"),
         date_trunc("second", col("ts")).as("ts_s"))
@@ -79,7 +81,8 @@ object QueriesScale {
   def windowSuite(s: SparkSession, dir: String): DataFrame = {
     val byDate = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
     val byPrice = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(s, dir).select(
+    // unspread: keyed window exchange re-partitions every row (A/B 0.43x)
+    Tables.ordersUnspread(s, dir).select(
       col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
       lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
       lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
@@ -96,7 +99,9 @@ object QueriesScale {
     * value is a real data point (rank ceil(p·n/100) under
     * (price, orderkey) order), identical to the window formulation. */
   def quartiles(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
+    // unspread: broadcast probe into the rank-selection bucket collapse
+    // (A/B 0.49x)
+    val o = Tables.ordersUnspread(s, dir)
       .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
     graft.operators.Quantiles.selectAtRanks(
@@ -407,7 +412,9 @@ object QueriesScale {
     * aggregates stream doubles and are order-dependent — unusable
     * under the determinism contract). */
   def revenueStats(s: SparkSession, dir: String): DataFrame = {
-    val monthly = Tables.orders(s, dir)
+    // unspread: broadcast dims then reduce to the nation x month grain
+    // (A/B 0.66x)
+    val monthly = Tables.ordersUnspread(s, dir)
       .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
@@ -471,7 +478,9 @@ object QueriesScale {
     * verification reference; approx_count_distinct ships one HLL
     * sketch per partition and is the production column. */
   def hllDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    // unspread: reduce-first (per-type sketch + two-level distinct)
+    // (A/B 0.58x)
+    Tables.eventsUnspread(s, dir)
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("__approx"),
@@ -494,7 +503,8 @@ object QueriesScale {
     * the sketch exists to avoid — gate it in production); `sketch_ok`
     * asserts the ±5% envelope per scope, including the merged one. */
   def hllUnion(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    // unspread: per-type sketch aggregation reduces map-side (A/B 0.39x)
+    val ev = Tables.eventsUnspread(s, dir).select(col("event_type"), col("user_id"))
     val perType = ev.groupBy("event_type")
       .agg(
         hll_sketch_agg(col("user_id")).as("__sk"),
@@ -621,17 +631,18 @@ object QueriesScale {
     * scanned in reverse time order) — verified against DuckDB's
     * native forward ASOF (`<=`). */
   def asofForward(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{AsOfJoin, Silver}
+    import graft.operators.AsOfJoin
     val left = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), date_trunc("second", col("ts")).as("ts_s"))
-    val right = Silver.dedupLatest(
-      Tables.orders(s, dir).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
-      Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+    // dedupLatest fused into the carry's tie-break, as in #43
+    val right = Tables.orders(s, dir)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
     AsOfJoin(left, right,
       leftKey = "user_id", rightKey = "o_custkey",
       leftTime = "ts_s", rightTime = "o_orderdate",
       rightCols = Seq("o_orderkey", "o_orderdate", "o_totalprice"),
-      joinType = "inner", direction = "forward")
+      joinType = "inner", direction = "forward",
+      rightTieBreak = Seq("o_orderkey"))
       .select(
         col("event_id"), col("user_id"), col("ts_s"),
         col("o_orderkey").as("next_order_key"),
@@ -668,7 +679,9 @@ object QueriesScale {
   def antiJoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .select("c_custkey", "c_name", "c_mktsegment")
-      .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+      // unspread: the anti-join's keyed exchange re-partitions the probe
+      // side anyway (A/B 0.78x)
+      .join(Tables.ordersUnspread(s, dir).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
 
   /** #59 document chunking: split each doc into 256-token windows
     * with stride 192 (64-token overlap) — context-window prep for
@@ -722,7 +735,9 @@ object QueriesScale {
     * shuffle — no self-joins, no row explosion; `conversion_step`
     * counts how deep the user got. */
   def eventFunnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // unspread: three min-aggregations collapse to the user grain over
+    // one keyed exchange (A/B 0.40x)
+    val ev = Tables.eventsUnspread(s, dir)
       .select(col("user_id"), col("event_type"), date_trunc("second", col("ts")).as("ts_s"))
     // step 1: first view per user
     val v = ev.groupBy("user_id")
@@ -758,7 +773,9 @@ object QueriesScale {
     * by months-since-cohort in which they ordered again — the classic
     * retention triangle, two aggregations sharing the custkey shuffle. */
   def retentionCohort(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
+    // unspread: both consumers collapse on the custkey exchange
+    // (A/B 0.58x)
+    val o = Tables.ordersUnspread(s, dir)
       .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
     val cohort = o.groupBy("o_custkey").agg(min(col("m")).as("cohort_month"))
     o.join(cohort, "o_custkey")
@@ -787,7 +804,9 @@ object QueriesScale {
     * Space-Saving = top-k, Bloom = membership, GK = quantiles. */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
     val acc = 1000 // GK bound: rank error <= n/acc
-    val o = Tables.orders(s, dir)
+    // unspread: broadcast probe into the persisted 3-column projection
+    // (A/B 0.49x)
+    val o = Tables.ordersUnspread(s, dir)
       .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
@@ -842,7 +861,7 @@ object QueriesScale {
     * decile gate) and is reaped before return; the fact is scanned
     * once. */
   def revenueGini(s: SparkSession, dir: String): DataFrame =
-    revenueGiniOn(Tables.orders(s, dir))
+    revenueGiniOn(Tables.ordersUnspread(s, dir)) // reduce-first to the customer grain (A/B 0.52x)
 
   private[graft] def revenueGiniOn(orders: DataFrame): DataFrame = {
     val (out, ranked, x) = revenueGiniRaw(orders)
@@ -897,7 +916,7 @@ object QueriesScale {
     * carries ≤ #keys cells), then a ≤ 20-row magnitude histogram; the
     * permille window runs on that grain. */
   def keySkew(s: SparkSession, dir: String): DataFrame =
-    keySkewOn(Tables.lineitem(s, dir), "l_partkey")
+    keySkewOn(Tables.lineitemUnspread(s, dir), "l_partkey") // reduce-first to the key grain (A/B 0.43x)
 
   private[graft] def keySkewOn(df: DataFrame, key: String): DataFrame = {
     val perKey = df.groupBy(key).agg(count(lit(1)).as("__c"))

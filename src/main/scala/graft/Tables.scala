@@ -46,19 +46,50 @@ object Tables {
     scanParts.getOrElseUpdate((s.sparkContext.applicationId, path, split), df.rdd.getNumPartitions)
   }
 
+  /** Probe-only kill switch for the parallelism gate
+    * (`spark.graft.spread.enabled=false` skips every spread): exists
+    * so the per-query A/B instrument can measure each query with and
+    * without the spread in one session. Engine default is true —
+    * queries that want an unspread scan opt in per subtree (see the
+    * raw-scan call sites), they don't flip this globally. */
+  private def spreadEnabled(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.spread.enabled", "true").toBoolean
+
   private[graft] def spread(s: SparkSession, df: DataFrame, path: String): DataFrame = {
     val target = s.conf.get("spark.sql.shuffle.partitions").toInt
-    if (scanPartitions(s, df, path) >= target) df else df.repartition(target)
+    if (!spreadEnabled(s) || scanPartitions(s, df, path) >= target) df
+    else df.repartition(target)
   }
 
   /** Keyed variant for tables consumed by per-key compute (documents,
     * embeddings): same parallelism gate, hash-spread on the key. */
   private[graft] def spreadKeyed(s: SparkSession, df: DataFrame, key: org.apache.spark.sql.Column, path: String): DataFrame = {
     val target = s.conf.get("spark.sql.shuffle.partitions").toInt
-    if (scanPartitions(s, df, path) >= target) df else df.repartition(key)
+    if (!spreadEnabled(s) || scanPartitions(s, df, path) >= target) df
+    else df.repartition(key)
   }
   def orders(s: SparkSession, d: String): DataFrame    = spread(s, table(s, d, "orders"), s"$d/orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = spread(s, table(s, d, "lineitem"), s"$d/lineitem")
+
+  /** UNSPREAD fact loaders — for subtrees whose FIRST operator
+    * reduces the fact map-side (a narrow distinct, a partial
+    * aggregation to a bounded grain, or a keyed exchange that
+    * re-partitions every row anyway) and whose per-row map work is
+    * trivial (column picks, date math). For that shape the spread is
+    * a pure extra full-row exchange: the map side collapses the rows
+    * before (or inside) the first real exchange, so parallelizing the
+    * map buys nothing the exchange doesn't already pay for. Measured
+    * per query with the interleaved A/B (OPTIMIZATION_r18.md §2):
+    * 0.30–0.78× on 40+ reduce-first queries, while per-row-HEAVY maps
+    * (tokenize, gram hashing, regex rules) keep the spread loaders —
+    * there the spread is exactly what parallelizes the map at any SF.
+    * On splittable layouts (any real cluster table) the spread gate is
+    * an identity, so both loaders are THE SAME 100 TB plan; this
+    * choice only exists on unsplittable single-row-group inputs. */
+  def ordersUnspread(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitemUnspread(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def eventsUnspread(s: SparkSession, d: String): DataFrame   =
+    normalizeEventTs(table(s, d, "events"))
   /** `ts` normalization across testdata generations: older generators
     * wrote TIMESTAMP(NANOS) — which Spark's reader rejects, so
     * [[GraftSession]] sets `nanosAsLong` and the column arrives as an

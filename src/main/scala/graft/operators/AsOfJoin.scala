@@ -18,6 +18,23 @@ import org.apache.spark.sql.expressions.Window
   * sort-based pass per key group, the same shape as a sort-merge
   * join. Ties (rightTime == leftTime) match, because right rows sort
   * before left rows at equal timestamps.
+  *
+  * Two shuffle-volume choices (guide §2.3/§2.4), both exact:
+  *
+  *  - the left key/time columns ride the union ONCE as `__k`/`__t`
+  *    and are re-projected into their output names afterwards —
+  *    duplicating them per row would widen every unioned left row
+  *    through the exchange and the window sort for no information;
+  *  - `rightTieBreak` folds a latest-per-(key, rightTime) dedup of
+  *    the right side INTO the carry window's ordering: among right
+  *    rows with equal (key, time) the running `last` takes the
+  *    greatest tie-break tuple — exactly
+  *    `Silver.dedupLatest(right, Seq(key, time), tieBreak)` followed
+  *    by the carry, minus dedupLatest's own exchange + aggregate over
+  *    the right side (§2.4: two operations keyed the same way share
+  *    one exchange). Tie-break columns must be non-null right payload
+  *    columns for the equivalence to be exact (AsOfJoinSpec pins it
+  *    against the dedup-then-join form on a duplicate-timed frame).
   */
 object AsOfJoin {
   /** @param left       left (probe) frame
@@ -32,6 +49,12 @@ object AsOfJoin {
     *                   leftTime, the default) or "forward" (earliest
     *                   right with rightTime >= leftTime); ties match
     *                   in both directions
+    * @param rightTieBreak  names of non-null `rightCols` whose
+    *                   GREATEST tuple wins among right rows sharing
+    *                   (key, rightTime) — the fused
+    *                   latest-per-(key, time) dedup. Empty keeps the
+    *                   historical contract (unique right (key, time)
+    *                   rows are the caller's responsibility).
     */
   def apply(
       left: DataFrame, right: DataFrame,
@@ -39,11 +62,17 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightCols: Seq[String],
       joinType: String = "inner",
-      direction: String = "backward"
+      direction: String = "backward",
+      rightTieBreak: Seq[String] = Nil
   ): DataFrame = {
     require(joinType == "inner" || joinType == "left", s"unsupported joinType $joinType")
     require(direction == "backward" || direction == "forward", s"unsupported direction $direction")
+    require(rightTieBreak.forall(rightCols.contains),
+      s"rightTieBreak ${rightTieBreak.mkString(",")} must be carried rightCols")
     val leftCols = left.columns.toSeq
+    // left key/time travel once as __k/__t; only the OTHER left
+    // columns are appended to the union row (narrower exchange+sort)
+    val leftExtras = leftCols.filterNot(c => c == leftKey || c == leftTime)
 
     // The whole right payload is carried as ONE struct so the window's
     // `last(_, ignoreNulls)` either takes the full latest right row or
@@ -58,7 +87,7 @@ object AsOfJoin {
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(Seq(col("__k"), col("__t"), col("__side"),
-        lit(null).cast(payloadType).as("__r")) ++ leftCols.map(col): _*)
+        lit(null).cast(payloadType).as("__r")) ++ leftExtras.map(col): _*)
 
     val taggedRight = right
       .withColumn("__k", col(rightKey))
@@ -66,13 +95,20 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
       .select(Seq(col("__k"), col("__t"), col("__side"),
         struct(rightCols.map(col).toIndexedSeq: _*).as("__r")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+        leftExtras.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // forward as-of is the same carry scanned in reverse time order;
     // right rows sort before left at equal timestamps either way, so
-    // ties match in both directions
+    // ties match in both directions. Tie-break columns order right
+    // rows WITHIN an equal (key, time) group (left rows' __r is null,
+    // and __side already separates the sides, so the extra sort keys
+    // never reorder across sides): ascending, so the running `last`
+    // carries the greatest tuple — in both directions, because the
+    // group shares one __t and only the __t order flips.
     val timeOrder = if (direction == "backward") col("__t").asc else col("__t").desc
-    val w = Window.partitionBy("__k").orderBy(timeOrder, col("__side"))
+    val orderKeys = Seq(timeOrder, col("__side")) ++
+      rightTieBreak.map(c => col("__r").getField(c).asc)
+    val w = Window.partitionBy("__k").orderBy(orderKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = taggedLeft.unionByName(taggedRight)
@@ -80,7 +116,12 @@ object AsOfJoin {
 
     val leftRows = carried.where(col("__side") === 1)
     val filtered = if (joinType == "inner") leftRows.where(col("__r").isNotNull) else leftRows
+    val leftOut = leftCols.map {
+      case c if c == leftKey  => col("__k").as(c)
+      case c if c == leftTime => col("__t").as(c)
+      case c                  => col(c)
+    }
     filtered
-      .select(leftCols.map(col) ++ rightCols.map(c => col("__r").getField(c).as(c)): _*)
+      .select(leftOut ++ rightCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

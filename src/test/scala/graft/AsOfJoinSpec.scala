@@ -56,6 +56,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("no-key").isEmpty)
   }
 
+  test("rightTieBreak equals dedupLatest-then-join on duplicate right (key, time) rows") {
+    // two right rows share (rk=1, rt=200); dedupLatest keeps the max
+    // tie-break (id=7). The fused tie-break must carry exactly that
+    // row — including its OTHER payload columns — in both directions.
+    val dup = Seq(
+      (1L, 100L, 1L, "a100"),
+      (1L, 200L, 7L, "keep200"), (1L, 200L, 3L, "drop200"),
+      (1L, 300L, 5L, "a300"), (1L, 300L, 9L, "keep300")
+    ).toDF("rk", "rt", "rid", "rv")
+    val probes = Seq((1L, 150L, "p150"), (1L, 200L, "p200"),
+      (1L, 250L, "p250"), (1L, 350L, "p350")).toDF("lk", "lt", "tag")
+    for (dirn <- Seq("backward", "forward")) {
+      val deduped = graft.operators.Silver.dedupLatest(dup, Seq("rk", "rt"), Seq($"rid"))
+      val expect = AsOfJoin(probes, deduped, "lk", "rk", "lt", "rt",
+        Seq("rid", "rv"), "left", dirn)
+        .select("tag", "rid", "rv").collect().map(_.toSeq).toSet
+      val fused = AsOfJoin(probes, dup, "lk", "rk", "lt", "rt",
+        Seq("rid", "rv"), "left", dirn, rightTieBreak = Seq("rid"))
+        .select("tag", "rid", "rv").collect().map(_.toSeq).toSet
+      assert(fused == expect, s"direction=$dirn: fused tie-break diverged from dedupLatest")
+    }
+  }
+
+  test("left key/time re-projection preserves names, types and values") {
+    val out = AsOfJoin(left, right, "lk", "rk", "lt", "rt", Seq("rv"), "inner")
+    assert(out.columns.toSeq == Seq("lk", "lt", "tag", "rv"))
+    val back = out.select("lk", "lt", "tag").as[(Long, Long, String)].collect().toSet
+    assert(back == Set((1L, 100L, "tie"), (1L, 250L, "between"), (1L, 999L, "after-all")))
+  }
+
   test("plan shuffles once on the key (window, no join node)") {
     val plan = AsOfJoin(left, right, "lk", "rk", "lt", "rt", Seq("rv"))
       .queryExecution.executedPlan.toString

@@ -8,14 +8,24 @@ import org.apache.spark.sql.functions._
 class CachingSpec extends SparkSpec {
   import spark.implicits._
 
-  private def persistentRddCount: Int = spark.sparkContext.getPersistentRDDs.size
+  // Set-based leak check, not a count: earlier suites legitimately
+  // leave reap-result checkpoints behind (freed by the ContextCleaner
+  // at some future GC), and one being reclaimed MID-TEST would make a
+  // count comparison flaky. Only RDDs registered DURING the test may
+  // not survive it.
+  private def persistentRddIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+  private def assertNoNewPersistentRdds(before: Set[Int], clue: String): Unit = {
+    val leaked = persistentRddIds -- before
+    assert(leaked.isEmpty, s"$clue: leaked persistent RDDs $leaked")
+  }
 
   test("release drops a localCheckpoint's blocks from the block manager") {
-    val before = persistentRddCount
+    val before = persistentRddIds
     val df = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
-    assert(persistentRddCount == before + 1, "checkpoint must register an RDD")
+    assert((persistentRddIds -- before).size == 1, "checkpoint must register an RDD")
     Caching.release(df)
-    assert(persistentRddCount == before, "release must unpersist the checkpoint RDD")
+    assertNoNewPersistentRdds(before, "release must unpersist the checkpoint RDD")
   }
 
   test("reap materializes the result and unpersists the temps") {
@@ -33,7 +43,7 @@ class CachingSpec extends SparkSpec {
     val expect = base.collect().map(_.toSeq).toSet
     Seq("persist", "checkpoint").foreach { mode =>
       withShareMode(mode) {
-        val before = persistentRddCount
+        val before = persistentRddIds
         val shared = Caching.share(base)
         assert(shared.collect().map(_.toSeq).toSet == expect, s"mode=$mode rows differ")
         // reap must free the share regardless of mechanism
@@ -46,7 +56,7 @@ class CachingSpec extends SparkSpec {
           assert(!shared.storageLevel.useMemory, s"mode=$mode: persisted share survived reap")
         assert(out.collect().head.getLong(0) == 30L)
         Caching.release(out)
-        assert(persistentRddCount == before,
+        assertNoNewPersistentRdds(before,
           s"mode=$mode: reap+release must leave no new persistent RDDs")
       }
     }
@@ -56,7 +66,7 @@ class CachingSpec extends SparkSpec {
     val base = Seq(1, 2, 3, 4).toDF("x")
     Seq("persist", "checkpoint").foreach { mode =>
       withShareMode(mode) {
-        val before = persistentRddCount
+        val before = persistentRddIds
         val shared = Caching.share(base)
         shared.count()
         // a frame DERIVED from the share must not be able to drop the
@@ -69,7 +79,7 @@ class CachingSpec extends SparkSpec {
           s"mode=$mode: share must survive release of a derived frame")
         // the owning handle releases it in one move, whatever the mode
         Caching.unshare(shared)
-        assert(persistentRddCount == before, s"mode=$mode: unshare must free the share")
+        assertNoNewPersistentRdds(before, s"mode=$mode: unshare must free the share")
       }
     }
   }

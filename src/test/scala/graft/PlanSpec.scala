@@ -347,7 +347,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("rolling users: expansion runs on the user-day grain, day semi-join broadcasts") {
-    val p = plan("q_rolling_users")
+    // the public query shares the user-day grain (checkpoint truncates
+    // the lineage below the explode) — assert on the unshared raw
+    // pipeline, like rfm
+    val (raw, _) = QueriesAnalytics.rollingUsersRaw(
+      Tables.eventsUnspread(spark, sf), shareGrain = false)
+    val p = raw.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     // the 7x explode must sit ABOVE the user-day distinct aggregate
     // (expanding raw events would multiply the fact, not the grain)
