@@ -395,7 +395,10 @@ object QueriesScale {
       when(pmod(col("c_custkey"), lit(10)) === 0, lit("MOVED")).otherwise(col("c_mktsegment")))
     val scd = Scd2.merge(existing, incoming, Seq("c_custkey"),
       Seq("c_name", "c_mktsegment", "c_acctbal"), lit("1995-06-01").cast("date"))
-    Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_custkey")
+    // unspread: the fact side is a trivial 3-column projection probing
+    // a broadcast-sized SCD dim — the spread would be a full-row
+    // exchange bought for a cheap map (A/B 0.83x)
+    Tables.ordersUnspread(s, dir).select("o_orderkey", "o_orderdate", "o_custkey")
       .join(scd,
         col("o_custkey") === col("c_custkey") &&
           col("o_orderdate") >= col("valid_from") &&
@@ -632,7 +635,9 @@ object QueriesScale {
     * native forward ASOF (`<=`). */
   def asofForward(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AsOfJoin
-    val left = Tables.events(s, dir)
+    // unspread: the carry window's key exchange re-partitions every
+    // row anyway — same shape/evidence as #43 (probe 0.53x)
+    val left = Tables.eventsUnspread(s, dir)
       .select(col("event_id"), col("user_id"), date_trunc("second", col("ts")).as("ts_s"))
     // dedupLatest fused into the carry's tie-break, as in #43
     val right = Tables.orders(s, dir)
